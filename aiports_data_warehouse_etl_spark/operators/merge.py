@@ -1,0 +1,66 @@
+"""Incremental delta merge (SURVEY.md §2.7 M1 + §2.3 J4).
+
+The reference re-implements this seven times, once per table
+(`dags/extract_and_tranform.py:333-499`), with an inverted emptiness
+condition and a discarded append (§2.11 items 4-5). This is the single
+generic implementation of the *intended* semantics:
+
+    first load : write full table; delta twin = full table
+    otherwise  : delta = new rows NOT already in target (whole-row
+                 anti-join, null-safe), write delta twin, append delta
+
+The anti-join mirrors pandas tuple-set membership (`help_func.py:5-9`),
+where NaN == NaN inside a tuple — hence null-safe ``<=>`` equality on
+every column, not plain ``=``.
+
+Scale: left-anti with the EXISTING side broadcast when small; when both
+sides are huge it becomes a shuffled sort-merge anti-join on all
+columns — still one shuffle, no driver collect. Delta twin written
+before the append so the downstream dataset-triggered load
+(`Load.py:17`) sees exactly the new rows.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark.sources.io import read_parquet, write_parquet
+
+
+def anti_join_all_columns(new: DataFrame, existing: DataFrame) -> DataFrame:
+    """Rows of ``new`` with no null-safe whole-row match in ``existing``."""
+    cond = functools.reduce(
+        operator.and_,
+        [new[c].eqNullSafe(existing[c]) for c in new.columns],
+    )
+    return new.join(existing, cond, "left_anti")
+
+
+def delta_merge(
+    spark: SparkSession,
+    new_df: DataFrame,
+    target_path: str,
+    delta_path: str,
+) -> DataFrame:
+    """Append-only SCD-0 merge keyed on the whole row; returns the delta."""
+    try:
+        existing = read_parquet(spark, target_path)
+        first_load = False
+    except Exception:
+        first_load = True
+
+    if first_load:
+        write_parquet(new_df, target_path, mode="overwrite")
+        write_parquet(new_df, delta_path, mode="overwrite")
+        return new_df
+
+    delta = anti_join_all_columns(new_df, existing)
+    # Materialize the delta before touching its own input path.
+    write_parquet(delta, delta_path, mode="overwrite")
+    delta_back = read_parquet(spark, delta_path)
+    write_parquet(delta_back, target_path, mode="append")
+    return delta_back

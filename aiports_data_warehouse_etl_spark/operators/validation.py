@@ -1,0 +1,175 @@
+"""Declarative data-quality rule engine (SURVEY.md §2.8 V1-V6).
+
+The reference runs one full-column scan per check and only *prints*
+outcomes (`dags/extract_and_tranform.py:501-700`, `:513-514`). Here a
+table's whole rule set compiles into ONE ``df.agg(...)`` pass — a
+single scan regardless of rule count (the design improvement called out
+in SURVEY.md §4) — and returns a report DataFrame that can gate the
+pipeline.
+
+Each rule is a violation predicate; uniqueness checks ride along in the
+same aggregation via count vs count-distinct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """name + violation predicate (Column<bool>; True = row violates)."""
+
+    name: str
+    violation: Column
+
+    def agg_expr(self) -> Column:
+        return (
+            F.coalesce(
+                F.sum(F.when(self.violation, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(self.name)
+        )
+
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """PK-uniqueness: violations = total rows - distinct key rows."""
+
+    name: str
+    column: str
+
+    def agg_expr(self) -> Column:
+        return (
+            (F.count(F.lit(1)) - F.count_distinct(F.col(self.column)))
+            .cast("long")
+            .alias(self.name)
+        )
+
+
+def unique_rule(column: str, name: str | None = None) -> UniqueRule:
+    return UniqueRule(name or f"{column}_unique", column)
+
+
+def not_null(column: str) -> Rule:
+    return Rule(f"{column}_not_null", F.col(column).isNull())
+
+
+def in_range(column: str, lo, hi) -> Rule:
+    """Closed-range check (reference ranges were off-by-one; §2.11.7)."""
+    c = F.col(column)
+    return Rule(f"{column}_in_range", c.isNull() | (c < lo) | (c > hi))
+
+
+def non_negative(column: str) -> Rule:
+    c = F.col(column)
+    return Rule(f"{column}_non_negative", c.isNull() | (c < 0))
+
+
+def matches(column: str, regex: str) -> Rule:
+    c = F.col(column)
+    return Rule(f"{column}_format", c.isNull() | ~c.rlike(regex))
+
+
+def validate(df: DataFrame, rules: list) -> DataFrame:
+    """Run all rules in one aggregation pass; returns
+    (rule_name, violations, passed) — one row per rule.
+    """
+    agg_row = df.agg(*[r.agg_expr() for r in rules])
+    stacked = agg_row.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(r.name) for r in rules]),
+                F.array(*[F.col(r.name) for r in rules]),
+            )
+        ).alias("rule_name", "violations")
+    )
+    return stacked.select(
+        "rule_name",
+        F.col("violations").cast("long"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def assert_valid(df: DataFrame, rules: list) -> None:
+    """Optional hard gate — unlike the reference, failures can fail the
+    pipeline (§2.11.12)."""
+    report = validate(df, rules).filter(~F.col("passed"))
+    bad = [r.asDict() for r in report.collect()]
+    if bad:
+        raise ValueError(f"data-quality violations: {bad}")
+
+
+# ---------------------------------------------------------------------------
+# Rule sets for the star schema (corrected closed ranges; reference's
+# intent per V1-V6 with its off-by-ones fixed and noted).
+# ---------------------------------------------------------------------------
+
+
+def dim_date_rules() -> list:
+    return [
+        unique_rule("date_id_pk"),
+        non_negative("date_id_pk"),
+        in_range("day", 1, 31),
+        in_range("month", 1, 12),
+        in_range("quarter", 1, 4),  # reference rejected Q4 (`:581`)
+        Rule("year_not_future", F.col("year") > F.year(F.current_date())),
+    ]
+
+
+def dim_airports_rules() -> list:
+    return [
+        unique_rule("airport_id_pk"),
+        non_negative("airport_id_pk"),
+        matches("airport_code", "^[A-Z0-9]{3}$"),
+        not_null("name"),
+        not_null("city"),
+        not_null("country"),
+    ]
+
+
+def dim_air_carriers_rules() -> list:
+    return [
+        unique_rule("air_carrier_id_pk"),
+        not_null("name"),
+        Rule(
+            "shortcut_len",
+            F.col("shortcut").isNull()
+            | ~F.length(F.trim(F.col("shortcut"))).between(1, 13),
+        ),
+    ]
+
+
+def dim_delays_rules() -> list:
+    from aiports_data_warehouse_etl_spark.schemas import DELAY_COLS
+
+    return [unique_rule("delay_id_pk")] + [
+        non_negative(c) for c in DELAY_COLS if c != "other_type_delay"
+    ]
+
+
+def dim_time_rules() -> list:
+    return [
+        unique_rule("time_id_pk"),
+        in_range("hour", 0, 23),
+        matches("full_time", "^[0-2][0-9]:[0-5][0-9]$"),
+        not_null("time_of_the_day"),
+    ]
+
+
+def fact_flights_rules() -> list:
+    return [
+        unique_rule("delay_id_fk"),
+        not_null("air_carrier_id_fk"),
+        non_negative("departure_time_fk"),
+        non_negative("departure_final_time_fk"),
+        non_negative("arrival_time_fk"),
+        non_negative("departure_delay"),
+        non_negative("arrival_delay"),
+    ]

@@ -1,0 +1,80 @@
+"""Scans and sinks (SURVEY.md §2.1, S1-S7).
+
+Reference behavior: bare ``pd.read_csv`` with inferred schema
+(`dags/extract_and_tranform.py:45,51,58`) and ``df.to_csv`` sinks
+(`:338-350`). Here every scan takes an explicit schema (inference only
+as a debug fallback) and curated storage is parquet — columnar at rest,
+so Catalyst gets predicate pushdown + column pruning + partition
+pruning for free at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan (S1-S3). Explicit schema by default; ``schema=None``
+    falls back to inference (debug only — never in production plans).
+    """
+    reader = spark.read.option("header", header)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S4). Schema comes from the footer — already typed."""
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (S5). ``partition_by`` enables partition pruning for
+    downstream scans — at 100 TB the fact table partitions by date key.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (S6) — the reference's intended Azure SQL load
+    (`test_connection.py:7-12`). Driver jar availability is deployment
+    config; semantics are plain ``df.write.jdbc``.
+    """
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def list_catalog_tables(spark: SparkSession) -> DataFrame:
+    """Catalog metadata scan (S7) — `SHOW TABLES` equivalent of the
+    reference's INFORMATION_SCHEMA probe (`test_connection.py:16-21`).
+    """
+    return spark.sql("SHOW TABLES")
