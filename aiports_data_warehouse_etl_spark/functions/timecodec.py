@@ -22,9 +22,12 @@ def _pymod(a: Column, b: int) -> Column:
 
 
 def hhmm_to_minute_of_day(hhmm: Column) -> Column:
-    """HHMM int → minutes since midnight (= FK into dim_time; ref `:320`).
+    """HHMM int → "minutes since midnight" FK, bug-compatible (ref `:320`).
 
-    1435 → 14*60+35 = 875. Formula: ``t % 60 + (t // 100) * 60``.
+    The reference's formula is ``t % 60 + (t // 100) * 60`` — note
+    ``% 60``, not ``% 100``: for 1435 it yields 55 + 840 = 895, not the
+    true 875. The golden fact outputs depend on the literal formula, so
+    we reproduce it exactly (SURVEY.md §2.11 fidelity stance).
     """
     return (_pymod(hhmm, 60) + _floordiv(hhmm, 100) * 60).cast("long")
 

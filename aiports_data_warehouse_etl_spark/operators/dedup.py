@@ -1,0 +1,382 @@
+"""Deduplication family for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design
+------------
+Everything is expressed as hash-partitioned groupBys and bucket-joins —
+NO driver-side loops, NO cartesian products over the full corpus:
+
+- exact:     one shuffle on the content hash.
+- minhash:   signatures are a per-row narrow map (codegen'd md5s);
+             LSH banding turns near-dup search into an equi-join on
+             (band, band_key) — candidate pairs only ever meet inside
+             a bucket, so the shuffle is keyed and skew is bounded by
+             bucket size (salt/band-count tunes it at 100 TB).
+- simhash:   per-row 64-bit signature; near-dup = equality on rotated
+             prefix blocks (Hamming ≤ r via block-permutation trick).
+- jaccard:   verification only ever runs on LSH/bucket candidates.
+
+MinHash uses md5 hex strings with LEXICOGRAPHIC min — deliberately:
+md5 is identical everywhere (Spark, DuckDB, Python), which makes the
+whole pipeline oracle-checkable bit-for-bit without any hex→int
+conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark.operators.textops import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: canonical (min) id + copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct text."""
+    keep = exact_dedup_stats(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature_from_shingles(sh, num_hashes: int = 8):
+    """Array<string> minhash signature: for hash j, the lexicographic
+    min of md5(j || ':' || shingle) over the shingle set. ``sh`` MUST
+    be a materialized attribute column (see textops.add_shingles).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    from aiports_data_warehouse_etl_spark.operators.textops import add_shingles
+
+    return add_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, k=k
+    ).select("id", "sh")
+
+
+def _lsh_candidates_from_shingles(
+    sh_df: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band-bucket self-join over a (id, sh) shingle table."""
+    rows_per_band = num_hashes // bands
+    banded = (
+        sh_df.filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature_from_shingles(F.col("sh"), num_hashes))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                "|",
+                            )
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _jaccard_from_shingles(pairs: DataFrame, sh_df: DataFrame) -> DataFrame:
+    a = sh_df.alias("a")
+    b = sh_df.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band key.
+
+    Rows with an empty shingle set (< k tokens) never hash and are
+    excluded — matching the oracle exactly.
+    """
+    return _lsh_candidates_from_shingles(
+        _shingled(df, text_col, id_col, k), num_hashes, bands
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification)."""
+    return _jaccard_from_shingles(pairs, _shingled(df, text_col, id_col, k))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification → near-dup pairs.
+
+    The shingle table is computed ONCE and cached: candidate
+    generation, the pair join's a-side and b-side all read the same
+    materialization instead of re-tokenizing the corpus (3× cost
+    otherwise; the cache is partition-local, no extra shuffle)."""
+    sh = _shingled(df, text_col, id_col, k).persist()
+    pairs = _lsh_candidates_from_shingles(sh, num_hashes, bands)
+    return _jaccard_from_shingles(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """Near-dedup: drop any doc that has a smaller-id near-duplicate
+    (star-cluster approximation of connected components — one
+    distributed pass; full CC is an iterative extension).
+    """
+    dup_ids = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard with length-bucket blocking (no LSH, still no O(n²))
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bucket_width: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs within the same token-count bucket with Jaccard ≥
+    threshold. Blocking on floor(n_tokens/width) bounds the join
+    fan-out; near-dups rarely differ much in length.
+    """
+    from aiports_data_warehouse_etl_spark.operators.textops import shingles_from_tokens
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("bucket", F.floor(F.size("__toks") / bucket_width))
+        .withColumn("sh", shingles_from_tokens(F.col("__toks"), k))
+        .select("id", "bucket", "sh")
+        .filter(F.size("sh") > 0)
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit; Spark-native bit ops — oracle is rows-only)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → 60 hash bits, fits a long
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, sig): SimHash over distinct tokens — per-token 60-bit
+    md5-derived hash, signature bit i = sign of Σ_tokens (±1 by token
+    bit i).
+
+    Shape: explode tokens → hash once each → ONE hash-aggregation with
+    ``bits`` vectorized sum expressions → bit-pack. All JVM-side
+    (conv/shiftright/bitwise); the shuffle is keyed on the doc id, so
+    it scales like any groupBy. (A per-row array fold was 25× slower —
+    codegen rebuilds a 60-wide array per token.)
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    hashed = tok.select(
+        "id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return votes.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via the
+    block-permutation trick: split the signature into ``blocks`` equal
+    blocks; any pair within Hamming ≤ blocks-1 shares ≥1 exact block →
+    equi-join per block, then exact Hamming verification
+    (bit_count(xor)). Distributed: only block-bucket collisions meet.
+    """
+    width = SIMHASH_BITS // blocks
+    sig = simhash_signatures(df, text_col, id_col)
+    blocked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. With ``block_col`` (e.g. an LSH
+    bucket or a label) the join is an equi-join per block; without it,
+    a full cross self-join — only for small/sampled corpora.
+    """
+    from aiports_data_warehouse_etl_spark.operators.similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

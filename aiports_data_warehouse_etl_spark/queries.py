@@ -1,0 +1,1034 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2
+(plus the extension tracks) as a named (Spark callable, DuckDB oracle
+SQL) pair over the /root/testdata tables.
+
+Contract discipline (what makes the driver's hash compare pass):
+- every computed column aliased IDENTICALLY in Spark and SQL;
+- counts cast to BIGINT both sides (DuckDB sum(int) is HUGEINT);
+- double aggregates rounded (2 for money sums, 6 for ratios/scores)
+  in BOTH engines, and window ranks computed over the ROUNDED value;
+- surrogate keys/row numbers always over an explicit total ordering;
+- timestamps stay timestamps (UTC session), dates cast to DATE.
+
+Oracle mapping follows FIXTURES.md §B (J1-J3 ↔ orders⋈customer⋈nation
+⋈region, J4 ↔ customer-without-orders, A4-A5 ↔ lineitem flags, P4-P8 ↔
+synthesized description strings, …).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark.functions.text_extract import (
+    airport_city,
+    airport_country,
+    airport_name,
+    carrier_name,
+    carrier_shortcut,
+)
+from aiports_data_warehouse_etl_spark.functions.timecodec import (
+    hhmm_add_minutes,
+    hhmm_to_minute_of_day,
+)
+from aiports_data_warehouse_etl_spark.operators import dedup as D
+from aiports_data_warehouse_etl_spark.operators import similarity as S
+from aiports_data_warehouse_etl_spark.operators import textops as TX
+from aiports_data_warehouse_etl_spark.operators import validation as V
+from aiports_data_warehouse_etl_spark.operators.dims import build_dim_date, build_dim_time
+from aiports_data_warehouse_etl_spark.operators.merge import anti_join_all_columns
+from aiports_data_warehouse_etl_spark.streaming.events import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from aiports_data_warehouse_etl_spark.sources.io import read_testdata
+
+    return read_testdata(spark, sf_dir, name)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A. Reference surface (SURVEY.md §2) on the testdata star schema
+# ---------------------------------------------------------------------------
+
+@q(
+    "s1_scan_project",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           l_quantity, l_returnflag
+    FROM lineitem
+    """,
+)
+def s1_scan_project(spark, sf_dir):
+    """P1/S1: projection + column pruning straight off the parquet scan
+    (ReadSchema should list exactly these four columns)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@q(
+    "p2_rename_drop_cast",
+    """
+    SELECT o_orderkey AS order_id,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           upper(o_orderpriority) AS priority
+    FROM orders
+    """,
+)
+def p2_rename_drop_cast(spark, sf_dir):
+    """P2/P3/P9/P10: rename, drop (via select), float→int cast.
+    floor() before the cast: Spark truncates double→long, DuckDB
+    rounds — floor makes both explicit and identical."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.upper("o_orderpriority").alias("priority"),
+    )
+
+
+_P4_SQL_DESC = (
+    "CASE CAST(c_custkey % 3 AS INTEGER) "
+    "WHEN 0 THEN c_name || ', ' || c_mktsegment || ': SFX' "
+    "WHEN 1 THEN c_name || ': only colon' "
+    "ELSE c_name END"
+)
+
+
+@q(
+    "p4_p8_string_extract",
+    f"""
+    WITH d AS (SELECT c_custkey, {_P4_SQL_DESC} AS description FROM customer)
+    SELECT c_custkey,
+           CASE WHEN contains(description, ':')
+                THEN trim((string_split(description, ':'))[-1])
+                ELSE 'Not specified' END AS name,
+           CASE WHEN contains(description, ',')
+                THEN trim((string_split(description, ','))[1])
+                ELSE 'Not specified' END AS city,
+           CASE WHEN NOT contains(description, ':') THEN 'Not specified'
+                WHEN length(trim((string_split((string_split(description, ':'))[1], ','))[2])) > 2
+                THEN trim((string_split((string_split(description, ':'))[1], ','))[2])
+                ELSE 'United States' END AS country,
+           CASE WHEN contains(description, ',')
+                THEN (string_split(description, ','))[1]
+                ELSE 'Not specified' END AS carrier_name,
+           CASE WHEN contains(description, ':')
+                THEN (string_split(description, ':'))[2]
+                ELSE 'Not specified' END AS shortcut
+    FROM d
+    """,
+)
+def p4_p8_string_extract(spark, sf_dir):
+    """P4-P8: all five reference string extractors over synthesized
+    descriptions that exercise every branch (both delimiters / one /
+    neither)."""
+    c = _t(spark, sf_dir, "customer")
+    desc = (
+        F.when(
+            F.pmod("c_custkey", F.lit(3)) == 0,
+            F.concat("c_name", F.lit(", "), "c_mktsegment", F.lit(": SFX")),
+        )
+        .when(F.pmod("c_custkey", F.lit(3)) == 1, F.concat("c_name", F.lit(": only colon")))
+        .otherwise(F.col("c_name"))
+    )
+    d = c.select("c_custkey", desc.alias("description"))
+    dd = F.col("description")
+    return d.select(
+        "c_custkey",
+        airport_name(dd).alias("name"),
+        airport_city(dd).alias("city"),
+        airport_country(dd).alias("country"),
+        carrier_name(dd).alias("carrier_name"),
+        carrier_shortcut(dd).alias("shortcut"),
+    )
+
+
+@q(
+    "p11_p12_coalesce",
+    """
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), l_tax) AS discount_or_tax,
+           coalesce(nullif(l_tax, 0.0), 0.0) AS tax_filled
+    FROM lineitem
+    """,
+)
+def p11_p12_coalesce(spark, sf_dir):
+    """P11/P12: fillna-with-constant and COALESCE-from-sibling (nulls
+    synthesized with nullif since testdata is dense)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.col("l_tax")).alias(
+            "discount_or_tax"
+        ),
+        F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(0.0)).alias("tax_filled"),
+    )
+
+
+@q(
+    "p13_p15_hhmm_codec",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CAST(hour(ts) * 100 + minute(ts) AS BIGINT) AS hhmm,
+             CAST(floor(value) AS BIGINT) - 10 AS delay_min
+      FROM events
+    )
+    SELECT event_id, hhmm, delay_min,
+           CAST(((hhmm % 60) + 60) % 60 + CAST(floor(hhmm / 100.0) AS BIGINT) * 60 AS BIGINT)
+             AS minute_of_day,
+           CAST(hhmm + CAST(floor(delay_min / 60.0) AS BIGINT) * 100
+                     + ((delay_min % 60) + 60) % 60 AS BIGINT) AS shifted_hhmm
+    FROM e
+    """,
+)
+def p13_p15_hhmm_codec(spark, sf_dir):
+    """P13-P15: arithmetic derivation + the reference's literal HHMM
+    codecs, including negative delays (Python floor-div semantics)."""
+    e = _t(spark, sf_dir, "events")
+    hhmm = (F.hour("ts") * 100 + F.minute("ts")).cast("long")
+    delay = (F.floor("value").cast("long") - 10).alias("delay_min")
+    base = e.select("event_id", hhmm.alias("hhmm"), delay)
+    return base.select(
+        "event_id",
+        "hhmm",
+        "delay_min",
+        hhmm_to_minute_of_day(F.col("hhmm")).alias("minute_of_day"),
+        hhmm_add_minutes(F.col("hhmm"), F.col("delay_min")).alias("shifted_hhmm"),
+    )
+
+
+@q(
+    "p16_surrogate_key",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY n_name) - 1 AS BIGINT) AS nation_sk,
+           n_name, CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    """,
+)
+def p16_surrogate_key(spark, sf_dir):
+    """P16-P18/W1: deterministic surrogate key = row_number over a
+    declared canonical ordering (the engine-wide id convention)."""
+    from aiports_data_warehouse_etl_spark.functions.keys import with_row_id
+
+    n = _t(spark, sf_dir, "nation")
+    return with_row_id(n, ["n_name"], "nation_sk").select(
+        "nation_sk", "n_name", "n_regionkey"
+    )
+
+
+@q(
+    "j1_fk_lookup",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_fk_lookup(spark, sf_dir):
+    """J1: FK-resolution left equi-join, dim side broadcast and pruned
+    to the needed columns (the reference's hand-pruning, declaratively)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "j2_star_join_agg",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j2_star_join_agg(spark, sf_dir):
+    """J1-J3 composed: the star-schema rollup — fact joined through two
+    broadcast dim hops, then one shuffle for the aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "j4_anti_join_delta",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_join_delta(spark, sf_dir):
+    """J4: left-anti join — the reference's new-rows detector."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "a1_max_next_id",
+    """
+    SELECT CAST(max(o_orderkey) AS BIGINT) AS max_id,
+           CAST(max(o_orderkey) + 1 AS BIGINT) AS next_id
+    FROM orders
+    """,
+)
+def a1_max_next_id(spark, sf_dir):
+    """A1/P18: scalar MAX + next-id assignment."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").cast("long").alias("max_id"),
+        (F.max("o_orderkey") + 1).cast("long").alias("next_id"),
+    )
+
+
+@q(
+    "a2_single_pass_checks",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS n_neg_price,
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS n_bad_status,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    """,
+)
+def a2_single_pass_checks(spark, sf_dir):
+    """A2/A3: conditional counts + count-distinct folded into ONE
+    aggregation pass (the rule-engine execution shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_if(F.col("o_totalprice") < 0).cast("long").alias("n_neg_price"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .cast("long")
+        .alias("n_bad_status"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+@q(
+    "a4_distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a4_distinct_pairs(spark, sf_dir):
+    """A4: full-row DISTINCT over a projection."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "a5_distinct_ordered_limit",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders GROUP BY 1 ORDER BY order_date LIMIT 10
+    """,
+)
+def a5_distinct_ordered_limit(spark, sf_dir):
+    """A5/L1: order-preserving distinct + the reference's LIMIT cap —
+    deterministic because the limit follows a total order. Dates as ISO
+    strings: Spark DATE → datetime.date vs DuckDB DATE → Timestamp
+    would break the driver's value hash."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .distinct()
+        .orderBy("order_date")
+        .limit(10)
+    )
+
+
+@q(
+    "u1_union_append",
+    """
+    WITH u AS (
+      SELECT * FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus <> 'O'
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM u GROUP BY o_orderpriority
+    """,
+)
+def u1_union_append(spark, sf_dir):
+    """U1: UNION ALL (the intended append semantics of ref `:349`)."""
+    o = _t(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderstatus") == "O").unionByName(
+        o.filter(F.col("o_orderstatus") != "O")
+    )
+    return u.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
+    "m1_delta_merge",
+    """
+    WITH old AS (SELECT * FROM customer WHERE c_custkey <= 750),
+    delta AS (
+      SELECT * FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM old o
+        WHERE o.c_custkey IS NOT DISTINCT FROM c.c_custkey
+          AND o.c_name IS NOT DISTINCT FROM c.c_name
+          AND o.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+          AND o.c_acctbal IS NOT DISTINCT FROM c.c_acctbal
+          AND o.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+      )
+    ),
+    merged AS (SELECT * FROM old UNION ALL SELECT * FROM delta)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS balance
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def m1_delta_merge(spark, sf_dir):
+    """M1: the generic first-load-or-delta merge — existing table ∪
+    (incoming anti-join existing) over all columns, null-safe."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") <= 750)
+    delta = anti_join_all_columns(c, old)
+    merged = old.unionByName(delta)
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("balance"),
+    )
+
+
+@q(
+    "g1_dim_date",
+    """
+    WITH d AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS full_date FROM orders),
+    ids AS (
+      SELECT full_date,
+             CAST(row_number() OVER (ORDER BY full_date) - 1 AS BIGINT) AS date_id_pk
+      FROM d
+    )
+    SELECT date_id_pk,
+           CAST(day(full_date::DATE) AS INTEGER) AS day,
+           CAST(month(full_date::DATE) AS INTEGER) AS month,
+           CAST(year(full_date::DATE) AS INTEGER) AS year,
+           isodow(full_date::DATE) NOT IN (6, 7) AS is_work_day,
+           isodow(full_date::DATE) IN (6, 7) AS is_weekday,
+           CAST(floor(month(full_date::DATE) / 4) + 1 AS INTEGER) AS quarter,
+           full_date
+    FROM ids
+    """,
+)
+def g1_dim_date(spark, sf_dir):
+    """G1: the dim_date builder (cap lifted, reference quarter formula)
+    fed from orders dates."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("FL_DATE"))
+    return build_dim_date(src, cap=None, strict=False)
+
+
+@q(
+    "g2_dim_time",
+    """
+    SELECT CAST(r AS BIGINT) AS time_id_pk,
+           printf('%02d:%02d', CAST(floor(r / 60.0) AS INTEGER), CAST(r % 60 AS INTEGER)) AS full_time,
+           CAST(floor(r / 60.0) AS INTEGER) AS hour,
+           CASE WHEN floor(r / 60.0) >= 22 OR floor(r / 60.0) < 6 THEN 'night'
+                WHEN floor(r / 60.0) < 12 THEN 'morning'
+                WHEN floor(r / 60.0) < 18 THEN 'afternoon'
+                ELSE 'evening' END AS time_of_the_day
+    FROM (SELECT unnest(range(0, 1440)) AS r)
+    """,
+)
+def g2_dim_time(spark, sf_dir):
+    """G2: the pure 1,440-minute dim_time generator."""
+    return build_dim_time(spark)
+
+
+@q(
+    "v1_validation_report",
+    """
+    SELECT 'o_orderkey_unique' AS rule_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           count(*) - count(DISTINCT o_orderkey) = 0 AS passed FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_non_negative',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0) AS BIGINT),
+           count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0) = 0 FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) = 0 FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_not_null',
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           count(*) FILTER (WHERE o_orderdate IS NULL) = 0 FROM orders
+    """,
+)
+def v1_validation_report(spark, sf_dir):
+    """V1-V6 engine: a declarative rule set compiled to ONE agg pass,
+    returning the violations report."""
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        V.unique_rule("o_orderkey"),
+        V.Rule(
+            "o_totalprice_non_negative",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0),
+        ),
+        V.Rule(
+            "o_orderstatus_domain",
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        V.Rule("o_orderdate_not_null", F.col("o_orderdate").isNull()),
+    ]
+    return V.validate(o, rules)
+
+
+# ---------------------------------------------------------------------------
+# B. Aggregation / window extension
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical partial-agg (map-side combine)
+    benchmark query; filter pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+@q(
+    "agg_rollup_region",
+    """
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+    )
+
+
+@q(
+    "win_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def win_running_total(spark, sf_dir):
+    """Running sum per customer over a total order (date, key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "win_top3_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def win_top3_per_customer(spark, sf_dir):
+    """Top-k per group via ranked window, deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@q(
+    "win_lag_event_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+)
+def win_lag_event_delta(spark, sf_dir):
+    """LAG over an event stream: per-user value delta (first = NULL)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@q(
+    "topk_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders_global(spark, sf_dir):
+    """Global top-k: TakeOrderedAndProject, not a full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+# ---------------------------------------------------------------------------
+# C. Text analysis + deduplication extension (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+# k=3 word shingles, distinct; empty when < 3 tokens
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)), "
+    "i -> array_to_string(list_slice(tk, i, i + 2), ' ')))"
+)
+_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in']"
+
+
+@q(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS tk, text FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, distinct tokens, and a
+    BPE-ish pre-tokenizer regex count."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TX.tokens(t)
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    m AS (SELECT doc_id, greatest(len(tk), 1) AS n, tk FROM t)
+    SELECT doc_id,
+           round(0.5 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n)
+               + 0.2 * least((CAST(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / n) * 5.0, 1.0),
+             6) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length saturation + vocab diversity + stopword
+    presence, identical arithmetic in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+_LANG_SETS_SQL = {
+    "en": "['the','a','of','and','to','is','in']",
+    "de": "['der','die','das','und','ist','ein','nicht']",
+    "fr": "['le','la','les','et','est','une','pas']",
+    "es": "['el','los','las','y','es','una','no']",
+}
+_LANG_SCORES_SQL = ", ".join(
+    f"len(list_filter(tk, x -> list_contains({arr}, x))) AS s_{lang}"
+    for lang, arr in _LANG_SETS_SQL.items()
+)
+
+
+@q(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, text, {_LANG_SCORES_SQL} FROM t),
+    g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_de = best THEN 'de'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM g
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: CJK codepoint check, then marker-word
+    argmax with fixed priority tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp
+    FROM t
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Key-collision fingerprint: md5 of the sorted distinct token set."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy with canonical min-id representative."""
+    return D.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh WHERE len(sh) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|')) AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM pairs p
+    JOIN sh a ON p.id_a = a.doc_id
+    JOIN sh b ON p.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+"""
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: md5-string minhash signatures → band
+    bucket join → exact-Jaccard verification (threshold 0.5)."""
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    base AS (
+      SELECT doc_id AS id, CAST(floor(len(tk) / 10.0) AS BIGINT) AS bucket,
+             {_SHINGLES_SQL} AS sh
+      FROM t
+    ),
+    nz AS (SELECT * FROM base WHERE len(sh) > 0)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM nz a JOIN nz b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup with token-count-bucket blocking."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), bucket_width=10, threshold=0.3
+    )
+
+
+@q("dedup_simhash", None)  # bit-level conv() has no clean DuckDB twin → rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (block-permutation candidate join +
+    Hamming verify; ≤3 with 4 blocks = complete, not approximate).
+    Oracle: rows-only (60-bit hex→int bit arithmetic is not portably
+    expressible in DuckDB SQL)."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# D. Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum') "
+    "/ (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum')) "
+    "* sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+)
+
+
+@q(
+    "sim_bruteforce_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, e.vec_id AS cand_id,
+             round({_COS_SQL.format(a="qv", b="v")}, 6) AS cos_sim
+      FROM qs JOIN e ON e.vec_id <> qs.qid
+    )
+    SELECT qid, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for query vectors (vec_id < 10): the ANN
+    baseline. Rank over the ROUNDED score for cross-engine stability."""
+    return S.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=5, max_query_id=10)
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN v[{i + 1}] > v[{j + 1}] THEN '1' ELSE '0' END)"
+    for i, j in S.DEFAULT_PLANES
+)
+
+
+@q(
+    "sim_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, b.vec_id AS cand_id,
+             round({_COS_SQL.format(a="qv", b="v")}, 6) AS cos_sim
+      FROM qs JOIN b ON b.bucket = qs.qb AND b.vec_id <> qs.qid
+    )
+    SELECT qid, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via deterministic sign-LSH buckets — the
+    bucket equi-join plan that scales where brute force cannot."""
+    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5, max_query_id=10)
+
+
+@q(
+    "emb_norm_stats",
+    """
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT label, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS norm FROM e)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(norm), 6) AS avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm stats (pipeline sanity metrics)."""
+    return S.norm_stats_by_label(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# E. Event windows (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@q(
+    "evt_tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_1h(spark, sf_dir):
+    """Tumbling 1h windows — identical plan under readStream with a
+    watermark (streaming/events.py)."""
+    return tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@q(
+    "evt_sessions_30m",
+    """
+    WITH l AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def evt_sessions_30m(spark, sf_dir):
+    """Session windows (30-min gap) — Spark session_window vs the
+    oracle's gaps-and-islands formulation."""
+    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@q(
+    "evt_dayparts",
+    """
+    WITH h AS (SELECT CAST(hour(ts) AS INTEGER) AS hour, value FROM events)
+    SELECT CASE WHEN hour >= 22 OR hour < 6 THEN 'night'
+                WHEN hour < 12 THEN 'morning'
+                WHEN hour < 18 THEN 'afternoon'
+                ELSE 'evening' END AS time_of_the_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM h GROUP BY 1
+    """,
+)
+def evt_dayparts(spark, sf_dir):
+    """Events bucketed by the dim_time day-part taxonomy: generator dim
+    (G2) broadcast-joined to a fact — the star-schema lookup pattern."""
+    dim = build_dim_time(spark).select("hour", "time_of_the_day").distinct()
+    e = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("int").alias("hour"), "value"
+    )
+    return (
+        e.join(F.broadcast(dim), "hour")
+        .groupBy("time_of_the_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

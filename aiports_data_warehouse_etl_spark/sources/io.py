@@ -40,8 +40,23 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Scan one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Scan one driver testdata table (TESTDATA.md).
+
+    ``events`` is written with TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright — read nanos as long (legacy conf) and
+    rebuild the timestamp with exact integer division (a double-based
+    divide would lose precision above 2^53 ns).
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    if table != "events":
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def write_parquet(

@@ -1,0 +1,107 @@
+"""Streaming operators over the ``events`` table (Structured Streaming).
+
+The reference has no streaming (SURVEY.md §2.10) — its closest analogue
+is the dataset-triggered incremental load, which maps to
+``Trigger.AvailableNow`` file-source incremental batch. Extension track:
+watermarked tumbling/session windows, with batch twins for the DuckDB
+oracle (identical expressions, so batch results == final streaming
+results once the watermark passes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch twin of the streaming tumbling aggregation: counts + value
+    sum per (window_start, event_type)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch session windows: per key, events within ``gap`` of each
+    other coalesce into one session (start = first event ts)."""
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "evt_counts",
+):
+    """Streaming version: file-source → watermark → tumbling agg →
+    memory sink, Trigger.AvailableNow (the reference's dataset-triggered
+    incremental semantics). Returns the StreamingQuery; results land in
+    the in-memory table ``query_name``.
+
+    At scale the memory sink becomes a parquet/Kafka sink and the file
+    source a real stream; the plan (watermarked stateful agg) is
+    unchanged.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
