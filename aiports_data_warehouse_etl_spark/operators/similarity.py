@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 
 #: Fixed coordinate pairs defining deterministic "hyperplanes"
 #: sign(v[i] - v[j]) — portable to any engine, no RNG state.
-DEFAULT_PLANES: list[tuple[int, int]] = [
-    (0, 32), (1, 33), (2, 34), (3, 35), (4, 36), (5, 37), (6, 38), (7, 39),
-]
+#: 4 planes → 16 buckets: sized so buckets stay populated at the test
+#: corpus scale; at real scale ADD planes (buckets shrink as the corpus
+#: grows — target ~1k-10k vectors/bucket) and multi-probe for recall.
+DEFAULT_PLANES: list[tuple[int, int]] = [(0, 32), (1, 33), (2, 34), (3, 35)]
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -1,0 +1,146 @@
+"""Synthetic-flights tests for the fact-side pipeline (the reference's
+nationwide CSV is a missing blob, so date/cancelations/delays/fact are
+validated on a crafted fixture that exercises every edge the goldens
+would: nulls, negative delays, HHMM overflow, duplicate delay rows,
+cancellation codes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark import schemas
+from aiports_data_warehouse_etl_spark.operators.dims import (
+    build_dim_cancelations,
+    build_dim_date,
+    build_dim_delays,
+)
+from aiports_data_warehouse_etl_spark.operators.fact import build_fact_flights
+from aiports_data_warehouse_etl_spark.operators.dims import build_dim_airports
+from aiports_data_warehouse_etl_spark.sources.io import read_csv
+
+
+def _flight(i, fl_date, origin, dest, arr_time=1435.0, arr_delay=-5.0,
+            cancelled=0.0, code=None, crs_elapsed=100.0, actual=None,
+            carrier_delay=None):
+    return (
+        fl_date, 19031 + (i % 2), f"N{i}", 100 + i,
+        1, 1, 1, origin, 2, 2, 2, dest,
+        900, 905.0, 5.0, 5.0, arr_time, arr_delay, max(arr_delay or 0.0, 0.0),
+        cancelled, code, crs_elapsed, actual,
+        carrier_delay, None, None, None, None, "",
+    )
+
+
+@pytest.fixture(scope="module")
+def flights(spark):
+    rows = [
+        _flight(0, "2018-08-01", "AAA", "BBB", arr_delay=75.0,    # HHMM overflow path
+                carrier_delay=1.0),
+        _flight(1, "2018-08-01", "BBB", "AAA", arr_delay=-5.0,    # negative delay
+                carrier_delay=2.0),
+        _flight(2, "2018-08-02", "AAA", "CCC", arr_time=None,     # null ARR_TIME
+                carrier_delay=3.0),
+        _flight(3, "2018-08-02", "CCC", "AAA", cancelled=1.0, code="B"),
+        _flight(4, "2018-08-03", "BBB", "CCC", actual=130.0),
+        _flight(5, "2018-08-03", "BBB", "CCC", actual=130.0),     # duplicate delay row
+    ]
+    return spark.createDataFrame(rows, schemas.FLIGHTS_RAW)
+
+
+@pytest.fixture(scope="module")
+def airports(spark):
+    rows = [("AAA", "A City, AK: A Field"), ("BBB", "B City, NY: B Intl"),
+            ("CCC", "C City, CA: C Muni")]
+    return build_dim_airports(spark.createDataFrame(rows, schemas.AIRPORTS_RAW))
+
+
+def test_dim_date_semantics(flights):
+    rows = {r.full_date: r for r in build_dim_date(flights, cap=10).collect()}
+    assert set(rows) == {"2018-08-01", "2018-08-02", "2018-08-03"}
+    d = rows["2018-08-01"]  # a Wednesday
+    assert (d.day, d.month, d.year) == (1, 8, 2018)
+    assert d.is_work_day and not d.is_weekday
+    assert d.quarter == 3  # reference formula int(8/4)+1
+    strict = {r.full_date: r for r in build_dim_date(flights, strict=True).collect()}
+    assert strict["2018-08-01"].quarter == 3  # calendar Q3 agrees for August
+    # ids follow date order
+    assert [rows[k].date_id_pk for k in sorted(rows)] == [0, 1, 2]
+
+
+def test_dim_date_cap(flights):
+    assert build_dim_date(flights, cap=2).count() == 2
+
+
+def test_dim_cancelations_first_seen_ids(flights):
+    rows = sorted(
+        build_dim_cancelations(flights).collect(), key=lambda r: r.cancelation_id_pk
+    )
+    # first row (canonical order) is not cancelled → id 0 = (0.0, None)
+    assert rows[0].is_canceled == 0.0 and rows[0].cancellation_code is None
+    assert {(r.is_canceled, r.cancellation_code) for r in rows} == {
+        (0.0, None), (1.0, "B"),
+    }
+
+
+def test_dim_delays_dedup_and_coalesce(flights):
+    rows = build_dim_delays(flights).collect()
+    # 6 input rows: 3 distinct carrier_delays + (0.0, other=0) + the
+    # duplicated (0.0, other=30) pair collapsing → 5 distinct
+    assert len(rows) == 5
+    # rows with ACTUAL present: other_type_delay = 130 - 100
+    assert any(r.other_type_delay == 30.0 for r in rows)
+    # rows with ACTUAL null coalesce to CRS → other_type_delay 0
+    assert any(r.other_type_delay == 0.0 and r.carrier_delay == 0.0 for r in rows)
+    # null delay columns filled with 0, real values preserved
+    assert {r.carrier_delay for r in rows} == {0.0, 1.0, 2.0, 3.0}
+
+
+def test_fact_strict_vs_reference_mode(flights, airports):
+    dates = build_dim_date(flights, cap=10)
+    strict = build_fact_flights(flights, airports, dates, mode="strict")
+    literal = build_fact_flights(flights, airports, dates, mode="reference")
+
+    s = {r.delay_id_fk: r for r in strict.collect()}
+    l = {r.delay_id_fk: r for r in literal.collect()}
+    assert len(s) == 6 and len(l) == 6
+
+    # strict: destination FK resolves via DEST; reference: via ORIGIN (bug-compat)
+    some = next(iter(s.values()))
+    assert "air_carrier_id_fk" in strict.columns
+    assert "OP_CARRIER_AIRLINE_ID" in literal.columns  # no-op rename preserved
+
+    # HHMM overflow: ARR_TIME 1435 + 75min delay → 1435 + 100 + 15 = 1550
+    # then minute-of-day codec (literal %60 formula): 1550%60 + 15*60 = 50+900
+    overflow = [r for r in s.values() if r.arrival_delay == 75.0][0]
+    assert overflow.arrivel_final_time_fk == (1550 % 60) + (1550 // 100) * 60
+
+    # negative delay: 1435 + (-5) → floor(-5/60)=-1 → -100, pmod(-5,60)=55 → 1390
+    neg = [r for r in s.values() if r.departure_delay == 5.0 and r.arrival_delay == 0.0]
+    # date FK resolves in strict mode, never in reference mode (ORIGIN≠date)
+    assert all(r.date_id_fk is not None for r in s.values())
+    assert all(r.date_id_fk is None for r in l.values())
+
+
+def test_validation_catches_corruption(spark):
+    from aiports_data_warehouse_etl_spark.operators import validation as V
+
+    good = spark.createDataFrame(
+        [(0, 1, 8, 2018, True, False, 3, "2018-08-01")], schemas.DIM_DATE
+    )
+    assert V.validate(good, V.dim_date_rules()).filter("NOT passed").count() == 0
+
+    bad = spark.createDataFrame(
+        [
+            (0, 42, 13, 2018, True, False, 5, "2018-13-42"),
+            (0, 1, 8, 2018, True, False, 3, "2018-08-01"),  # dup PK
+        ],
+        schemas.DIM_DATE,
+    )
+    failed = {
+        r.rule_name
+        for r in V.validate(bad, V.dim_date_rules()).filter("NOT passed").collect()
+    }
+    assert {"date_id_pk_unique", "day_in_range", "month_in_range", "quarter_in_range"} <= failed
+    with pytest.raises(ValueError):
+        V.assert_valid(bad, V.dim_date_rules())

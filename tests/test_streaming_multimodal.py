@@ -1,0 +1,76 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark import schemas
+from aiports_data_warehouse_etl_spark.operators.multimodal import (
+    decode_and_featurize,
+    resize_images,
+    sample_video_frames,
+)
+from aiports_data_warehouse_etl_spark.sources.io import read_testdata
+from aiports_data_warehouse_etl_spark.streaming.events import (
+    stream_tumbling_counts,
+    tumbling_window_agg,
+)
+
+
+def test_stream_matches_batch(spark, sf_small, tmp_path):
+    """availableNow streaming over the events parquet must converge to
+    exactly the batch tumbling aggregation."""
+    events = read_testdata(spark, sf_small, "events")
+    # stage the events as a normal-timestamp parquet dir (the raw file
+    # is TIMESTAMP(NANOS), which the streaming file source also rejects)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(spark.read.parquet(src), "1 hour").collect()
+    }
+
+    q = stream_tumbling_counts(
+        spark, src, str(tmp_path / "ckpt"), window="1 hour", query_name="t_evt"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_evt").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (0, "image", b"\x00\x01\x02\x03" * 8, "image/png", 4, 4, None, None),
+        (1, "audio", b"\xff" * 100, "audio/wav", None, None, 2000, 16000),
+        (2, "video", b"\x10\x20", "video/mp4", 640, 480, 3500, None),
+        (3, "image", None, "image/png", 1, 1, None, None),
+    ]
+    return spark.createDataFrame(rows, schemas.MEDIA)
+
+
+def test_decode_and_featurize(media):
+    out = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert out[0].n_bytes == 32
+    assert len(out[0].feature) == 8
+    assert abs(sum(out[0].feature) - 1.0) < 1e-6  # L1-normalized
+    assert out[3].feature is None and out[3].n_bytes is None  # null payload
+
+
+def test_resize_stub_raises(media):
+    with pytest.raises(Exception):  # NotImplementedError crosses py4j
+        resize_images(media, 64, 64).collect()
+
+
+def test_video_frame_sampling(media):
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    # 3500ms video sampled at 1000ms → offsets 0,1000,2000,3000
+    assert [r.frame_offset_ms for r in frames] == [0, 1000, 2000, 3000]
