@@ -1032,3 +1032,291 @@ def evt_dayparts(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# F. Second operator batch: JSON, pivot, stats, set ops, explode, dates
+# ---------------------------------------------------------------------------
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured access: JSON field extraction from a string
+    column (get_json_object stays JVM-side)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "pivot_event_types",
+    f"""
+    SELECT user_id,
+           {', '.join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark, sf_dir):
+    """PIVOT: per-user event-type counts as columns. Explicit pivot
+    value list → single-pass, no extra distinct-scan job."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@q(
+    "agg_stats_suite",
+    """
+    SELECT event_type,
+           round(avg(value), 6) AS avg_value,
+           round(stddev_samp(value), 6) AS std_value,
+           round(var_samp(value), 6) AS var_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats_suite(spark, sf_dir):
+    """Statistical aggregates incl. exact interpolated median
+    (percentile, not approx — it gates correctness)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+    )
+
+
+@q(
+    "agg_corr",
+    """
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Correlation / covariance aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+    )
+
+
+@q(
+    "cube_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_grouping_id(spark, sf_dir):
+    """CUBE with grouping_id disambiguating NULL-as-total from
+    NULL-as-value."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@q(
+    "set_ops_except_intersect",
+    """
+    WITH actives AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+    finished AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'only_open' AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM actives EXCEPT SELECT custkey FROM finished)
+    UNION ALL
+    SELECT 'both', CAST(count(*) AS BIGINT)
+    FROM (SELECT custkey FROM actives INTERSECT SELECT custkey FROM finished)
+    """,
+)
+def set_ops_except_intersect(spark, sf_dir):
+    """EXCEPT / INTERSECT set operators."""
+    o = _t(spark, sf_dir, "orders")
+    actives = o.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    finished = o.filter("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    spark_df = actives.exceptAll(finished).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("only_open").alias("segment"), "n")
+    both = actives.intersect(finished).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("both").alias("segment"), "n")
+    return spark_df.unionByName(both)
+
+
+@q(
+    "explode_word_counts",
+    """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY word
+    ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def explode_word_counts(spark, sf_dir):
+    """Lateral explode (UNNEST) → word-frequency top-20: the classic
+    flatten-aggregate shape."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@q(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(date_diff('day', date_trunc('month', o_orderdate), o_orderdate) AS BIGINT)
+             AS day_in_month,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_index
+    FROM orders
+    """,
+)
+def date_arithmetic(spark, sf_dir):
+    """Date/time arithmetic: truncation, day offsets, month indexing
+    (month_index instead of months_between — the latter's fractional
+    31-day semantics differ across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    trunc = F.date_trunc("month", F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.date_format(trunc, "yyyy-MM-dd").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), trunc.cast("date"))
+        .cast("long")
+        .alias("day_in_month"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_index"),
+    )
+
+
+@q(
+    "string_similarity_levenshtein",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS dist_to_b11,
+           upper(translate(p_type, ' ', '_')) AS type_norm
+    FROM part
+    """,
+)
+def string_similarity_levenshtein(spark, sf_dir):
+    """Edit-distance + string normalization suite."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("dist_to_b11"),
+        F.upper(F.translate("p_type", " ", "_")).alias("type_norm"),
+    )
+
+
+@q(
+    "win_ntile_percent_rank",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+    FROM orders
+    """,
+)
+def win_ntile_percent_rank(spark, sf_dir):
+    """Distribution window functions over a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@q(
+    "win_first_last",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first/last over full-partition frames (per-customer first and
+    latest order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@q(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
