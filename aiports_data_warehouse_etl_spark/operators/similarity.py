@@ -161,3 +161,79 @@ def norm_stats_by_label(
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_query_id: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (pyspark.ml),
+    then search only the query's ``nprobe`` nearest cells.
+
+    Plan shape at scale: assignment is a narrow map (distance to
+    n_clusters centroids, all broadcast as literals); the search is an
+    equi-join on cell id — the corpus is hash-partitioned by cell, each
+    executor ranks only its cells. Recall is tuned by nprobe; training
+    runs on a sample, not the full corpus.
+
+    Deterministic for a fixed seed; the oracle check is rows-only
+    (k-means has no SQL twin).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = _as_double(df, vec_col, id_col)
+    ml_df = base.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_df)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def dist2(v, center):  # squared L2 to a literal centroid
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # cell ranking per row: array of (dist, cell) structs, sorted
+    def cells_by_distance(v, n):
+        arr = F.array(
+            *[
+                F.struct(dist2(v, centers[c]).alias("d"), F.lit(c).alias("cell"))
+                for c in range(len(centers))
+            ]
+        )
+        return F.slice(F.array_sort(arr), 1, n)
+
+    corpus = base.withColumn(
+        "cell", cells_by_distance(F.col("v"), 1)[0]["cell"]
+    )
+    q = base
+    if max_query_id is not None:
+        q = q.filter(F.col("id") < max_query_id)
+    q = q.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(
+                cells_by_distance(F.col("v"), nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+
+    scored = corpus.join(q, ["cell"]).filter(F.col("id") != F.col("qid")).select(
+        "qid",
+        F.col("id").alias("cand_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cand_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -1320,3 +1320,13 @@ def semi_join_exists(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
+
+
+@q("sim_ivf_topk", None)  # k-means quantizer has no SQL twin → rows-only
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: k-means coarse cells (seeded, pyspark.ml)
+    + nprobe=2 cell search. Accuracy vs brute force is asserted in
+    tests/test_dedup_similarity.py::test_ivf_topk_recall."""
+    return S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, nprobe=2, max_query_id=10
+    )

@@ -105,3 +105,80 @@ def stream_tumbling_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_activity_state_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_activity",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, with state eviction on idle
+    timeout (the stateful surface Spark's built-in windows can't
+    express — arbitrary per-key accumulators).
+
+    Arrow-batched per key-group; state is a single row per user. At
+    scale, state lives in the state store (RocksDB provider), keyed and
+    partitioned by user_id.
+
+    Note: the memory sink cannot RECOVER from an existing checkpoint —
+    rerunning with the same ``checkpoint_dir`` raises
+    ``AnalysisException`` ("does not support recovering..."). Use a
+    fresh checkpoint per run here; durable sinks (parquet/Delta/Kafka)
+    resume normally.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

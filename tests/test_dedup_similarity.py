@@ -127,3 +127,18 @@ def test_embedding_neardup(vectors):
         for r in embedding_neardup_pairs(vectors, threshold=0.95, block_col="label").collect()
     }
     assert blocked == pairs  # same-label blocking loses nothing here
+
+
+def test_ivf_topk_recall(spark, sf_small):
+    from aiports_data_warehouse_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    exact = {(r.qid, r.cand_id) for r in brute_force_topk(emb, k=5, max_query_id=20).collect()}
+    approx_rows = ivf_topk(emb, k=5, n_clusters=8, nprobe=3, max_query_id=20).collect()
+    approx = {(r.qid, r.cand_id) for r in approx_rows}
+    assert all(r.rnk <= 5 for r in approx_rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"IVF recall collapsed: {recall}"
+    # determinism: same seed → same result
+    again = {(r.qid, r.cand_id) for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=3, max_query_id=20).collect()}
+    assert again == approx

@@ -74,3 +74,32 @@ def test_video_frame_sampling(media):
     frames = sample_video_frames(media, every_ms=1000).collect()
     # 3500ms video sampled at 1000ms → offsets 0,1000,2000,3000
     assert [r.frame_offset_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_stateful_user_activity(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        user_activity_state_stream,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "evt_state_src")
+    events.write.parquet(src)
+
+    q = user_activity_state_stream(
+        spark, src, str(tmp_path / "state_ckpt"), query_name="ua_test"
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events, max(total_value) AS total_value "
+            "FROM ua_test GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
