@@ -228,24 +228,26 @@ def ngram_jaccard_pairs(
         .withColumn("sh", shingles_from_tokens(F.col("__toks"), k))
         .select("id", "bucket", "sh")
         .filter(F.size("sh") > 0)
+        .persist()
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # Two-phase plan for skew: the bucket self-join has FEW distinct
+    # keys (a handful of length buckets), so computing the intersects
+    # inside that join funnels all pairwise work into a few fat tasks.
+    # Instead: (1) form cheap (id_a, id_b) pairs on the bucket key —
+    # tiny rows, skew harmless; (2) attach the shingle arrays via two
+    # id-keyed joins — uniform hash partitioning — and compute Jaccard
+    # there, spread across all tasks.
+    ids = base.select("id", "bucket")
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).repartition(F.col("id_a"))
+    return _jaccard_from_shingles(pairs, base.select("id", "sh")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -93,3 +93,25 @@ def list_catalog_tables(spark: SparkSession) -> DataFrame:
     reference's INFORMATION_SCHEMA probe (`test_connection.py:16-21`).
     """
     return spark.sql("SHOW TABLES")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-partitioned at rest).
+
+    Two tables bucketed identically on their join key co-locate: the
+    join needs NO shuffle (no Exchange in the plan) — at 100 TB this is
+    the difference between a network-bound and a scan-bound fact-fact
+    join. ``sort_cols`` additionally pre-sorts within buckets, turning
+    sort-merge joins scan-only.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

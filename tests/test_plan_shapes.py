@@ -70,3 +70,27 @@ def test_codegen_on_scan_path(spark, sf_small):
     assert "isFinalPlan=true" in p
     # codegen stages render as "*(n) Operator" in the executed plan
     assert "*(1)" in p and "*(2) HashAggregate" in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_small):
+    from aiports_data_warehouse_etl_spark.sources.io import write_bucketed_table
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+
+    # force a sort-merge join (tiny test data would otherwise broadcast)
+    joined = spark.table("b_orders").hint("merge").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).groupBy("o_orderstatus").count()
+    joined.collect()
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final and "Bucketed: true" in final
+    # co-located buckets: the join itself requires no repartitioning —
+    # the only shuffle in the final plan is the downstream groupBy
+    assert "Exchange hashpartitioning(o_orderkey" not in final
+    assert "Exchange hashpartitioning(l_orderkey" not in final
+    assert final.count("Exchange hashpartitioning") == 1
