@@ -64,3 +64,19 @@ def delta_merge(
     delta_back = read_parquet(spark, delta_path)
     write_parquet(delta_back, target_path, mode="append")
     return delta_back
+
+
+def keyed_upsert(new_df: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-1 upsert: rows from ``new_df`` replace same-key rows in
+    ``existing``; unmatched existing rows survive.
+
+    One anti-join + one union — the 100 TB-friendly form of MERGE INTO
+    when the table format has no transactional merge. Null-safe on the
+    key columns.
+    """
+    cond = functools.reduce(
+        operator.and_,
+        [existing[k].eqNullSafe(new_df[k]) for k in keys],
+    )
+    survivors = existing.join(new_df, cond, "left_anti")
+    return survivors.unionByName(new_df)

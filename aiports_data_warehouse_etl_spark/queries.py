@@ -1330,3 +1330,36 @@ def sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         _t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, nprobe=2, max_query_id=10
     )
+
+
+@q(
+    "m2_keyed_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    survivors AS (
+      SELECT * FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey IS NOT DISTINCT FROM c.c_custkey)
+    ),
+    merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM updates)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS balance
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def m2_keyed_upsert(spark, sf_dir):
+    """SCD-1 keyed upsert (MERGE INTO semantics without a transactional
+    format): updated rows replace by key, everything else survives."""
+    from aiports_data_warehouse_etl_spark.operators.merge import keyed_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.pmod("c_custkey", F.lit(5)) == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    merged = keyed_upsert(updates, c, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("balance"),
+    )

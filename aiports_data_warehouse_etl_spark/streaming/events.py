@@ -182,3 +182,33 @@ def user_activity_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_load_stream(
+    spark: SparkSession,
+    curated_delta_dir: str,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+):
+    """The reference's downstream dataset-triggered load DAG
+    (`Load.py:17-23`) as Structured Streaming: watch the curated delta
+    directory, load each new batch of rows into the warehouse table via
+    foreachBatch (exactly-once per batch via the checkpoint).
+
+    foreachBatch is where a JDBC warehouse write would go
+    (`df.write.jdbc`); here it appends parquet so the path is testable
+    without a database.
+    """
+    schema = spark.read.parquet(curated_delta_dir).schema
+
+    def load_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(warehouse_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(curated_delta_dir)
+        .writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -94,3 +94,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_small):
     assert "Exchange hashpartitioning(o_orderkey" not in final
     assert "Exchange hashpartitioning(l_orderkey" not in final
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_write_enables_pruning(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.sources.io import write_parquet
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(o, path, partition_by=["status"])
+
+    q = spark.read.parquet(path).filter(F.col("status") == "O")
+    q.collect()
+    p = q._jdf.queryExecution().executedPlan().toString()
+    # the filter becomes a partition filter: non-matching dirs never read
+    assert "PartitionFilters: [isnotnull(status" in p
+    assert "(status" in p.split("PartitionFilters")[1][:80]

@@ -103,3 +103,28 @@ def test_stateful_user_activity(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_incremental_load_stream(spark, sf_small, tmp_path):
+    """Delta dir → foreachBatch warehouse append, incremental across
+    restarts: the second run loads ONLY files that arrived after the
+    first (the reference's dataset-trigger semantics)."""
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        incremental_load_stream,
+    )
+
+    nation = spark.read.parquet(f"{sf_small}/nation.parquet")
+    delta_dir = str(tmp_path / "delta")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    nation.filter("n_nationkey < 10").write.mode("append").parquet(delta_dir)
+    q = incremental_load_stream(spark, delta_dir, wh, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(wh).count() == 10
+
+    # new delta arrives; restart with the SAME checkpoint → only new rows load
+    nation.filter("n_nationkey >= 10").write.mode("append").parquet(delta_dir)
+    q2 = incremental_load_stream(spark, delta_dir, wh, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(wh).count() == 25  # not 35: first batch not re-loaded
