@@ -1363,3 +1363,199 @@ def m2_keyed_upsert(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G. Third operator batch: range/as-of joins, skew salting, bag set ops,
+#    array + regex suites
+# ---------------------------------------------------------------------------
+
+@q(
+    "evt_range_join",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    prior AS (
+      SELECT p.event_id AS purchase_id,
+             CAST(count(e.event_id) AS BIGINT) AS n_prior_10m
+      FROM purchases p
+      LEFT JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL '10 minutes'
+       AND e.ts < p.ts
+      GROUP BY p.event_id
+    )
+    SELECT purchase_id, n_prior_10m FROM prior
+    """,
+)
+def evt_range_join(spark, sf_dir):
+    """Range (interval) join: events within 10 minutes BEFORE each
+    purchase, same user — equi-join on the key with a range predicate
+    (hash join + post-filter; at scale, bucket by user and time-bin)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    # re-alias the event columns: both join sides share the scan lineage
+    ev = e.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = p.join(
+        ev,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("e_id").cast("long").alias("n_prior_10m")
+    )
+
+
+@q(
+    "evt_asof_join",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           max(c.ts) AS last_click_ts,
+           round(coalesce(arg_max(c.value, c.ts), -1.0), 2) AS last_click_value
+    FROM purchases p
+    LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def evt_asof_join(spark, sf_dir):
+    """As-of (backward) join: for each purchase, the most recent prior
+    click of the same user — join + max_by. Spark has no native as-of
+    join; this composition (or a sorted mapInPandas merge at scale) is
+    the idiomatic expression."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    joined = p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") < F.col("p_ts")), "left")
+    return joined.groupBy("purchase_id").agg(
+        F.max("c_ts").alias("last_click_ts"),
+        F.round(
+            F.coalesce(F.max_by("value", "c_ts"), F.lit(-1.0)), 2
+        ).alias("last_click_value"),
+    )
+
+
+@q(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a deliberately skewed key
+    (3 distinct values over 600k rows): identical results to the plain
+    groupBy, but no single-reducer hot key."""
+    from aiports_data_warehouse_etl_spark.operators.skew import salted_groupby_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_groupby_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", ""),
+            "revenue_raw": ("sum", "l_extendedprice"),
+            "min_price_raw": ("min", "l_extendedprice"),
+            "max_price_raw": ("max", "l_extendedprice"),
+        },
+        salt_from="l_orderkey",
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long"),
+        F.round("revenue_raw", 2).alias("revenue"),
+        F.round("min_price_raw", 2).alias("min_price"),
+        F.round("max_price_raw", 2).alias("max_price"),
+    )
+
+
+@q(
+    "except_all_bag",
+    """
+    WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity > 10),
+    b AS (SELECT l_returnflag FROM lineitem WHERE l_discount > 0.05),
+    d AS (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY l_returnflag
+    """,
+)
+def except_all_bag(spark, sf_dir):
+    """EXCEPT ALL (bag semantics — multiplicity-aware difference, the
+    closest relational form of the reference's row-tuple delta mask)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_returnflag")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_returnflag")
+    return a.exceptAll(b).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@q(
+    "array_funcs_suite",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(tk))[1:5], '|') AS first5_sorted,
+           array_to_string(list_reverse(tk[1:3]), '|') AS head3_reversed,
+           CAST(list_contains(tk, 'spark') AS BOOLEAN) AS mentions_spark,
+           CAST(len(list_filter(tk, x -> length(x) > 5)) AS BIGINT) AS n_long_tokens
+    FROM t
+    """,
+)
+def array_funcs_suite(spark, sf_dir):
+    """Array-function suite: slice/sort/distinct/reverse/contains/
+    filter — the ArrayType surface (emitted as scalars for hashing)."""
+    d = _t(spark, sf_dir, "documents")
+    tk = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(F.array_distinct(tk)), 1, 5), "|").alias(
+            "first5_sorted"
+        ),
+        F.array_join(F.reverse(F.slice(tk, 1, 3)), "|").alias("head3_reversed"),
+        F.array_contains(tk, "spark").alias("mentions_spark"),
+        F.size(F.filter(tk, lambda x: F.length(x) > 5)).cast("long").alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+@q(
+    "regex_suite",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+           CAST(regexp_matches(p_name, '^[a-z]+ ') AS BOOLEAN) AS starts_lower_word
+    FROM part
+    """,
+)
+def regex_suite(spark, sf_dir):
+    """Regexp suite: extract/replace/match — JVM-side regex, patterns
+    chosen to behave identically under Java regex and RE2."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_lower_word"),
+    )

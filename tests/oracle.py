@@ -68,8 +68,10 @@ def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[st
 
 
 def _neq(x, y) -> bool:
-    if x is None or (isinstance(x, float) and math.isnan(x)):
-        return not (y is None or (isinstance(y, float) and math.isnan(y)))
+    x_na = not isinstance(x, (list, tuple)) and pd.isna(x)
+    y_na = not isinstance(y, (list, tuple)) and pd.isna(y)
+    if x_na or y_na:
+        return x_na != y_na
     if isinstance(x, float) and isinstance(y, float):
         # driver hashes exact values; we allow only true equality here,
         # flagging anything that could break the hash
