@@ -1559,3 +1559,68 @@ def regex_suite(spark, sf_dir):
         F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
         F.col("p_name").rlike("^[a-z]+ ").alias("starts_lower_word"),
     )
+
+
+@q(
+    "data_split_hash",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY split
+    """,
+)
+def data_split_hash(spark, sf_dir):
+    """Deterministic train/eval split by content-independent id hash —
+    reproducible across engines, runs, and partitionings (the property
+    random() sampling lacks). Two md5 hex chars → a UNIFORM 0-255
+    value, train when < 205 (80.08%). Beware shortcuts: ascii()%10 or
+    (0-15)%10 are measurably non-uniform (75/25 and 87/13)."""
+    d = _t(spark, sf_dir, "documents")
+    h = "md5(cast(doc_id as string))"
+    hx = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    bucket = F.expr(
+        f"({hx.format(h=h, i=1)}) * 16 + ({hx.format(h=h, i=2)})"
+    )
+    split = F.when(bucket < 205, "train").otherwise("eval")
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@q(
+    "pack_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pack_documents(spark, sf_dir):
+    """Sequence packing for training: assign docs to ~2048-token bins
+    by cumulative token count over a deterministic order. Distributed
+    form of the greedy packer: one window cumsum, no driver loop.
+    (Bins can overflow by one doc — the standard streaming-pack
+    tradeoff; exact bin-capacity packing is inherently sequential.)"""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.floor((F.sum("n_tokens").over(w) - 1) / 2048.0).cast("long").alias("pack_id"),
+    )

@@ -144,3 +144,59 @@ def test_validation_catches_corruption(spark):
     assert {"date_id_pk_unique", "day_in_range", "month_in_range", "quarter_in_range"} <= failed
     with pytest.raises(ValueError):
         V.assert_valid(bad, V.dim_date_rules())
+
+
+def test_full_pipeline_incremental_csv(spark, tmp_path):
+    """End-to-end: synthetic flights CSV → full star schema written with
+    delta twins; a second run with MORE data appends only the delta."""
+    import csv as _csv
+
+    from aiports_data_warehouse_etl_spark.plans import run_pipeline
+
+    header = [f.name for f in schemas.FLIGHTS_RAW.fields]
+    r1 = [_flight(0, "2018-08-01", "AAA", "BBB"), _flight(1, "2018-08-02", "BBB", "AAA")]
+    r2 = r1 + [_flight(2, "2018-08-03", "AAA", "BBB", carrier_delay=9.0)]
+
+    def write_csv(path, rows):
+        with open(path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(header)
+            w.writerows(rows)
+
+    flights_csv = str(tmp_path / "flights.csv")
+    out = str(tmp_path / "curated")
+    write_csv(flights_csv, r1)
+
+    res1 = run_pipeline(
+        spark,
+        airports_csv="/root/reference/rawdata/Airports",
+        carriers_csv="/root/reference/rawdata/Air Carriers",
+        flights_csv=flights_csv,
+        out_root=out,
+        mode="strict",
+        write=True,
+    )
+    assert set(res1.tables) == {
+        "dim_airports", "dim_air_carriers", "dim_time", "dim_date",
+        "dim_cancelations", "dim_delays", "fact_flights",
+    }
+    assert spark.read.parquet(f"{out}/dim_date.parquet").count() == 2
+    assert spark.read.parquet(f"{out}/fact_flights.parquet").count() == 2
+
+    # second run with one extra flight: delta twin holds ONLY new rows
+    write_csv(flights_csv, r2)
+    run_pipeline(
+        spark,
+        airports_csv="/root/reference/rawdata/Airports",
+        carriers_csv="/root/reference/rawdata/Air Carriers",
+        flights_csv=flights_csv,
+        out_root=out,
+        mode="strict",
+        write=True,
+    )
+    assert spark.read.parquet(f"{out}/dim_date.parquet").count() == 3
+    assert spark.read.parquet(f"{out}/dim_date_new.parquet").count() == 1
+    delta_dates = {r.full_date for r in spark.read.parquet(f"{out}/dim_date_new.parquet").collect()}
+    assert delta_dates == {"2018-08-03"}
+    # input-independent dims produce an empty delta on rerun
+    assert spark.read.parquet(f"{out}/dim_time_new.parquet").count() == 0
