@@ -1624,3 +1624,31 @@ def pack_documents(spark, sf_dir):
         F.col("n_tokens").cast("long"),
         F.floor((F.sum("n_tokens").over(w) - 1) / 2048.0).cast("long").alias("pack_id"),
     )
+
+
+@q("approx_sketches", None)  # sketch internals differ per engine → rows-only
+def approx_sketches(spark, sf_dir):
+    """Approximate sketches for dashboard-scale queries: HLL++ distinct
+    counts and t-digest-style percentiles. Accuracy vs exact is
+    asserted in tests (rows-only oracle: sketch algorithms are
+    engine-specific by design)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).cast("long").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(1000)).alias("approx_p95"),
+    )
+
+
+@q("stratified_sample", None)  # Bernoulli sampling algorithm is engine-specific
+def stratified_sample(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-class fractions with a fixed
+    seed — the class-rebalancing primitive for training data. Rows-only
+    oracle; proportion correctness asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", fractions={"A": 0.1, "N": 0.02, "R": 0.1}, seed=42
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -212,3 +212,55 @@ def incremental_load_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_purchase_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "purchase_attr",
+    window_minutes: int = 10,
+):
+    """Stream-stream interval join with watermarks: each purchase joins
+    the clicks of the same user within the preceding ``window_minutes``.
+    State on both sides is bounded by the watermark + interval — the
+    canonical attribution-join plan. Memory sink: use a fresh
+    ``checkpoint_dir`` per run (no checkpoint recovery; durable sinks
+    resume normally).
+    """
+    schema = spark.read.parquet(source_dir).schema
+    base = spark.readStream.schema(schema).parquet(source_dir)
+
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -142,3 +142,37 @@ def test_ivf_topk_recall(spark, sf_small):
     # determinism: same seed → same result
     again = {(r.qid, r.cand_id) for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=3, max_query_id=20).collect()}
     assert again == approx
+
+
+def test_approx_sketches_accuracy(spark, sf_oracle):
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    approx = {r.o_orderstatus: r for r in QUERIES["approx_sketches"].fn(spark, sf_oracle).collect()}
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    exact = {
+        r.o_orderstatus: r
+        for r in o.groupBy("o_orderstatus").agg(
+            F.count_distinct("o_custkey").alias("nd"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med"),
+        ).collect()
+    }
+    for k in exact:
+        assert abs(approx[k].approx_customers - exact[k].nd) / exact[k].nd < 0.05
+        assert abs(approx[k].approx_median - exact[k].med) / exact[k].med < 0.05
+
+
+def test_stratified_sample_proportions(spark, sf_oracle):
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    got = {r.l_returnflag: r.n for r in QUERIES["stratified_sample"].fn(spark, sf_oracle).collect()}
+    totals = {
+        r.l_returnflag: r.n
+        for r in spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for flag, frac in {"A": 0.1, "N": 0.02, "R": 0.1}.items():
+        ratio = got[flag] / totals[flag]
+        assert abs(ratio - frac) < frac * 0.5, f"{flag}: {ratio} vs {frac}"
+    # deterministic under fixed seed
+    again = {r.l_returnflag: r.n for r in QUERIES["stratified_sample"].fn(spark, sf_oracle).collect()}
+    assert again == got

@@ -128,3 +128,41 @@ def test_incremental_load_stream(spark, sf_small, tmp_path):
     q2 = incremental_load_stream(spark, delta_dir, wh, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(wh).count() == 25  # not 35: first batch not re-loaded
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        stream_purchase_attribution,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "attr_src")
+    events.write.parquet(src)
+
+    q = stream_purchase_attribution(spark, src, str(tmp_path / "attr_ck"), "attr_t")
+    q.awaitTermination(120)
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr_t").collect()
+    }
+
+    e = spark.read.parquet(src)
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") < F.col("pts")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
