@@ -1652,3 +1652,28 @@ def stratified_sample(spark, sf_dir):
     return sampled.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@q(
+    "file_provenance",
+    """
+    SELECT 'lineitem.parquet' AS source_file,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def file_provenance(spark, sf_dir):
+    """Row provenance: which physical file produced each row (the
+    _metadata hidden column) — lineage/debugging primitive. The
+    testdata table is a single file, so the oracle pins the literal
+    name: a broken _metadata extraction still hash-mismatches."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1).alias(
+                "source_file"
+            )
+        )
+        .groupBy("source_file")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

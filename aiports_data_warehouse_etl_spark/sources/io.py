@@ -115,3 +115,38 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb``. Returns the new file count.
+
+    The 100 TB housekeeping operator — streaming/incremental appends
+    accumulate thousands of tiny files, and scan-task scheduling
+    overhead grows linearly with file count. Sizing is estimated from
+    the current on-disk footprint; writes go to a staging dir first so
+    a failed compaction never destroys the source.
+    """
+    import glob
+    import os
+    import shutil
+
+    data_files = [
+        f for f in glob.glob(f"{path}/*.parquet") if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in data_files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    staging = f"{path}.__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    # atomic-ish swap (rename within one filesystem)
+    backup = f"{path}.__pre_compact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len([f for f in glob.glob(f"{path}/*.parquet") if os.path.isfile(f)])

@@ -264,3 +264,64 @@ def stream_purchase_attribution(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_aggregate_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    agg_table_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously-maintained aggregate table: per (user_id,
+    event_type) running counts/sums, refreshed per micro-batch by
+    merging the batch's partial aggregate into the stored table with a
+    keyed upsert (read-merge-overwrite inside foreachBatch).
+
+    The composition pattern: streaming gives incremental arrival +
+    exactly-once batches; ``keyed_upsert`` gives MERGE semantics; the
+    aggregate table stays queryable between batches. At scale the
+    overwrite becomes a transactional-format MERGE.
+    """
+    from aiports_data_warehouse_etl_spark.operators.merge import keyed_upsert
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def merge_batch(batch_df, batch_id: int):
+        partial = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        try:
+            existing = spark.read.parquet(agg_table_path)
+            have_existing = True
+        except Exception:
+            have_existing = False
+        if have_existing:
+            joined = (
+                partial.alias("p")
+                .join(existing.alias("e"), ["user_id", "event_type"], "left")
+                .select(
+                    "user_id",
+                    "event_type",
+                    (F.col("p.n_events") + F.coalesce(F.col("e.n_events"), F.lit(0)))
+                    .cast("long")
+                    .alias("n_events"),
+                    F.round(
+                        F.col("p.sum_value") + F.coalesce(F.col("e.sum_value"), F.lit(0.0)), 2
+                    ).alias("sum_value"),
+                )
+            )
+            merged = keyed_upsert(joined, existing, ["user_id", "event_type"])
+            out = merged.localCheckpoint()  # cut lineage before overwriting input
+        else:
+            out = partial
+        out.write.mode("overwrite").parquet(agg_table_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

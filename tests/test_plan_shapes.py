@@ -111,3 +111,21 @@ def test_partitioned_write_enables_pruning(spark, sf_small, tmp_path):
     # the filter becomes a partition filter: non-matching dirs never read
     assert "PartitionFilters: [isnotnull(status" in p
     assert "(status" in p.split("PartitionFilters")[1][:80]
+
+
+def test_compaction_reduces_file_count(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    # simulate streaming appends: 40 tiny files
+    li.repartition(40).write.mode("overwrite").parquet(path)
+    import glob
+
+    before = len([f for f in glob.glob(f"{path}/*.parquet")])
+    assert before >= 40
+    n_rows = spark.read.parquet(path).count()
+
+    after = compact_parquet(spark, path, target_file_mb=128)
+    assert after < before
+    assert spark.read.parquet(path).count() == n_rows  # lossless

@@ -166,3 +166,36 @@ def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_incremental_aggregate_maintenance(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        incremental_aggregate_maintenance,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "iam_src")
+    agg_path = str(tmp_path / "agg_table")
+    events.filter("event_id < 500").write.mode("append").parquet(src)
+
+    q = incremental_aggregate_maintenance(spark, src, agg_path, str(tmp_path / "iam_ck"))
+    q.awaitTermination(120)
+    first = spark.read.parquet(agg_path)
+    assert first.agg(F.sum("n_events")).collect()[0][0] == 500
+
+    # more events arrive; same checkpoint → only the delta merges in
+    events.filter("event_id >= 500").write.mode("append").parquet(src)
+    q2 = incremental_aggregate_maintenance(spark, src, agg_path, str(tmp_path / "iam_ck"))
+    q2.awaitTermination(120)
+    final = spark.read.parquet(agg_path)
+
+    expected = {
+        (r.user_id, r.event_type): (r.n, round(r.s, 2))
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.sum_value) for r in final.collect()
+    }
+    assert got == expected
