@@ -382,3 +382,88 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (transitive cluster collapse)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every node in an (id_a, id_b) edge list —
+    component = min node id reachable through the pair graph.
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup clusters are shallow — a few rounds).
+    Each round is two shuffles (join + groupBy min), all distributed;
+    the driver only checks the convergence counter.
+
+    Lineage control: each round's labels are ``localCheckpoint``-ed.
+    ``persist`` alone is NOT enough — the logical plan still nests one
+    level per round and grows exponentially through the self-joins
+    (measured: a 10-round chain OOM'd the driver just *printing* the
+    plan). Checkpointing truncates the plan to the materialized data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # cut lineage — see docstring
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """Full transitive near-dedup: keep exactly one doc (the min id)
+    per CONNECTED COMPONENT of the near-dup graph — catches chains
+    A~B~C where A and C are not directly similar (which the one-pass
+    star collapse in ``minhash_dedup`` keeps)."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -176,3 +176,31 @@ def test_stratified_sample_proportions(spark, sf_oracle):
     # deterministic under fixed seed
     again = {r.l_returnflag: r.n for r in QUERIES["stratified_sample"].fn(spark, sf_oracle).collect()}
     assert again == got
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C but NOT A~C: star collapse under-merges, CC does not."""
+    from aiports_data_warehouse_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_cc,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 6)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5}
+
+    # text chain: B shares half with A and half with C; A and C share nothing
+    half1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    half3 = "phi chi psi omega aleph bet gimel dalet he vav"
+    docs = spark.createDataFrame(
+        [(0, f"{half1} {half1}"), (1, f"{half1} {half2}"),
+         (2, f"{half2} {half2}"), (3, f"{half2} {half3}"),
+         (4, f"{half3} {half3}"), (9, "unrelated words entirely different content here")],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in minhash_dedup_cc(docs, threshold=0.3).collect()}
+    # the whole 0-4 chain collapses to doc 0; 9 survives alone
+    assert kept == {0, 9}
