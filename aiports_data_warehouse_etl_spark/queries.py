@@ -1677,3 +1677,94 @@ def file_provenance(spark, sf_dir):
         .groupBy("source_file")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@q(
+    "multi_distinct_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def multi_distinct_agg(spark, sf_dir):
+    """Multiple COUNT DISTINCTs in one aggregation — Catalyst's
+    expand-based rewrite (one pass, no per-distinct subquery)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@q(
+    "win_range_frame",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_30m
+    FROM t
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE window frame over time: per event, how many events the
+    same user produced in the trailing 30 minutes — value-based frames,
+    not row-count frames. Both engines window over FLOOR-SECOND epochs:
+    Spark's timestamp→long cast truncates sub-second fractions, so a
+    native INTERVAL oracle diverges on events within ~1s of the
+    boundary (one such pair exists at sf0.01)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-30 * 60, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_30m"),
+    )
+
+
+@q(
+    "null_ordering",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_discount, 0.0) AS d
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (ORDER BY d DESC NULLS LAST, l_orderkey, l_linenumber) AS BIGINT)
+             AS rnk_nulls_last,
+           CAST(row_number() OVER (ORDER BY d ASC NULLS FIRST, l_orderkey, l_linenumber) AS BIGINT)
+             AS rnk_nulls_first
+    FROM t
+    """,
+)
+def null_ordering(spark, sf_dir):
+    """Explicit NULLS FIRST/LAST ordering — engines default differently
+    (Spark: nulls smallest; DuckDB: NULLS LAST on ASC), so portable
+    sorts must always spell it out."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    t = li.select(
+        "l_orderkey", "l_linenumber", F.nullif("l_discount", F.lit(0.0)).alias("d")
+    )
+    w_last = Window.orderBy(F.desc_nulls_last("d"), "l_orderkey", "l_linenumber")
+    w_first = Window.orderBy(F.asc_nulls_first("d"), "l_orderkey", "l_linenumber")
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w_last).cast("long").alias("rnk_nulls_last"),
+        F.row_number().over(w_first).cast("long").alias("rnk_nulls_first"),
+    )

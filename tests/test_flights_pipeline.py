@@ -200,3 +200,51 @@ def test_full_pipeline_incremental_csv(spark, tmp_path):
     assert delta_dates == {"2018-08-03"}
     # input-independent dims produce an empty delta on rerun
     assert spark.read.parquet(f"{out}/dim_time_new.parquet").count() == 0
+
+
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """PERMISSIVE ingest quarantines malformed rows instead of failing
+    the pipeline (the reference's bare read_csv would crash); FAILFAST
+    turns them into loud errors for strict deployments."""
+    from pyspark.sql import types as T
+
+    bad_csv = tmp_path / "bad.csv"
+    bad_csv.write_text(
+        "Code,Description\n"
+        '"AAA","Good, AK: Fine Airport"\n'
+        "oops-this-row-has-no-quote-and-extra,too,many,fields\n"
+        '"BBB","Also Good, NY: Works"\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("Code", T.StringType()),
+            T.StructField("Description", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(bad_csv))
+    )
+    df = df.cache()  # corrupt-record column requires materialization
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "too,many,fields" in bad.collect()[0]._corrupt_record
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """mergeSchema reads across writer versions: old files lack the new
+    column and surface NULLs — additive schema evolution."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v1", "v2_added"]
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    rows = {r.id: (r.v1, r.v2_added) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
