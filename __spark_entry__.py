@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship star-join rollup at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
-for each (omitted only for genuinely non-SQL-expressible ops, currently
-just SimHash bit arithmetic).
+for each. Rows-only entries (no oracle) are exactly the ops whose
+internals are engine-specific by design: SimHash bit arithmetic, the
+k-means IVF quantizer, HLL/t-digest sketches, and seeded Bernoulli
+sampling — each has an accuracy/behavior test instead (COVERAGE.md).
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """
