@@ -467,3 +467,48 @@ def minhash_dedup_cc(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train-set vs eval-set shingle overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate_flags(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(train id, n_shared_shingles, contaminated) per training doc:
+    how many distinct k-shingles it shares with ANY eval document.
+
+    Plan: explode both sides' shingle sets → equi-join on the shingle
+    string → count per train doc. The shuffle is keyed by shingle — at
+    100 TB, hot shingles (common phrases) are pre-filtered by an
+    optional document-frequency cap before the join; here the shingle
+    sets are already distinct per doc so the join is bounded by true
+    overlap."""
+    t_sh = _shingled(train, text_col, id_col, k).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("shingle")
+    )
+    e_sh = (
+        _shingled(evalset, text_col, id_col, k)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    shared = (
+        t_sh.join(e_sh, "shingle")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    ids = train.select(F.col(id_col).alias("train_id"))
+    return (
+        ids.join(shared, "train_id", "left")
+        .select(
+            "train_id",
+            F.coalesce("n_shared_shingles", F.lit(0)).cast("long").alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )

@@ -168,3 +168,47 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp": fingerprint(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene: PII scrubbing, repetition, decontamination
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain — order matters (emails before bare
+#: domains, long digit runs after phones). Patterns restricted to
+#: syntax shared by Java regex and RE2 so oracles stay portable.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # card-length digit runs BEFORE phones: the phone pattern has no
+    # leading \b ('(' is a non-word char, so a boundary there can never
+    # match after a space) and would otherwise eat a card number's tail
+    (r"\b\d{13,19}\b", "<CARDNUM>"),
+    (r"(\+?1[ .-]?)?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Chained regex redaction of common PII shapes (emails, SSNs,
+    phone numbers, card-length digit runs). JVM-side regexp_replace —
+    at 100 TB this runs inside codegen over the scan, no UDF."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct/total k-shingles (the
+    Gopher-style repetitiousness quality signal). 0 = no repetition;
+    → 1 for heavily looped text. Docs shorter than k tokens score 0."""
+    toks = tokens(text)
+    n = F.size(toks) - F.lit(k - 1)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(
+        n > 0,
+        F.round(1 - F.size(F.array_distinct(shingled)) / n, 6),
+    ).otherwise(F.lit(0.0))

@@ -1895,3 +1895,105 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# I. Training-data hygiene: PII, repetition, decontamination
+# ---------------------------------------------------------------------------
+
+_PII_TEXT_SQL = (
+    "'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || "
+    "'@example.com or 555-123-4567, SSN 123-45-6789, card 4111111111111111.'"
+)
+
+
+@q(
+    "text_scrub_pii",
+    f"""
+    WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS raw FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+               '\\b\\d{{13,19}}\\b', '<CARDNUM>', 'g'),
+             '(\\+?1[ .-]?)?(\\(\\d{{3}}\\)|\\d{{3}})[ .-]?\\d{{3}}[ .-]?\\d{{4}}\\b', '<PHONE>', 'g') AS scrubbed
+    FROM t
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII redaction over synthesized contact strings: chained
+    regexp_replace (emails → SSNs → phones → card numbers), patterns
+    restricted to Java-regex ∩ RE2 syntax."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or 555-123-4567, SSN 123-45-6789, card 4111111111111111."),
+    )
+    return c.select("c_custkey", TX.scrub_pii(raw).alias("scrubbed"))
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, len(tk) - 2 AS n,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0
+                THEN round(1 - CAST(len(list_distinct(sh)) AS DOUBLE) / n, 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM s
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (1 - distinct/total 3-shingles):
+    the Gopher-style looped-text quality signal."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+@q(
+    "decontaminate",
+    f"""
+    WITH tr AS (
+      SELECT doc_id, {_SHINGLES_SQL.replace('tk', 'tkx')} AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS tkx FROM documents WHERE doc_id >= 50)
+    ),
+    ev AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest({_SHINGLES_SQL.replace('tk', 'tky')}) AS shingle
+        FROM (SELECT {_TOKS_SQL} AS tky FROM documents WHERE doc_id < 50)
+      )
+    ),
+    tx AS (SELECT doc_id AS train_id, unnest(sh) AS shingle FROM tr),
+    hits AS (
+      SELECT train_id, CAST(count(*) AS BIGINT) AS n
+      FROM tx JOIN ev USING (shingle) GROUP BY train_id
+    )
+    SELECT d.doc_id AS train_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_shingles,
+           coalesce(h.n, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+    LEFT JOIN hits h ON h.train_id = d.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag 'training' docs (id ≥ 50)
+    sharing ≥ 2 distinct 3-shingles with any 'eval' doc (id < 50) —
+    exploded-shingle semi-join, the standard contamination sweep."""
+    d = _t(spark, sf_dir, "documents")
+    return D.decontaminate_flags(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        min_shared=2,
+    )

@@ -325,3 +325,31 @@ def incremental_aggregate_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "deduped_events",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the
+    event id — duplicate deliveries (at-least-once sources) collapse,
+    and the dedup state is GARBAGE-COLLECTED past the watermark, so
+    state stays bounded no matter how long the stream runs."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

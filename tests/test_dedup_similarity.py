@@ -204,3 +204,57 @@ def test_connected_components_chain(spark):
     kept = {r.doc_id for r in minhash_dedup_cc(docs, threshold=0.3).collect()}
     # the whole 0-4 chain collapses to doc 0; 9 survives alone
     assert kept == {0, 9}
+
+
+def test_scrub_pii_behavior(spark):
+    from aiports_data_warehouse_etl_spark.operators.textops import scrub_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.io please"),
+        (1, "ssn is 123-45-6789 ok"),
+        (2, "call (555) 123-4567 or 555.123.4567"),
+        (3, "card 4111111111111111 expires soon"),
+        (4, "clean text with number 42 and year 2024"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: r.s for r in df.select("i", scrub_pii(F.col("t")).alias("s")).collect()}
+    assert got[0] == "mail me at <EMAIL> please"
+    assert got[1] == "ssn is <SSN> ok"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "card <CARDNUM> expires soon"
+    assert got[4] == "clean text with number 42 and year 2024"  # untouched
+
+
+def test_repetition_ratio_behavior(spark):
+    from aiports_data_warehouse_etl_spark.operators.textops import repetition_ratio
+
+    rows = [
+        (0, "a b c a b c a b c a b c"),       # heavy looping
+        (1, "one two three four five six"),   # no repetition
+        (2, "xy"),                            # < k tokens
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: r.rr for r in df.select("i", repetition_ratio(F.col("t")).alias("rr")).collect()}
+    assert got[0] > 0.5 and got[1] == 0.0 and got[2] == 0.0
+
+
+def test_decontaminate_flags(spark):
+    from aiports_data_warehouse_etl_spark.operators.dedup import decontaminate_flags
+
+    evalset = spark.createDataFrame(
+        [(0, "the secret benchmark question about rivers flowing home")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "the secret benchmark question about rivers flowing home exactly"),  # contaminated
+            (11, "rivers flowing home is a phrase that appears here"),                # partial overlap
+            (12, "entirely unrelated training content with fresh words"),             # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.train_id: (r.n_shared_shingles, r.contaminated)
+           for r in decontaminate_flags(train, evalset, min_shared=2).collect()}
+    assert got[10][1] is True and got[10][0] >= 5
+    assert got[11][0] >= 1
+    assert got[12] == (0, False)

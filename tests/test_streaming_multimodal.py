@@ -199,3 +199,20 @@ def test_incremental_aggregate_maintenance(spark, sf_small, tmp_path):
         (r.user_id, r.event_type): (r.n_events, r.sum_value) for r in final.collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_events(spark, sf_small, tmp_path):
+    from aiports_data_warehouse_etl_spark.streaming.events import stream_dedup_events
+
+    events = read_testdata(spark, sf_small, "events").filter("event_id < 200")
+    src = str(tmp_path / "dedup_src")
+    # simulate at-least-once delivery: every event written twice
+    events.write.mode("append").parquet(src)
+    events.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 400
+
+    q = stream_dedup_events(spark, src, str(tmp_path / "dedup_ck"), "dedup_t")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_t")
+    assert out.count() == 200  # duplicates collapsed
+    assert out.select("event_id").distinct().count() == 200
