@@ -1997,3 +1997,98 @@ def decontaminate(spark, sf_dir):
         d.filter(F.col("doc_id") < 50),
         min_shared=2,
     )
+
+
+@q(
+    "latest_per_key",
+    """
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_per_key(spark, sf_dir):
+    """Keep-latest dedup: one row per key by recency — the CDC/upsert
+    compaction primitive (row_number over ts desc, deterministic
+    tie-break)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+@q(
+    "evt_funnel",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS BIGINT)
+             AS n_clicked_after,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                                   AND t_purchase > t_click) AS BIGINT) AS n_converted
+    FROM stage
+    """,
+)
+def evt_funnel(spark, sf_dir):
+    """Funnel analysis: signup → first later click → first later
+    purchase, counted per stage — one conditional-min pass then one
+    scalar aggregate, no joins."""
+    e = _t(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count_if(F.col("t_signup").isNotNull()).cast("long").alias("n_signed_up"),
+        F.count_if(
+            F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+        ).cast("long").alias("n_clicked_after"),
+        F.count_if(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).cast("long").alias("n_converted"),
+    )
+
+
+@q(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 2.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram: floor-division bucketing (engine-neutral,
+    unlike width_bucket whose edge semantics differ)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 2.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
