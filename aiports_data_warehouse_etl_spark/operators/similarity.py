@@ -190,7 +190,10 @@ def ivf_topk(
 
     base = _as_double(df, vec_col, id_col)
     ml_df = base.withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_df)
+    # A coarse quantizer doesn't need tight convergence — cells only
+    # bucket the corpus; recall comes from nprobe. Default maxIter=20
+    # spends most of the query's wall-clock in fit() jobs.
+    model = KMeans(k=n_clusters, seed=seed, maxIter=6, featuresCol="features").fit(ml_df)
     centers = [c.tolist() for c in model.clusterCenters()]
 
     def dist2(v, center):  # squared L2 to a literal centroid
