@@ -2092,3 +2092,484 @@ def value_histogram(spark, sf_dir):
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G. Query batch 4: TPC-H analogue widening (the schema has no partsupp/
+# shipmode/phone columns, so Q2/Q12/Q16/Q22 are reshaped onto what the
+# testdata carries while keeping each query's characteristic plan shape)
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan→filter→scalar agg. All four predicates
+    must reach the parquet scan (PushedFilters) — the plan is a single
+    codegen stage with no shuffle except the final 1-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a cross-table predicate → left-semi
+    join on the key WITH the non-equi condition, then agg. The semi
+    join keeps orders single-counted regardless of lineitem fan-out."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q12_priority_by_year",
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_by_year(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → ship year): join + conditional CASE
+    aggregation, counting urgent vs non-urgent lines shipped within 90
+    days of ordering."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: selective month filter, fact⋈dim join, ratio of
+    conditional to total aggregate in one pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o.o_totalprice, 2) AS total_price,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 160) t
+      ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: pre-aggregated HAVING subquery joined back to
+    orders+customer. The aggregate runs BEFORE the joins, so only the
+    (few) qualifying orderkeys ever reach the join — at scale this is
+    the difference between shuffling all of lineitem and shuffling the
+    top fraction of keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 160)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "tpch_q19_disjunctive",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunct groups spanning both
+    join sides. Catalyst extracts the common join key and pushes the
+    per-side residuals (p_brand/p_size disjunction to the part scan)
+    below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c.c_nationkey AS INTEGER) AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-aggregate subquery (global avg of
+    positive balances) as a broadcast cross join, then an anti join
+    against orders, then agg. The 1-row aggregate is broadcast — no
+    driver collect()."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "corr_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def corr_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders 50% above their customer's
+    own average): decorrelated into a per-customer window average —
+    one shuffle on the correlation key instead of a per-row subquery."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+        )
+    )
+
+
+@q(
+    "argmin_join_cheapest_per_part",
+    """
+    SELECT l.l_partkey, l.l_orderkey,
+           CAST(l.l_linenumber AS INTEGER) AS l_linenumber,
+           round(l.l_extendedprice, 2) AS price
+    FROM lineitem l
+    JOIN (SELECT l_partkey, min(l_extendedprice) AS min_price
+          FROM lineitem GROUP BY l_partkey) m
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    """,
+)
+def argmin_join_cheapest_per_part(spark, sf_dir):
+    """Groupwise-min join (TPC-H Q2's essence without partsupp): every
+    lineitem matching its part's minimum price, via aggregate-then-
+    join-back rather than a window sort — the aggregate is partial
+    (map-side combined) and the join stays on the group key, so no
+    full-partition sort ever happens. Ties are kept on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            m,
+            (li.l_partkey == m.m_partkey)
+            & (li.l_extendedprice == m.min_price),
+        )
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer than rollup/cube, which §B already
+    covers): per flag+status, per flag, and grand total in ONE pass —
+    Spark expands the sets into a single Expand node, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("gid"),
+        )
+    )
+
+
+@q(
+    "agg_min_by_max_by",
+    """
+    SELECT o_orderpriority,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_min_by_max_by(spark, sf_dir):
+    """Argmin/argmax aggregates (min_by/max_by): the key of the extreme
+    row in one pass, no join-back, no window sort. (Synthetic prices
+    are continuous doubles — ties, where both engines may pick either
+    row, don't occur.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@q(
+    "win_running_distinct_count",
+    """
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM firsts
+    """,
+)
+def win_running_distinct_count(spark, sf_dir):
+    """Running DISTINCT count per user (how many distinct event types
+    seen so far). Spark lacks COUNT(DISTINCT) over an ordered frame, so
+    it's the first-occurrence trick: flag each (user, type)'s first row,
+    then a running sum — two keyed windows, both ANSI-expressible (the
+    oracle runs the identical formulation)."""
+    e = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+    )
+
+
+_EMB_NEARDUP_COS = (
+    "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum') "
+    "/ (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum')) "
+    "* sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))"
+)
+
+
+@q(
+    "dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_EMB_NEARDUP_COS}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_EMB_NEARDUP_COS}, 6) >= 0.35
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked on the label column (the
+    stand-in for an LSH/IVF bucket — at corpus scale the block key IS
+    the coarse quantizer cell, making this an equi-join, never a full
+    cross join)."""
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label"
+    )
+
+
+@q("dedup_connected_components", None)  # iterative label propagation — no SQL twin
+def dedup_connected_components(spark, sf_dir):
+    """Transitive near-dup clusters: MinHash pairs → iterative min-label
+    propagation (bounded lineage via checkpointed iterations), keeping
+    one doc per connected component. Chain A~B~C collapses to A even
+    when A~C is below threshold — the star-collapse in dedup_minhash_lsh
+    can't do that. Rows-only: the fixpoint loop has no SQL twin;
+    behavior is pinned by tests/test_dedup_similarity.py."""
+    return D.minhash_dedup_cc(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id", "source")
+
+
+@q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
+def mm_decode_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize a media table (text bytes as the
+    opaque binary payload — the container has no image/audio libs, so
+    the decode kernel is a deterministic fake), then run the Arrow-
+    batched mapInPandas decode+featurize pass. Proves schema, batch
+    iteration, and column pruning; a real PIL/ffmpeg kernel swaps in
+    without touching the plan."""
+    from aiports_data_warehouse_etl_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_and_featurize(media)
