@@ -20,6 +20,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2573,3 +2576,198 @@ def mm_decode_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return decode_and_featurize(media)
+
+
+@q(
+    "evt_sliding_1h_15m",
+    """
+    WITH cand AS (
+      SELECT event_type, value, CAST(t.ws AS TIMESTAMP) AS ws
+      FROM events, UNNEST(generate_series(
+        to_timestamp(floor(epoch(ts)/900)*900 - 2700),
+        to_timestamp(floor(epoch(ts)/900)*900),
+        INTERVAL 15 MINUTE)) AS t(ws)
+    )
+    SELECT ws AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM cand GROUP BY 1, 2
+    """,
+)
+def evt_sliding_1h_15m(spark, sf_dir):
+    """Sliding (hopping) windows: 1h length, 15m slide — each event
+    lands in 4 overlapping windows. Spark's window() expands rows
+    BEFORE the shuffle, so the agg stays a plain keyed groupBy (and the
+    identical plan runs under readStream + watermark). Oracle expands
+    the same 4 epoch-aligned starts per event with generate_series."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "pandas_zscore_per_group",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+    FROM events
+    """,
+)
+def pandas_zscore_per_group(spark, sf_dir):
+    """Grouped-map Pandas UDF (applyInPandas): per-event-type z-score
+    normalization — the canonical 'python logic per group' extension
+    surface (SURVEY §2.9). Arrow moves each group as ONE batch; the
+    shuffle is the same keyed exchange a groupBy would do. The oracle
+    proves the vectorized pandas result matches SQL window math."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "z": ((pdf["value"] - m) / s).round(6)}
+        )
+
+    return e.groupBy("event_type").applyInPandas(zscore, "event_id long, z double")
+
+
+@q(
+    "pandas_udf_vectorized",
+    """
+    SELECT o_orderkey, round(sqrt(o_totalprice), 6) AS root_price
+    FROM orders
+    """,
+)
+def pandas_udf_vectorized(spark, sf_dir):
+    """Vectorized scalar Pandas UDF (Arrow-batched, numpy inside) — the
+    sanctioned slow-path when an expression genuinely needs Python.
+    ~10-100× over row-at-a-time F.udf; here the kernel is sqrt so the
+    oracle can verify the Arrow round-trip bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def root_price(s: pd.Series) -> pd.Series:
+        return pd.Series(np.sqrt(s.to_numpy())).round(6)
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", root_price("o_totalprice").alias("root_price"))
+
+
+@q(
+    "udtf_installments",
+    """
+    SELECT o_orderkey, CAST(t.i AS INTEGER) AS installment_no,
+           CASE WHEN t.i < 3 THEN round(o_totalprice / 3, 2)
+                ELSE round(o_totalprice - 2 * round(o_totalprice / 3, 2), 2)
+           END AS amount
+    FROM orders, UNNEST(generate_series(1, 3)) t(i)
+    """,
+)
+def udtf_installments(spark, sf_dir):
+    """Python UDTF (table function): one row in → three installment
+    rows out, lateral-joined per order. The UDTF surface covers
+    operators whose output cardinality is data-dependent — the gap
+    explode() can't fill when row synthesis needs imperative logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment_no: int, amount: double")
+    class Installments:
+        def eval(self, total: float):
+            base = round(total / 3, 2)
+            for i in (1, 2, 3):
+                yield i, (base if i < 3 else round(total - 2 * base, 2))
+
+    spark.udtf.register("installments", Installments)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_for_udtf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.installment_no, i.amount
+        FROM __orders_for_udtf o, LATERAL installments(o.o_totalprice) i
+        """
+    )
+
+
+@q(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt (inverse of pivot_event_types): wide per-flag
+    metrics → long (flag, metric, value) rows via DataFrame.unpivot —
+    an Expand node, one pass, no self-union of scans (the oracle's
+    UNION ALL formulation is the semantic twin, not the plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "value")
+
+
+@q(
+    "ts_gapfill_ffill",
+    """
+    WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+                   FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+    spine AS (SELECT user_id, CAST(t.ws AS DATE) AS d
+              FROM bounds, UNNEST(generate_series(
+                CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) t(ws)),
+    j AS (SELECT s.user_id, s.d, daily.v
+          FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d)
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM j
+    """,
+)
+def ts_gapfill_ffill(spark, sf_dir):
+    """Time-series gap fill + forward fill: per-user daily totals, a
+    per-user date spine (sequence() bounded by that user's own min/max
+    day — never a global cross join), left join, then last(ignorenulls)
+    over an ordered frame. The spine explode is narrow (no shuffle);
+    the only exchanges are the daily agg and the ffill window, both
+    keyed on user_id."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    filled = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
