@@ -474,27 +474,53 @@ def embedding_neardup_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. With ``block_col`` (e.g. an LSH
-    bucket or a label) the join is an equi-join per block; without it,
-    a full cross self-join — only for small/sampled corpora.
+    bucket, IVF cell, or a label) each block is scored as ONE dense
+    matrix multiply inside applyInPandas: only the corpus rows cross
+    into Arrow (2k rows at sf0.1), never the materialized pair table
+    (200k rows — the pair-join + per-pair kernel variant measured 5s,
+    this one <1s). A block must fit executor memory — at corpus scale
+    the quantizer is sized so cells hold ~1k-10k vectors, which is
+    also what recall wants. Without ``block_col``: full cross join +
+    Arrow-batched pair kernel — only for small/sampled corpora.
     """
-    from aiports_data_warehouse_etl_spark.operators.similarity import cosine
+    import numpy as np
+    import pandas as pd
 
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
+    if block_col:
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            N = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = np.round(N @ N.T, 6)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, ju] >= threshold
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(a, b),
+                    "id_b": np.maximum(a, b),
+                    "cos_sim": cos[iu[keep], ju[keep]],
+                }
+            )
+
+        return base.groupBy("blk").applyInPandas(
+            block_pairs, "id_a long, id_b long, cos_sim double"
+        )
+    from aiports_data_warehouse_etl_spark.operators.similarity import vector_cosine
+
     a = base.alias("a")
     b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
-        a.join(b, cond)
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(vector_cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -543,6 +569,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # The convergence flag rides along in the same pass — a
+        # separate old-vs-new join would add a shuffle + job per round
+        # to compare data this round already had in hand.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -550,16 +579,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__changed"),
             )
             .localCheckpoint()  # cut lineage — see docstring
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # limit(1) on already-materialized checkpoint data: the scan
+        # short-circuits at the first changed row.
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()

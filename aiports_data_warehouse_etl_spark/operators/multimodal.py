@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,11 +40,10 @@ def _fake_feature(payload: bytes | None) -> list[float] | None:
     """
     if payload is None:
         return None
-    buckets = [0] * FEATURE_DIM
-    for b in payload:
-        buckets[b % FEATURE_DIM] += 1
-    total = max(sum(buckets), 1)
-    return [round(x / total, 6) for x in buckets]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    buckets = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+    total = max(int(buckets.sum()), 1)
+    return [round(float(x) / total, 6) for x in buckets]
 
 
 def decode_and_featurize(media: DataFrame) -> DataFrame:

@@ -1,10 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - ``brute_force_topk`` — exact cosine top-k: query-set × corpus join
-  with a window rank. The dot product is a JVM-side ``zip_with`` +
-  ``aggregate`` fold — vectorizes in codegen, no Python. Exact but
-  O(|Q|·N); the baseline and the verifier for the approximate path.
+  with a window rank. Exact but O(|Q|·N); the baseline and the
+  verifier for the approximate paths.
 - ``lsh_bucket_topk`` — approximate: deterministic sign-LSH buckets
   (coordinate-difference hyperplanes, reproducible in any engine),
   candidates only meet within their bucket (equi-join), then exact
@@ -12,16 +11,22 @@ Two paths:
   corpus is hash-partitioned by bucket, each executor ranks only its
   buckets, and recall is tuned by the number of hyperplanes /
   multi-probe.
+- ``ivf_topk`` — approximate: k-means coarse quantizer (pyspark.ml),
+  nprobe-cell search over the same bucket-join plan shape.
 
-An IVF variant (k-means coarse quantizer via pyspark.ml, nprobe search)
-is the planned third path; sign-LSH already exercises the same
-bucket-join plan shape.
+Scoring on candidate PAIRS always goes through ``vector_cosine`` (an
+Arrow-batched numpy kernel): Spark's higher-order-function folds are
+evaluated on the interpreted path, ~60µs/pair — fine per row, fatal
+per candidate pair.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: Fixed coordinate pairs defining deterministic "hyperplanes"
 #: sign(v[i] - v[j]) — portable to any engine, no RNG state.
@@ -46,7 +51,34 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """JVM-expression cosine (aggregate/zip_with folds). Fine for
+    per-ROW use (norm stats, a handful of evals); on PAIR tables use
+    ``vector_cosine`` — higher-order functions are evaluated by the
+    interpreted path (~60µs/pair measured), which at 200k candidate
+    pairs is 12s of pure expression overhead."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _vector_cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series(
+        np.einsum("ij,ij->i", A, B)
+        / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+    )
+
+
+def vector_cosine(a: Column, b: Column) -> Column:
+    """Arrow-batched pairwise cosine: each batch of (vec, vec) pairs
+    becomes two dense numpy matrices, one einsum for the dots, one
+    vectorized norm per side. float64 end to end, so results agree
+    with the DuckDB list-fold oracle at round-6 precision.
+
+    (The pandas_udf wrapper is built per call, not at import — DDL
+    return-type parsing needs an active SparkSession, which test
+    collection doesn't have yet. The wrapper is plan-time only;
+    per-call construction costs nothing at execution.)"""
+    return pandas_udf(_vector_cosine_kernel, "double")(a, b)
 
 
 def _as_double(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = ()) -> DataFrame:
@@ -83,7 +115,7 @@ def brute_force_topk(
     scored = base.join(q, F.col("id") != F.col("qid")).select(
         "qid",
         F.col("id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -132,7 +164,7 @@ def lsh_bucket_topk(
     ).select(
         "qid",
         F.col("id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -172,67 +204,66 @@ def ivf_topk(
     id_col: str = "vec_id",
     max_query_id: int | None = None,
     seed: int = 42,
+    train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (pyspark.ml),
-    then search only the query's ``nprobe`` nearest cells.
+    """IVF approximate top-k: k-means coarse quantizer, then search
+    only the query's ``nprobe`` nearest cells.
 
     Plan shape at scale: assignment is a narrow map (distance to
-    n_clusters centroids, all broadcast as literals); the search is an
+    n_clusters centroids, all closure-broadcast); the search is an
     equi-join on cell id — the corpus is hash-partitioned by cell, each
-    executor ranks only its cells. Recall is tuned by nprobe; training
-    runs on a sample, not the full corpus.
+    executor ranks only its cells. Recall is tuned by nprobe.
 
-    Deterministic for a fixed seed; the oracle check is rows-only
-    (k-means has no SQL twin).
+    The quantizer trains driver-side on a BOUNDED sample (seeded Lloyd
+    iterations in numpy) — the standard IVF recipe: centroids need a
+    sketch of the distribution, not the corpus, and a distributed
+    KMeans costs 2 jobs per iteration in scheduling alone (measured
+    ~3.5s of a 4.5s query). ``train_sample`` caps the driver collect
+    regardless of corpus size. Deterministic for a fixed seed; the
+    oracle check is rows-only (k-means has no SQL twin).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = _as_double(df, vec_col, id_col)
-    ml_df = base.withColumn("features", array_to_vector(F.col("v")))
-    # A coarse quantizer doesn't need tight convergence — cells only
-    # bucket the corpus; recall comes from nprobe. Default maxIter=20
-    # spends most of the query's wall-clock in fit() jobs.
-    model = KMeans(k=n_clusters, seed=seed, maxIter=6, featuresCol="features").fit(ml_df)
-    centers = [c.tolist() for c in model.clusterCenters()]
-
-    def dist2(v, center):  # squared L2 to a literal centroid
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # cell ranking per row: array of (dist, cell) structs, sorted
-    def cells_by_distance(v, n):
-        arr = F.array(
-            *[
-                F.struct(dist2(v, centers[c]).alias("d"), F.lit(c).alias("cell"))
-                for c in range(len(centers))
-            ]
-        )
-        return F.slice(F.array_sort(arr), 1, n)
-
-    corpus = base.withColumn(
-        "cell", cells_by_distance(F.col("v"), 1)[0]["cell"]
+    X = np.stack(
+        base.select("v").limit(train_sample).toPandas()["v"].to_numpy()
     )
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    for _ in range(6):  # coarse cells — tight convergence buys nothing
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+        for c in range(n_clusters):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    centers = C.tolist()
+
+    # Assignment: one Arrow-batched kernel ranks all centroids per
+    # batch (full distance matrix + stable argsort in numpy). The
+    # centroid list is a closure constant — broadcast with the UDF,
+    # no join. A per-centroid JVM fold would run interpreted per row
+    # (the HOF trap — see vector_cosine).
+    C = np.array(centers)
+
+    @pandas_udf("array<int>")
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        idx = np.argsort(d2, axis=1, kind="stable").astype("int32")
+        return pd.Series(list(idx))
+
+    corpus = base.withColumn("cell", nearest_cells(F.col("v"))[0])
     q = base
     if max_query_id is not None:
         q = q.filter(F.col("id") < max_query_id)
     q = q.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
-        F.explode(
-            F.transform(
-                cells_by_distance(F.col("v"), nprobe), lambda s: s["cell"]
-            )
-        ).alias("cell"),
+        F.explode(F.slice(nearest_cells(F.col("v")), 1, nprobe)).alias("cell"),
     )
 
     scored = corpus.join(q, ["cell"]).filter(F.col("id") != F.col("qid")).select(
         "qid",
         F.col("id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
