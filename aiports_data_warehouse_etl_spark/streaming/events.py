@@ -18,12 +18,16 @@ def tumbling_window_agg(
     events: DataFrame,
     window: str = "1 hour",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Batch twin of the streaming tumbling aggregation: counts + value
-    sum per (window_start, event_type)."""
+    """Batch twin of the streaming windowed aggregation: counts + value
+    sum per (window_start, event_type). With ``slide`` < ``window`` the
+    windows hop (each event expands into window/slide rows BEFORE the
+    shuffle — the agg itself stays a plain keyed groupBy)."""
     return (
         events.groupBy(
-            F.window(F.col(ts_col), window).alias("w"), F.col("event_type")
+            F.window(F.col(ts_col), window, slide or window).alias("w"),
+            F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -70,11 +74,12 @@ def stream_tumbling_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "evt_counts",
+    slide: str | None = None,
 ):
-    """Streaming version: file-source → watermark → tumbling agg →
-    memory sink, Trigger.AvailableNow (the reference's dataset-triggered
-    incremental semantics). Returns the StreamingQuery; results land in
-    the in-memory table ``query_name``.
+    """Streaming version: file-source → watermark → tumbling (or, with
+    ``slide``, hopping) agg → memory sink, Trigger.AvailableNow (the
+    reference's dataset-triggered incremental semantics). Returns the
+    StreamingQuery; results land in the in-memory table ``query_name``.
 
     At scale the memory sink becomes a parquet/Kafka sink and the file
     source a real stream; the plan (watermarked stateful agg) is
@@ -85,7 +90,7 @@ def stream_tumbling_counts(
         spark.readStream.schema(schema)
         .parquet(source_dir)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(F.window("ts", window, slide or window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),

@@ -46,6 +46,39 @@ def test_stream_matches_batch(spark, sf_small, tmp_path):
     assert len(streamed) > 0
 
 
+def test_sliding_stream_matches_batch(spark, sf_small, tmp_path):
+    """Hopping windows (1h length, 15m slide) under availableNow
+    streaming + watermark must converge to the batch twin — every event
+    in all 4 overlapping windows."""
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(
+            spark.read.parquet(src), "1 hour", slide="15 minutes"
+        ).collect()
+    }
+
+    q = stream_tumbling_counts(
+        spark, src, str(tmp_path / "ckpt"), window="1 hour",
+        slide="15 minutes", query_name="s_evt",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM s_evt").collect()
+    }
+    assert streamed == batch
+    # 15m hops ⇒ ~4× the distinct window starts of the 1h tumbling agg
+    tumbling_starts = {
+        r.window_start
+        for r in tumbling_window_agg(spark.read.parquet(src), "1 hour").collect()
+    }
+    assert len({ws for ws, _ in streamed}) > 2 * len(tumbling_starts)
+
+
 @pytest.fixture()
 def media(spark):
     rows = [
