@@ -2771,3 +2771,100 @@ def ts_gapfill_ffill(spark, sf_dir):
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@q(
+    "text_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic corpus-statistics
+    join: per-doc term counts ⋈ document frequencies ⋈ a broadcast
+    1-row corpus size, ranked per doc over the ROUNDED score (rank over
+    raw doubles would tie-break differently across engines). All
+    shuffles are keyed on term or doc_id; nothing driver-side."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@q(
+    "text_top_bigrams",
+    r"""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM arr
+    ),
+    big AS (
+      SELECT doc_id,
+             term || ' ' || lead(term) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM tok
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM big WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-level top-20 bigrams: posexplode + lead() window (the
+    codegen-native shingle construction from dedup.shingle_rows, k=2,
+    WITHOUT the per-doc distinct — corpus stats want every occurrence),
+    then a global count + TakeOrdered top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "t", F.lead("t", 1).over(w)).alias("bigram"),
+        F.lead("t", 1).over(w).alias("__t2"),
+    ).filter(F.col("__t2").isNotNull())
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
