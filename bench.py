@@ -42,6 +42,10 @@ def main() -> None:
         QUERIES[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        # Queries are self-contained: drop their internal persists so
+        # cached blocks don't pile up across 98 queries and turn into
+        # full-GC pauses that land on whichever query runs next.
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 
     print(
