@@ -2868,3 +2868,102 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_SCD2_UPD_SQL = """
+  SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey,
+         'NEW-' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+@q(
+    "m3_scd2_merge",
+    f"""
+    WITH cur AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    upd AS ({_SCD2_UPD_SQL}),
+    changed AS (
+      SELECT u.c_custkey, u.c_name, u.c_acctbal
+      FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR u.c_name IS DISTINCT FROM c.c_name
+    ),
+    newk AS (
+      SELECT u.c_custkey, u.c_name, u.c_acctbal FROM upd u
+      WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = u.c_custkey)
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+           '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 2),
+           '2020-01-01', '2024-06-01', FALSE
+    FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 2),
+           '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+    FROM (SELECT * FROM changed UNION ALL SELECT * FROM newk)
+    """,
+)
+def m3_scd2_merge(spark, sf_dir):
+    """SCD-2 merge (history-tracked dimension updates): synthesized
+    update batch = +50 balance for keys %4==0 (real change), identical
+    rows for %4==1 (must be a no-op), and brand-new keys (+1e6). The
+    operator expires changed current rows, inserts new versions, and
+    passes no-ops/closed history through — all keyed joins + unions
+    (operators/merge.py:scd2_merge), i.e. MERGE INTO decomposed for
+    plain parquet."""
+    from aiports_data_warehouse_etl_spark.operators.merge import scd2_merge
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    current = (
+        c.withColumn("valid_from", F.lit("2020-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50.0)
+        .unionByName(c.filter(F.col("c_custkey") % 4 == 1))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = scd2_merge(
+        current, updates, keys=["c_custkey"], as_of="2024-06-01",
+        tracked=["c_name", "c_acctbal"],
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+@q("catalog_tables", None)  # catalog introspection — environment-dependent
+def catalog_tables(spark, sf_dir):
+    """S7 (INFORMATION_SCHEMA scan analogue): register the testdata
+    tables as temp views and scan the catalog — `SHOW TABLES` through
+    the same Catalyst session catalog a warehouse deployment queries.
+    Rows-only: view lifetimes are session-scoped, not data-derived."""
+    for t in ("region", "nation", "customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"cat_{t}")
+    return spark.sql("SHOW TABLES").filter(
+        F.col("tableName").startswith("cat_")
+    ).select("tableName", "isTemporary")

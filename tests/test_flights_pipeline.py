@@ -248,3 +248,47 @@ def test_parquet_schema_evolution(spark, tmp_path):
     merged = spark.read.option("mergeSchema", True).parquet(path)
     rows = {r.id: (r.v1, r.v2_added) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_scd2_merge_branches(spark):
+    """All four SCD-2 branches: closed history passthrough, no-op
+    update, real change (expire + insert), brand-new key."""
+    from aiports_data_warehouse_etl_spark.operators.merge import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            # closed history row for key 1 (must pass through untouched)
+            (1, "alice", 10.0, "2019-01-01", "2020-01-01", False),
+            # current rows
+            (1, "alice", 20.0, "2020-01-01", None, True),
+            (2, "bob", 30.0, "2020-01-01", None, True),
+            (3, "carol", 40.0, "2020-01-01", None, True),
+        ],
+        "key int, name string, bal double, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "key", "name", "bal",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "alice", 25.0),   # real change → expire + new version
+            (2, "bob", 30.0),     # identical → no-op
+            (9, "zoe", 99.0),     # new key → insert
+        ],
+        "key int, name string, bal double",
+    )
+    out = scd2_merge(current, updates, keys=["key"], as_of="2024-06-01")
+    rows = {
+        (r.key, str(r.valid_from), str(r.valid_to), r.is_current): r.bal
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2019-01-01", "2020-01-01", False): 10.0,  # closed history kept
+        (1, "2020-01-01", "2024-06-01", False): 20.0,  # expired old version
+        (1, "2024-06-01", "None", True): 25.0,         # new version
+        (2, "2020-01-01", "None", True): 30.0,         # no-op untouched
+        (3, "2020-01-01", "None", True): 40.0,         # not updated
+        (9, "2024-06-01", "None", True): 99.0,         # new key
+    }

@@ -129,3 +129,24 @@ def test_compaction_reduces_file_count(spark, sf_small, tmp_path):
     after = compact_parquet(spark, path, target_file_mb=128)
     assert after < before
     assert spark.read.parquet(path).count() == n_rows  # lossless
+
+
+def test_q6_all_predicates_pushed(spark, sf_small):
+    """TPC-H Q6 shape: every filter must reach the parquet scan."""
+    p = plan(QUERIES["tpch_q6_revenue_delta"].fn(spark, sf_small))
+    assert "PushedFilters:" in p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in p or col in p.split("PushedFilters:")[1][:400]
+
+
+def test_q18_aggregates_before_join(spark, sf_small):
+    """TPC-H Q18 shape: the HAVING aggregate must run BELOW the joins
+    (aggregate-then-join, not join-then-aggregate)."""
+    df = QUERIES["tpch_q18_large_orders"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = p.find("Aggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # in the optimized-plan tree string, the aggregate appears NESTED
+    # under (after) the join operators, i.e. executed first
+    assert agg_pos > join_pos
