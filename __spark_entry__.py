@@ -5,8 +5,10 @@
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each. Rows-only entries (no oracle) are exactly the ops whose
 internals are engine-specific by design: SimHash bit arithmetic, the
-k-means IVF quantizer, HLL/t-digest sketches, and seeded Bernoulli
-sampling — each has an accuracy/behavior test instead (COVERAGE.md).
+k-means IVF quantizer, HLL/t-digest sketches, seeded Bernoulli
+sampling, iterative connected components, the mapInPandas media decode,
+and catalog introspection — each has an accuracy/behavior test instead
+(COVERAGE.md).
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """
