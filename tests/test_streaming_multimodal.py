@@ -249,3 +249,58 @@ def test_stream_dedup_events(spark, sf_small, tmp_path):
     out = spark.sql("SELECT * FROM dedup_t")
     assert out.count() == 200  # duplicates collapsed
     assert out.select("event_id").distinct().count() == 200
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics across incremental (availableNow)
+    restarts: a window is emitted once the watermark passes its end, and
+    an event arriving LATER than the watermark for that closed window is
+    dropped — while an in-watermark arrival still counts. This is the
+    contract that bounds state at 100 TB."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # batch A: two events in the 08h window; 10:45 pushes the watermark
+    # to 10:15, closing (emitting) the 08h window
+    write_batch([(1, t(8, 10), 1, "c", 1.0), (2, t(8, 20), 1, "c", 1.0),
+                 (3, t(10, 45), 1, "c", 1.0)])
+    run_stream()
+    # batch B: 08:30 is LATE (behind the 10:15 watermark, its window
+    # closed) → dropped; 10:50 is within watermark → counts; 11:50
+    # advances the watermark to 11:20, closing the 10h window
+    write_batch([(4, t(8, 30), 1, "c", 1.0), (5, t(10, 50), 1, "c", 1.0),
+                 (6, t(11, 50), 1, "c", 1.0)])
+    run_stream()
+
+    got = {r.window_start.hour: r.n for r in spark.read.parquet(out).collect()}
+    assert got[8] == 2        # late 08:30 event did NOT land
+    assert got[10] == 2       # 10:45 (state) + in-watermark 10:50
+    assert spark.read.parquet(out).groupBy("window_start").count().filter(
+        F.col("count") > 1).count() == 0  # each window emitted exactly once
