@@ -150,3 +150,42 @@ def test_q18_aggregates_before_join(spark, sf_small):
     # in the optimized-plan tree string, the aggregate appears NESTED
     # under (after) the join operators, i.e. executed first
     assert agg_pos > join_pos
+
+
+def test_q21_semi_and_anti_joins(spark, sf_small):
+    """TPC-H Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti — both
+    must survive as (semi, anti) joins, never rewritten to outer joins
+    or cartesian products."""
+    df = QUERIES["tpch_q21_waiting_supplier"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in p and "LeftAnti" in p
+    phys = plan(df)
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_small):
+    """TPC-H Q16 shape: the NOT IN deficit-supplier list is tiny — the
+    anti join must broadcast it, not shuffle lineitem."""
+    p = plan(QUERIES["tpch_q16_supplier_cnt"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+
+
+def test_q13_left_join_survives(spark, sf_small):
+    """TPC-H Q13 shape: the priority filter lives in the join CONDITION
+    of a left join — Catalyst must not push it below the join (which
+    would drop zero-order customers)."""
+    df = QUERIES["tpch_q13_cust_distribution"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftOuter" in p
+
+
+def test_q11_single_fact_scan_for_total(spark, sf_small):
+    """TPC-H Q11 shape: the global threshold is derived from the
+    per-part aggregate (tiny), so lineitem is scanned once for the
+    per-part values — the threshold side reuses that aggregate rather
+    than rescanning the fact."""
+    p = plan(QUERIES["tpch_q11_important_stock"].fn(spark, sf_small))
+    # lineitem appears in at most 2 scans (by_part + the reused agg
+    # lineage); the threshold join itself must broadcast the 1-row side
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
