@@ -3483,3 +3483,62 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
     )
+
+
+@q(
+    "domain_balance_sample",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_total,
+             CAST(floor(256.0 * (SELECT min(n_total) FROM counts) / n_total)
+                  AS BIGINT) AS keep_buckets
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+          < r.keep_buckets
+    )
+    SELECT r.source, r.n_total, CAST(count(k.source) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n_total
+    """,
+)
+def domain_balance_sample(spark, sf_dir):
+    """Domain-mix rebalancing for training corpora: downsample every
+    source toward the smallest source's size by a DETERMINISTIC hash
+    rate — a doc survives when its uniform 0-255 md5 bucket falls below
+    floor(256 * min_n / n_source). Two passes over documents (count,
+    filter) and a broadcast of the per-source rate table; no window, no
+    shuffle of the corpus itself, no RNG — identical output across
+    engines, runs, and partitionings. At 100 TB the rate table is
+    O(#sources) and the filter is map-side only."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.join(F.broadcast(min_n)).select(
+        "source",
+        "n_total",
+        F.floor(256.0 * F.col("min_n") / F.col("n_total")).cast("long").alias(
+            "keep_buckets"
+        ),
+    )
+    h = "md5(cast(doc_id as string))"
+    hx = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    bucket = F.expr(f"({hx.format(h=h, i=1)}) * 16 + ({hx.format(h=h, i=2)})")
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_buckets")), "source")
+        .filter(bucket < F.col("keep_buckets"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        rates.select("source", "n_total")
+        .join(kept, "source", "left")
+        .select("source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    )
