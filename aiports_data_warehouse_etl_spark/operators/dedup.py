@@ -557,10 +557,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Size the loop's partitioning to the MEASURED edge count (the
+    # persist needs a materializing action anyway). Near-dup graphs are
+    # orders of magnitude smaller than the corpus that produced them —
+    # iterating at the corpus's partition count makes every round pay
+    # ~32 task launches to move a few hundred rows. ~2M edges/partition,
+    # growing with the graph up to 8× the cluster's parallelism.
+    n_edges = edges.count()
+    default_par = edges.sparkSession.sparkContext.defaultParallelism
+    parts = int(max(1, min(default_par * 8, n_edges // 2_000_000 + 1)))
+    edges = edges.repartition(parts, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .repartition(parts, "id")
         .localCheckpoint()
     )
     for _ in range(max_iter):
