@@ -3542,3 +3542,79 @@ def domain_balance_sample(spark, sf_dir):
         .join(kept, "source", "left")
         .select("source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     )
+
+
+@q(
+    "orc_roundtrip_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_agg(spark, sf_dir):
+    """ORC source/sink: filter lineitem, write ORC (partitioned by
+    returnflag), read it back through Spark's native vectorized ORC
+    reader, aggregate. The oracle aggregates the same rows straight off
+    parquet — a value-hash match proves the ORC path is lossless for
+    long/double/string/timestamp columns. Scan of the roundtrip output
+    keeps pushdown: partition pruning on l_returnflag, predicate
+    pushdown on the rest."""
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_orc, write_orc
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem_orc"
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = read_orc(spark, path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@q(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def jsonl_roundtrip_stats(spark, sf_dir):
+    """JSON-lines source/sink — the interchange format of training-data
+    pipelines. Write documents as JSONL, re-read with an EXPLICIT
+    schema (no inference pass over the corpus), aggregate per
+    (source, lang). Hash-match against parquet proves the JSONL path
+    round-trips strings (with escapes) and longs losslessly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/documents_jsonl"
+    write_jsonl(d, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema=schema)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -150,3 +150,49 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return len([f for f in glob.glob(f"{path}/*.parquet") if os.path.isfile(f)])
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Spark ships a native vectorized ORC reader with the
+    same pushdown surface as parquet (predicate pushdown, column
+    pruning, min/max stripe skipping) — interchange format for Hive
+    warehouses the reference's Azure SQL sink would be fed from."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — same layout discipline as ``write_parquet``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan. Explicit schema by default — schema inference
+    on JSON costs a FULL extra pass over the data (at 100 TB that is
+    the whole corpus read twice) and silently widens types. Malformed
+    rows land in ``_corrupt_record`` under the default PERMISSIVE mode
+    instead of failing the job; pass mode='FAILFAST' to invert."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of LLM training-data
+    pipelines (one doc per line, gzip-splittable when uncompressed)."""
+    df.write.mode(mode).json(path)

@@ -292,3 +292,57 @@ def test_scd2_merge_branches(spark):
         (3, "2020-01-01", "None", True): 40.0,         # not updated
         (9, "2024-06-01", "None", True): 99.0,         # new key
     }
+
+
+def test_jsonl_corrupt_record_handling(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: malformed lines land in
+    _corrupt_record; good lines parse with the explicit schema (no
+    inference pass)."""
+    from pyspark.sql import types as T
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "n_chars": 5}\n'
+        '{"doc_id": 2, "text": "quote \\" inside", "n_chars": 14}\n'
+        "this is not json at all\n"
+        '{"doc_id": "not-a-number", "text": "bad type", "n_chars": 8}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_jsonl(
+        spark,
+        str(p),
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 2
+    texts = {r.text for r in good.collect()}
+    assert 'quote " inside' in texts
+    df.unpersist()
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC write→read preserves schema exactly (timestamps included)."""
+    from aiports_data_warehouse_etl_spark.sources.io import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [(1, 2.5, "x", "2024-01-01 10:00:00")],
+        "id long, v double, s string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "t.orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert back.count() == 1
