@@ -189,3 +189,78 @@ def test_q11_single_fact_scan_for_total(spark, sf_small):
     # lineitem appears in at most 2 scans (by_part + the reused agg
     # lineage); the threshold join itself must broadcast the 1-row side
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def _with_confs(spark, kv):
+    """Set confs, return the old values for restore."""
+    old = {}
+    for k, v in kv.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew posture at scale: a hot key that lands 80% of a join side
+    in one shuffle partition must be SPLIT by AQE's skew-join handling,
+    not ride a straggler task. Thresholds are lowered so test-sized
+    data crosses them; on a cluster the defaults (256MB partition,
+    5x median) play the same role."""
+    old = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    })
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 160_000, 0)
+            .otherwise((F.col("id") % 99) + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right.hint("merge"), "k")
+        assert len(j.collect()) == 200_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """Runtime row-level filtering: a selective dim filter on the build
+    side of a shuffle join should inject a bloom filter onto the fact
+    scan (rows that cannot match die before the shuffle). At 100 TB
+    this is the difference between shuffling the whole fact and
+    shuffling the matching fraction."""
+    old = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    })
+    try:
+        big = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_small}/part.parquet").filter(
+            F.col("p_type") == "PROMO"
+        )
+        j = big.join(dim, big.l_partkey == dim.p_partkey).groupBy("p_type").count()
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in p.lower()
+    finally:
+        _restore_confs(spark, old)
