@@ -3618,3 +3618,48 @@ def jsonl_roundtrip_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@q(
+    "cdc_apply_oplog",
+    """
+    WITH oplog AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value, ts, event_id
+      FROM events
+    ),
+    last_op AS (
+      SELECT user_id, op, round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM oplog)
+      WHERE rn = 1
+    )
+    SELECT user_id, value AS last_value
+    FROM last_op WHERE op <> 'delete'
+    """,
+)
+def cdc_apply_oplog(spark, sf_dir):
+    """CDC apply with delete tombstones: an op-log (upsert/delete per
+    key, ordered by event time) collapses to final table state — last
+    op wins, and a trailing delete removes the key entirely (the piece
+    plain keep-latest compaction lacks). One window pass, no join; at
+    100 TB this is the standard snapshot-from-changelog compaction,
+    partitioned by key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            F.round("value", 2).alias("value"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("user_id", F.col("value").alias("last_value"))
+    )

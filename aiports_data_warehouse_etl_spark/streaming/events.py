@@ -358,3 +358,95 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_stats_tws_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_stats_tws",
+):
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4): the successor to applyInPandasWithState with TYPED state
+    variables (value/list/map state), per-state TTL, and timers.
+    Here: per-user running (n_events, total_value) in a ValueState,
+    emitted on every update.
+
+    Requires the RocksDB state store provider — which is also the
+    100 TB posture: state lives off-heap per key-partition and
+    snapshots to the checkpoint, so state size is bounded by disk,
+    not executor heap.
+
+    Dependency note: the TWS python driver worker communicates with
+    the JVM over protobuf — environments without ``google.protobuf``
+    crash the worker at init ([STREAMING_PYTHON_RUNNER_INITIALIZATION
+    _FAILURE]). ``user_activity_state_stream`` is the dependency-free
+    twin on the older applyInPandasWithState API.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("total", T.DoubleType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, round(total, 2)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

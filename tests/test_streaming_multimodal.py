@@ -304,3 +304,43 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got[10] == 2       # 10:45 (state) + in-watermark 10:50
     assert spark.read.parquet(out).groupBy("window_start").count().filter(
         F.col("count") > 1).count() == 0  # each window emitted exactly once
+
+
+def test_transform_with_state_running_stats(spark, sf_small, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user
+    running stats match the batch groupBy ground truth.
+
+    The TWS python driver worker speaks protobuf to the JVM — skip
+    when google.protobuf is absent (this container); the
+    applyInPandasWithState twin (test_stateful_user_activity) covers
+    the same semantics on the older API."""
+    pytest.importorskip("google.protobuf")
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        user_stats_tws_stream,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "tws_src")
+    events.write.parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    q = user_stats_tws_stream(
+        spark, src, str(tmp_path / "tws_ckpt"), query_name="tws_test"
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events, max(total_value) AS total_value "
+            "FROM tws_test GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
+    if old is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
