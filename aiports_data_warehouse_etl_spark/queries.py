@@ -3663,3 +3663,68 @@ def cdc_apply_oplog(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
         .select("user_id", F.col("value").alias("last_value"))
     )
+
+
+@q(
+    "variant_extract",
+    """
+    SELECT o_orderkey, o_orderstatus AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    """,
+)
+def variant_extract(spark, sf_dir):
+    """VARIANT (Spark 4 semi-structured type): serialize order fields
+    to JSON, parse_json into a variant, extract typed paths back with
+    variant_get. The oracle reads the source columns directly — a
+    hash match proves the variant encode→path-extract round trip is
+    lossless. Unlike string JSON (get_json_object re-parses per
+    access), variant parses ONCE into a binary form built for repeated
+    path access — the 100 TB answer to schema-on-read event payloads."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "v",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    "o_orderstatus",
+                    F.struct(F.col("o_totalprice").alias("price")).alias("nested"),
+                )
+            )
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.o_orderstatus', 'string')").alias("status"),
+        F.round(F.expr("variant_get(v, '$.nested.price', 'double')"), 2).alias(
+            "price"
+        ),
+    )
+
+
+@q(
+    "map_funcs_suite",
+    """
+    SELECT o_orderkey, k, round(v, 2) AS v
+    FROM (
+      SELECT o_orderkey, 'base' AS k, o_totalprice * 2 AS v FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'tax' AS k, (o_totalprice * 0.1) * 2 AS v FROM orders
+    )
+    WHERE v > 500
+    """,
+)
+def map_funcs_suite(spark, sf_dir):
+    """Map-typed columns + map higher-order functions: build a map per
+    row (map_from_arrays), transform_values, map_filter, then explode
+    back to rows. HOFs run once per ROW here (not per pair / under
+    Generate), which SCALE.md's lambda rules allow."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("tax")),
+        F.array(F.col("o_totalprice"), F.col("o_totalprice") * 0.1),
+    )
+    m2 = F.transform_values(m, lambda k, v: v * 2)
+    m3 = F.map_filter(m2, lambda k, v: v > 500)
+    return o.select("o_orderkey", F.explode(m3).alias("k", "v")).select(
+        "o_orderkey", "k", F.round("v", 2).alias("v")
+    )
