@@ -3728,3 +3728,39 @@ def map_funcs_suite(spark, sf_dir):
     return o.select("o_orderkey", F.explode(m3).alias("k", "v")).select(
         "o_orderkey", "k", F.round("v", 2).alias("v")
     )
+
+
+@q(
+    "pyds_synthetic_scan",
+    """
+    WITH g AS (SELECT range AS i FROM range(0, 5000))
+    SELECT CAST((i * 2654435761) % 97 AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(((i * 48271) % 10000) / 100.0), 2) AS total_value
+    FROM g
+    GROUP BY 1
+    """,
+)
+def pyds_synthetic_scan(spark, sf_dir):
+    """Custom Python Data Source (Spark 4 DataSource API): scan the
+    deterministic synthetic event generator (sources/pyds.py) and
+    aggregate per user. The oracle RECOMPUTES the same rows from pure
+    integer arithmetic over range(5000) — a hash match proves the
+    source yields exactly the declared deterministic data through the
+    partition-parallel reader (4 strided slices here; N executors at
+    scale)."""
+    from aiports_data_warehouse_etl_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 4)
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

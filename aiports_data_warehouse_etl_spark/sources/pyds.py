@@ -1,0 +1,65 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+synthetic event-log generator.
+
+The reference ingests fixed CSV drops; a warehouse team also needs
+load-generation / backfill sources that produce the SAME rows on every
+run, any partitioning. This source derives every field from the row
+index with pure integer arithmetic — no RNG state, so the output is
+reproducible across engines (the contract oracle recomputes it in SQL)
+and across retries of a lost partition (important at scale: a task
+re-run must not invent different data).
+
+Partition-parallel: `partitions()` splits the index range into strided
+slices, so a 1000-executor cluster generates 1000 slices concurrently
+with zero coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Deterministic field derivations (all int64-safe for rows < ~3e9):
+#   user_id  = (i * KNUTH) % N_USERS        — multiplicative scatter
+#   value    = ((i * LCG) % 10_000) / 100.0 — two-decimal "amount"
+#   kind     = cyclic over the event vocabulary
+KNUTH = 2654435761
+LCG = 48271
+N_USERS = 97
+KINDS = ("click", "view", "purchase", "signup", "error")
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition):
+        for i in range(partition.value, self.rows, self.num_partitions):
+            yield (
+                i,
+                (i * KNUTH) % N_USERS,
+                KINDS[i % len(KINDS)],
+                ((i * LCG) % 10_000) / 100.0,
+            )
+
+
+class SyntheticEventsSource(DataSource):
+    """`spark.read.format("synthetic_events").option("rows", N)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, kind string, value double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SyntheticEventsSource)

@@ -264,3 +264,24 @@ def test_runtime_bloom_filter_injected(spark, sf_small):
         assert "bloom" in p.lower()
     finally:
         _restore_confs(spark, old)
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The custom Python data source reads through N independent
+    partitions (strided slices), not one task."""
+    from aiports_data_warehouse_etl_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.select(F.spark_partition_id()).distinct().count() == 3
+    assert df.count() == 1000
+    # re-read yields identical data (deterministic across runs/retries)
+    ids = df.agg(F.sum("event_id"), F.sum("value")).collect()[0]
+    assert (ids[0], round(ids[1], 2)) == (499500, 50045.0)
