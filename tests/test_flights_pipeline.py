@@ -346,3 +346,28 @@ def test_orc_roundtrip_preserves_types(spark, tmp_path):
     back = read_orc(spark, path)
     assert dict(back.dtypes) == dict(src.dtypes)
     assert back.count() == 1
+
+
+def test_validation_inline_observation(spark):
+    """validate_inline: rule metrics ride the caller's action via
+    df.observe — no separate validation job — and report the same
+    violation counts as the offline pass."""
+    from aiports_data_warehouse_etl_spark.operators import validation as V
+
+    bad = spark.createDataFrame(
+        [
+            (0, 42, 13, 2018, True, False, 5, "2018-13-42"),
+            (0, 1, 8, 2018, True, False, 3, "2018-08-01"),  # dup PK
+        ],
+        schemas.DIM_DATE,
+    )
+    observed, obs = V.validate_inline(bad, V.dim_date_rules())
+    assert observed.count() == 2  # the "pipeline action"
+    metrics = obs.get
+    offline = {
+        r.rule_name: r.violations
+        for r in V.validate(bad, V.dim_date_rules()).collect()
+    }
+    assert metrics == offline  # same counts, zero extra passes
+    assert metrics["day_in_range"] == 1
+    assert metrics["date_id_pk_unique"] == 1
