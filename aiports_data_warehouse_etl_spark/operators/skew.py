@@ -46,3 +46,40 @@ def salted_groupby_agg(
         final_exprs.append(final_fn(F.col(f"__p_{name}")).alias(name))
     partial = df.groupBy(*keys, salt).agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_from: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key, REPLICATE the
+    small side across all ``salt_buckets`` salt values, join on
+    (key, salt). A single pathological key spreads over
+    ``salt_buckets`` reducers instead of one straggler.
+
+    Use when AQE's runtime skew split can't help: the skewed side
+    feeds a co-partitioned downstream op, the join is shuffled-hash,
+    or one key exceeds what partition-splitting can rebalance.
+    Result is IDENTICAL to ``big.join(small, on, how)`` — the salt
+    column never escapes. Cost: small side × salt_buckets (keep the
+    replicated side broadcast-sized or buckets modest).
+
+    ``salt_from``: big-side column with per-row variation (same
+    convention as ``salted_groupby_agg``) — deterministic, so plans
+    stay reproducible across runs and task retries.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets))
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = salted_big.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")

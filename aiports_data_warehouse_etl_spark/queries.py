@@ -3764,3 +3764,35 @@ def pyds_synthetic_scan(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@q(
+    "skew_salted_join",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Explicit salted join (operators/skew.py): big side's key salted,
+    small side replicated across the salt range, joined on (key, salt).
+    The oracle is the PLAIN join — a hash match proves salting is
+    result-invisible. For when AQE's runtime split can't rebalance a
+    pathological key (see salted_join docstring)."""
+    from aiports_data_warehouse_etl_spark.operators.skew import salted_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        c.withColumn("n_nationkey", F.col("c_nationkey")),
+        n,
+        on="n_nationkey",
+        salt_from="c_custkey",
+        salt_buckets=8,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -285,3 +285,24 @@ def test_python_datasource_partition_parallel(spark):
     # re-read yields identical data (deterministic across runs/retries)
     ids = df.agg(F.sum("event_id"), F.sum("value")).collect()[0]
     assert (ids[0], round(ids[1], 2)) == (499500, 50045.0)
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """salted_join is result-identical to the plain join, including
+    left-outer rows with no match (unmatched keys survive exactly
+    once, not once per salt bucket)."""
+    from aiports_data_warehouse_etl_spark.operators.skew import salted_join
+
+    c = spark.read.parquet(f"{sf_small}/customer.parquet").withColumn(
+        "n_nationkey", F.col("c_nationkey")
+    )
+    n = spark.read.parquet(f"{sf_small}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_nationkey") < 10)  # force unmatched left rows
+    plain = c.join(n, "n_nationkey", "left")
+    salted = salted_join(c, n, on="n_nationkey", salt_from="c_custkey",
+                         salt_buckets=8, how="left")
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert diff == 0
