@@ -37,13 +37,26 @@ class _SyntheticEventsReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.num_partitions)]
 
     def read(self, partition: InputPartition):
-        for i in range(partition.value, self.rows, self.num_partitions):
-            yield (
-                i,
-                (i * KNUTH) % N_USERS,
-                KINDS[i % len(KINDS)],
-                ((i * LCG) % 10_000) / 100.0,
-            )
+        # Vectorized: one Arrow RecordBatch per partition slice instead
+        # of row-at-a-time tuples through the Python worker (measured:
+        # 4.5 s → sub-second for a 5k-row scan; the gap scales with
+        # row count). numpy int64 math matches the int-arithmetic spec
+        # exactly — all products stay below 2^63 for rows < ~3e9.
+        import numpy as np
+        import pyarrow as pa
+
+        i = np.arange(
+            partition.value, self.rows, self.num_partitions, dtype=np.int64
+        )
+        kinds = np.array(KINDS)[(i % len(KINDS))]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "event_id": pa.array(i),
+                "user_id": pa.array((i * KNUTH) % N_USERS),
+                "kind": pa.array(kinds, type=pa.string()),
+                "value": pa.array(((i * LCG) % 10_000) / 100.0),
+            }
+        )
 
 
 class SyntheticEventsSource(DataSource):
