@@ -3796,3 +3796,108 @@ def skew_salted_join(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@q(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(f.n / tot.total)), 6) AS avg_neg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-frequency unigram log-probability per document — the
+    model-free "surprise" score used to filter training corpora (docs
+    full of rare tokens score high, boilerplate scores low). Two
+    passes over the exploded tokens: corpus term frequencies (hash agg
+    with map-side combine), then a broadcast of the vocabulary-sized
+    frequency table back onto the tokens. At 100 TB the vocabulary is
+    still ~millions of rows — broadcastable — and nothing else
+    shuffles except the per-doc aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+@q(
+    "dedup_passages",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, r.pid,
+             array_to_string(toks[r.pid*10+1 : r.pid*10+10], ' ') AS passage
+      FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pid) r
+    ),
+    kept AS (
+      SELECT doc_id, pid, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, pid) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(passage, ' ' ORDER BY pid) AS dedup_text
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_passages(spark, sf_dir):
+    """Sub-document (passage-level) dedup, C4-style: split each doc
+    into fixed 10-token passages, keep the corpus-wide FIRST occurrence
+    of every distinct passage (min (doc_id, position)), reassemble docs
+    from their surviving passages. Docs reduced to nothing disappear.
+    One shuffle keyed by passage text (uniform by construction — the
+    key IS the content hash target), one per-doc regroup; no pairwise
+    comparison anywhere. At 100 TB, replace the passage string key with
+    xxhash64(passage) to shrink shuffle width."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    p = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("toks") / 10.0).cast("long") - 1)
+        ).alias("pid"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "pid",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("pid") * 10 + 1, 10), " "
+        ).alias("passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "pid")
+    kept = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ordered = F.array_sort(F.collect_list(F.struct("pid", "passage")))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["passage"]), " "
+        ).alias("dedup_text"),
+    )
