@@ -325,3 +325,30 @@ def test_no_query_plans_a_cartesian_product(spark, sf_small):
         if "CartesianProduct" in p:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_analyze_table_feeds_cbo_estimates(spark, sf_small):
+    """ANALYZE TABLE + CBO: catalog statistics give the optimizer an
+    EXACT table row count and a column-histogram-based selectivity for
+    filters — the inputs cost-based join reordering and broadcast
+    decisions run on. (File-size guessing, the fallback, knows bytes
+    but not rows.)"""
+    old = _with_confs(spark, {"spark.sql.cbo.enabled": "true"})
+    try:
+        o = spark.read.parquet(f"{sf_small}/orders.parquet")
+        o.write.mode("overwrite").saveAsTable("cbo_orders")
+        spark.sql(
+            "ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        n = o.count()
+        full = spark.table("cbo_orders")
+        full_stats = full._jdf.queryExecution().optimizedPlan().stats()
+        assert full_stats.rowCount().get() == n  # exact, from the catalog
+
+        filtered = full.filter(F.col("o_orderstatus") == "O")
+        est = filtered._jdf.queryExecution().optimizedPlan().stats()
+        assert est.rowCount().isDefined()
+        assert 0 < est.rowCount().get() < n  # selectivity from column stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+        _restore_confs(spark, old)
