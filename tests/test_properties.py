@@ -189,3 +189,52 @@ def test_minhash_pairs_subset_of_candidates(spark):
     verified = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
     assert verified <= cand
     assert (0, 1) in verified and (2, 3) in verified
+
+
+def test_passage_dedup_invariants(spark, monkeypatch, tmp_path):
+    """Passage-level dedup: (1) every passage in the output corpus is
+    globally unique; (2) output token count never exceeds input; (3) a
+    doc made entirely of another doc's passages vanishes."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    p10_a = " ".join(f"a{i}" for i in range(10))
+    p10_b = " ".join(f"b{i}" for i in range(10))
+    p10_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p10_a} {p10_b}", "en", "s1", 0),
+            (2, f"{p10_b} {p10_c}", "en", "s1", 0),  # b-passage is a dup
+            (3, f"{p10_a} {p10_b}", "en", "s1", 0),  # vanishes entirely
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = {r.doc_id: r for r in QUERIES["dedup_passages"].fn(spark, path).collect()}
+
+    assert set(out) == {1, 2}               # doc 3 fully deduplicated away
+    assert out[1].dedup_text == f"{p10_a} {p10_b}"
+    assert out[2].dedup_text == p10_c       # only its novel passage survives
+    all_passages = []
+    for r in out.values():
+        toks = r.dedup_text.split(" ")
+        all_passages += [" ".join(toks[i:i+10]) for i in range(0, len(toks), 10)]
+    assert len(all_passages) == len(set(all_passages))  # global uniqueness
+
+
+def test_domain_balance_bounds_and_determinism(spark, sf_small):
+    """Domain-mix rebalancing: kept ≤ total per source, the smallest
+    source keeps everything (rate 256/256), and two runs agree row for
+    row (hash-rate sampling has no RNG)."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    fn = QUERIES["domain_balance_sample"].fn
+    a = {r.source: (r.n_total, r.n_kept) for r in fn(spark, sf_small).collect()}
+    b = {r.source: (r.n_total, r.n_kept) for r in fn(spark, sf_small).collect()}
+    assert a == b  # deterministic
+    min_total = min(t for t, _ in a.values())
+    for total, kept in a.values():
+        assert 0 <= kept <= total
+    assert dict(a)[
+        next(s for s, (t, _) in a.items() if t == min_total)
+    ][1] == min_total  # smallest source fully kept
