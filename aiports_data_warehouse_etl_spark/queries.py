@@ -2541,14 +2541,62 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
-@q("dedup_connected_components", None)  # iterative label propagation — no SQL twin
+@q(
+    "dedup_connected_components",
+    r"""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)), i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh FROM t),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh WHERE len(sh) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|')) AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sh a ON p.id_a = a.doc_id
+      JOIN sh b ON p.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS comp FROM edges
+      UNION
+      SELECT e.src AS id, r.comp
+      FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id FROM labels WHERE id <> component)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    """,
+)  # the oracle closes the SAME md5-minhash pair graph with a recursive CTE
 def dedup_connected_components(spark, sf_dir):
     """Transitive near-dup clusters: MinHash pairs → iterative min-label
     propagation (bounded lineage via checkpointed iterations), keeping
     one doc per connected component. Chain A~B~C collapses to A even
     when A~C is below threshold — the star-collapse in dedup_minhash_lsh
-    can't do that. Rows-only: the fixpoint loop has no SQL twin;
-    behavior is pinned by tests/test_dedup_similarity.py."""
+    can't do that. Fully oracle-checked: DuckDB closes the SAME
+    md5-minhash pair graph with a recursive CTE (min reachable id per
+    node), so even the iterative fixpoint is hash-compared, not just
+    row-counted. Behavior also pinned by tests/test_dedup_similarity.py."""
     return D.minhash_dedup_cc(
         _t(spark, sf_dir, "documents"), threshold=0.5
     ).select("doc_id", "source")
