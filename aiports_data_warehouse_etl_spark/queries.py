@@ -868,12 +868,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@q("dedup_simhash", None)  # bit-level conv() has no clean DuckDB twin → rows-only
+_SIMHASH_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (SELECT id, sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31, sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32, sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33, sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34, sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35, sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36, sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37, sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38, sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39, sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40, sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41, sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42, sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43, sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44, sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45, sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46, sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47, sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48, sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49, sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50, sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51, sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52, sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53, sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54, sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55, sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56, sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57, sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58, sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59 FROM hashed GROUP BY id),
+    sig AS (SELECT id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) + (CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END) + (CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END) + (CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END) + (CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END) + (CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END) + (CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END) + (CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END) + (CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END) + (CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END) + (CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END) + (CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END) + (CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END) + (CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END) + (CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END) + (CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END) + (CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END) + (CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END) + (CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END) + (CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END) + (CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END) + (CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END) + (CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END) + (CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END) + (CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END) + (CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END) + (CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END) + (CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END) + (CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) AS BIGINT) AS sig FROM votes)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+@q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (block-permutation candidate join +
-    Hamming verify; ≤3 with 4 blocks = complete, not approximate).
-    Oracle: rows-only (60-bit hex→int bit arithmetic is not portably
-    expressible in DuckDB SQL)."""
+    Hamming verify; <=3 with 4 blocks = COMPLETE by pigeonhole, so the
+    brute-force DuckDB twin (60-bit signatures rebuilt from the same
+    md5 hex, all-pairs XOR popcount) is an exact oracle — the
+    generated 60-expression bit-vote SQL mirrors
+    dedup.simhash_signatures one-for-one."""
     return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
