@@ -3968,3 +3968,49 @@ def dedup_passages(spark, sf_dir):
             F.transform(ordered, lambda s: s["passage"]), " "
         ).alias("dedup_text"),
     )
+
+
+@q(
+    "stratified_sample_hash",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS bucket
+      FROM (SELECT l_returnflag,
+                   md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
+            FROM lineitem)
+    )
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+    FROM b
+    WHERE bucket < CASE l_returnflag WHEN 'A' THEN 6554
+                                     WHEN 'N' THEN 1311
+                                     WHEN 'R' THEN 6554 END
+    GROUP BY l_returnflag
+    """,
+)
+def stratified_sample_hash(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum keep rates
+    enforced by a 16-bit md5 bucket of the row's natural key —
+    A/R at ~10% (6554/65536), N at ~2%. No RNG: the SAME rows are
+    kept on every run, engine, partitioning, and task retry (the
+    property seeded Bernoulli sampling lacks — `stratified_sample`
+    keeps the built-in sampleBy surface for contrast). Map-side
+    filter only; at 100 TB nothing shuffles but the count."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = "md5(concat(cast(l_orderkey as string), '-', cast(l_linenumber as string)))"
+    hx = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    bucket = F.expr(
+        f"({hx.format(h=h, i=1)}) * 4096 + ({hx.format(h=h, i=2)}) * 256 "
+        f"+ ({hx.format(h=h, i=3)}) * 16 + ({hx.format(h=h, i=4)})"
+    )
+    rate = (
+        F.when(F.col("l_returnflag") == "N", 1311).otherwise(6554)
+    )
+    return (
+        li.filter(bucket < rate)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
