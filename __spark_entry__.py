@@ -3,12 +3,13 @@
 ``entry(spark)`` runs the flagship star-join rollup at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
-for each. Rows-only entries (no oracle) are exactly the ops whose
-internals are engine-specific by design: SimHash bit arithmetic, the
-k-means IVF quantizer, HLL/t-digest sketches, seeded Bernoulli
-sampling, iterative connected components, the mapInPandas media decode,
-and catalog introspection — each has an accuracy/behavior test instead
-(COVERAGE.md).
+for each — including the iterative connected-components op (closed by
+a recursive CTE) and SimHash (generated bit-vote SQL). The 5 rows-only
+entries are exactly the ops whose internals are engine-specific by
+design: the k-means IVF quantizer, HLL/t-digest sketches, seeded
+Bernoulli sampling (its deterministic hash-bucket twin IS oracled),
+the mapInPandas media decode, and catalog introspection — each has an
+accuracy/behavior test instead (COVERAGE.md).
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """
