@@ -352,3 +352,29 @@ def test_analyze_table_feeds_cbo_estimates(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
         _restore_confs(spark, old)
+
+
+def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
+    """Dynamic partition pruning: a runtime filter from the dim side
+    prunes fact PARTITIONS (directories) the join cannot match — at
+    100 TB, the difference between scanning one date partition and
+    scanning the table. The pruning subquery must appear in the
+    fact scan's partition filters."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "fact_part")
+    o.write.partitionBy("status").parquet(path)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "status string, label string",
+    )
+    fact = spark.read.parquet(path)
+    j = (
+        fact.join(dim.filter(F.col("label") == "open"), "status")
+        .groupBy("status")
+        .count()
+    )
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower()
+    assert j.collect()[0]["status"] == "O"
