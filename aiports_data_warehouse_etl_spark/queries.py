@@ -3975,13 +3975,9 @@ def dedup_passages(spark, sf_dir):
     """
     WITH b AS (
       SELECT l_returnflag,
-             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-           + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-           + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-           + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS bucket
-      FROM (SELECT l_returnflag,
-                   md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
-            FROM lineitem)
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 4) AS INTEGER) AS bucket
+      FROM lineitem
     )
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
     FROM b
@@ -4000,12 +3996,24 @@ def stratified_sample_hash(spark, sf_dir):
     keeps the built-in sampleBy surface for contrast). Map-side
     filter only; at 100 TB nothing shuffles but the count."""
     li = _t(spark, sf_dir, "lineitem")
-    h = "md5(concat(cast(l_orderkey as string), '-', cast(l_linenumber as string)))"
-    hx = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
-    bucket = F.expr(
-        f"({hx.format(h=h, i=1)}) * 4096 + ({hx.format(h=h, i=2)}) * 256 "
-        f"+ ({hx.format(h=h, i=3)}) * 16 + ({hx.format(h=h, i=4)})"
-    )
+    # one md5 + one base-16 conv per row (a per-hex-digit instr chain
+    # re-inlined the md5 4× under project collapse and cost ~3s at
+    # sf0.1; this form is a single pass)
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
     rate = (
         F.when(F.col("l_returnflag") == "N", 1311).otherwise(6554)
     )
