@@ -604,6 +604,42 @@ def connected_components(
     return labels
 
 
+def cc_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """Cluster collapse with a QUALITY-AWARE representative: keep the
+    highest-``score_col`` doc per near-dup connected component (ties →
+    lowest id), not merely the min-id one.
+
+    This is the production dedup policy for training corpora — when a
+    near-dup cluster mixes a clean original with mangled scrapes, the
+    kept doc should be the best one, not the one that happened to be
+    crawled first. Plan shape: the same pair graph + min-label
+    propagation as ``minhash_dedup_cc``, then one hash-partitioned
+    window (row_number per component) — no extra shuffles beyond the
+    argmax itself. Docs outside every cluster are their own component.
+    """
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+    comp = connected_components(pairs)
+    labeled = df.join(comp, df[id_col] == comp["id"], "left").select(
+        df["*"],
+        F.coalesce(comp["component"], df[id_col]).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     text_col: str = "text",

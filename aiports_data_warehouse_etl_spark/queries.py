@@ -2621,6 +2621,166 @@ def dedup_connected_components(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@q(
+    "dedup_cc_keep_best",
+    rf"""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)), i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh FROM t),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh WHERE len(sh) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|')) AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sh a ON p.id_a = a.doc_id
+      JOIN sh b ON p.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS comp FROM edges
+      UNION
+      SELECT e.src AS id, r.comp
+      FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    m AS (SELECT doc_id, greatest(len(tk), 1) AS n, tk FROM t),
+    quality AS (
+      SELECT doc_id,
+             round(0.5 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n)
+                 + 0.2 * least((CAST(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / n) * 5.0, 1.0),
+               6) AS quality
+      FROM m
+    ),
+    lbl AS (
+      SELECT q.doc_id, q.quality, coalesce(l.component, q.doc_id) AS component
+      FROM quality q LEFT JOIN labels l ON q.doc_id = l.id
+    ),
+    ranked AS (
+      SELECT doc_id, component, quality,
+             row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+      FROM lbl
+    )
+    SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cc_keep_best(spark, sf_dir):
+    """Quality-aware cluster collapse: keep the HIGHEST-quality doc per
+    near-dup connected component (tie → lowest id) instead of the min
+    id — the production policy when a cluster mixes a clean original
+    with mangled scrapes. The oracle closes the same md5-minhash pair
+    graph recursively, scores the same quality heuristic, and picks the
+    same per-component argmax, so the whole policy (graph + scoring +
+    representative choice) is hash-compared end to end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return D.cc_keep_best(docs, "quality", threshold=0.5).select(
+        "doc_id", "component", "quality"
+    )
+
+
+@q(
+    "quality_quantile_filter",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    m AS (SELECT doc_id, source, greatest(len(tk), 1) AS n, tk FROM t),
+    q AS (
+      SELECT doc_id, source,
+             round(0.5 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n)
+                 + 0.2 * least((CAST(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / n) * 5.0, 1.0),
+               6) AS quality
+      FROM m
+    ),
+    thr AS (SELECT round(quantile_cont(quality, 0.75), 6) AS thr FROM q)
+    SELECT doc_id, source, quality FROM q, thr WHERE quality >= thr
+    """,
+)
+def quality_quantile_filter(spark, sf_dir):
+    """Exact-quantile quality gate: keep docs at or above the corpus's
+    75th-percentile quality score. Scale shape: one exact `percentile`
+    aggregate (a single scalar crossing the cluster) broadcast back as
+    a filter — no global sort, no single-partition window. Spark's
+    `percentile` and DuckDB's `quantile_cont` share linear-interpolation
+    semantics; both sides round score and threshold to 6 before the
+    boundary compare."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    thr = scored.agg(
+        F.round(F.expr("percentile(quality, 0.75)"), 6).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "source", "quality")
+    )
+
+
+@q(
+    "csv_roundtrip_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def csv_roundtrip_stats(spark, sf_dir):
+    """CSV sink parity (S5 — the reference's curated tables are CSV,
+    `dags/extract_and_tranform.py:338-350`): write the documents
+    metadata columns as headered CSV, re-read with an EXPLICIT schema
+    (no inference pass), aggregate per lang. Hash-match against parquet
+    proves the CSV path round-trips longs and strings losslessly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_csv, write_csv
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/docs_csv"
+    write_csv(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
 @q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
     """Multimodal plumbing: synthesize a media table (text bytes as the

@@ -196,3 +196,43 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the interchange format of LLM training-data
     pipelines (one doc per line, gzip-splittable when uncompressed)."""
     df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV sink (S5 — the reference's curated output format,
+    `dags/extract_and_tranform.py:338-350`). Values with delimiters or
+    newlines are quoted/escaped by Spark's writer, so the roundtrip is
+    lossless for string columns as long as the reader is given the
+    same quote options (the `read_csv` defaults)."""
+    w = df.write.mode(mode).option("header", header)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for data skipping.
+
+    ``repartitionByRange(sort_cols)`` gives each output file a DISJOINT
+    key range, and ``sortWithinPartitions`` keeps every parquet row
+    group's min/max stats tight on the sort key. A point or range
+    filter on that key then prunes whole files (Spark compares
+    pushed-down predicates against footer stats) and, within a file,
+    whole row groups — the poor man's z-order, and the single biggest
+    scan-cost lever at 100 TB after partition pruning: a selective
+    filter reads O(matching ranges), not O(corpus).
+    """
+    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(n_files, *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

@@ -258,3 +258,25 @@ def test_decontaminate_flags(spark):
     assert got[10][1] is True and got[10][0] >= 5
     assert got[11][0] >= 1
     assert got[12] == (0, False)
+
+
+def test_cc_keep_best_picks_quality_representative(spark):
+    """cc_keep_best keeps the highest-score doc per component — NOT the
+    min id — and passes singletons through untouched."""
+    from aiports_data_warehouse_etl_spark.operators.dedup import cc_keep_best
+
+    half1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{half1} {half1}", 0.2),   # cluster {0,1,2}: chain via 1
+            (1, f"{half1} {half2}", 0.9),   # best quality → the keeper
+            (2, f"{half2} {half2}", 0.9),   # ties 1 on score; higher id loses
+            (9, "unrelated singleton content entirely different words", 0.1),
+        ],
+        ["doc_id", "text", "score"],
+    )
+    kept = cc_keep_best(docs, "score", threshold=0.3).collect()
+    assert {(r.doc_id, r.component) for r in kept} == {(1, 0), (9, 9)}
+    # every original column survives the collapse
+    assert {r.doc_id: r.score for r in kept} == {1: 0.9, 9: 0.1}

@@ -378,3 +378,56 @@ def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
     p = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower()
     assert j.collect()[0]["status"] == "O"
+
+
+def test_sorted_layout_enables_row_group_skipping(spark, sf_small, tmp_path):
+    """write_sorted_parquet gives files DISJOINT key ranges, so a
+    selective range predicate overlaps O(1) files' footer stats; the
+    same data hash-partitioned overlaps every file. This is what the
+    pushed-down filter actually prunes against at scan time."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from aiports_data_warehouse_etl_spark.sources.io import write_sorted_parquet
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    sorted_path = str(tmp_path / "li_sorted")
+    hashed_path = str(tmp_path / "li_hashed")
+    write_sorted_parquet(li, sorted_path, ["l_orderkey"], n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(hashed_path)
+
+    def key_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("l_orderkey")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    s_ranges, h_ranges = key_ranges(sorted_path), key_ranges(hashed_path)
+    assert len(s_ranges) >= 4
+    # disjoint ranges in the sorted layout (allowing the boundary key
+    # to repeat across adjacent files: lineitem has ~4 rows/orderkey)
+    s_ranges.sort()
+    for (_, hi), (lo, _) in zip(s_ranges, s_ranges[1:]):
+        assert lo >= hi - 1
+
+    lo = s_ranges[0][0]
+    hi_probe = lo + (s_ranges[0][1] - lo) // 2  # well inside file 0
+    overlap = lambda rs: sum(1 for a, b in rs if a <= hi_probe and b >= lo)
+    assert overlap(s_ranges) <= 2
+    assert overlap(h_ranges) == len(h_ranges)  # hashed: every file touched
+
+    # pushdown engages and results agree across layouts
+    pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi_probe)
+    q = spark.read.parquet(sorted_path).filter(pred)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey)" in p
+    n_sorted = q.count()
+    assert n_sorted == spark.read.parquet(hashed_path).filter(pred).count()
+    assert n_sorted > 0
