@@ -2781,6 +2781,88 @@ def csv_roundtrip_stats(spark, sf_dir):
     )
 
 
+@q(
+    "full_outer_reconcile",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS order_value
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    )
+    SELECT coalesce(o.o_custkey, d.c_custkey) AS custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.order_value, 0.0), 2) AS order_value,
+           d.acctbal
+    FROM o FULL OUTER JOIN d ON o.o_custkey = d.c_custkey
+    """,
+)
+def full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER equi-join — the reconciliation shape (which customers
+    ordered, which are in debt, and the union of both with NULLs where
+    a side is absent). The only outer-join flavor the registry lacked:
+    J1-J3 are left, J4/Q21-22 anti, Q4 semi. Scale shape: both inputs
+    are REDUCED before the join (orders pre-aggregated per custkey, the
+    debtor side filtered), so the full outer is one shuffle of two
+    already-small keyed sides; keys coalesce into a single output
+    column, the canonical full-outer idiom."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    o = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("order_value"),
+    )
+    d = customer.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    j = o.join(d, o["o_custkey"] == d["c_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(o["o_custkey"], d["c_custkey"]).alias("custkey"),
+        F.coalesce(o["n_orders"], F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce(o["order_value"], F.lit(0.0)), 2).alias("order_value"),
+        d["acctbal"],
+    )
+
+
+@q(
+    "str_agg_ordered",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey)
+             AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def str_agg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per customer, the comma-joined list of order priorities in a
+    DETERMINISTIC order (priority, then orderkey as tiebreak — without
+    a total order the concatenation is nondeterministic under
+    parallelism and no oracle can match it). Spark side: collect_list
+    of (sortkey, value) structs → array_sort → transform → concat_ws,
+    all native expressions. Scale shape: per-group arrays are bounded
+    by group size (orders per customer), partial-aggregated map-side;
+    no global sort anywhere."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderpriority", "o_orderkey"))
+                ),
+                lambda s: s["o_orderpriority"],
+            ),
+        ).alias("priorities"),
+    )
+
+
 @q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
     """Multimodal plumbing: synthesize a media table (text bytes as the

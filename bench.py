@@ -44,18 +44,26 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        best = None
-        for _ in range(reps):
+        samples: list[float] = []
+        # Adaptive tail: when the recorded reps disagree >2× on a
+        # non-trivial query, the box was in a CPU-throttle window (the
+        # dominant noise source here — see BENCH_NOTES.md) and even the
+        # best-of may be inflated; take up to 2 extra reps so at least
+        # one lands outside the window.
+        while len(samples) < reps or (
+            len(samples) < reps + 2
+            and min(samples) > 1.0
+            and max(samples) > 2 * min(samples)
+        ):
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             # Queries are self-contained: drop their internal persists
             # so cached blocks don't pile up across the registry and
             # turn into full-GC pauses that land on whichever query
             # runs next.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
