@@ -2863,6 +2863,111 @@ def str_agg_ordered(spark, sf_dir):
     )
 
 
+@q(
+    "table_fingerprint",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               o_orderpriority || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             ), 1, 10) AS BIGINT) AS hv
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS hash_sum,
+           bit_xor(hv) AS hash_xor
+    FROM h
+    """,
+)
+def table_fingerprint(spark, sf_dir):
+    """Order-independent table checksum for cross-system migration
+    validation: each row is canonicalized to a delimited string, md5'd,
+    and the first 40 bits folded with commutative aggregates (SUM +
+    BIT_XOR) so the fingerprint is identical regardless of row order,
+    partitioning, or engine. Two independent folds catch what either
+    alone misses (XOR is blind to duplicated pairs, SUM to swapped
+    bits). Scale shape: pure map-side hash + partial aggregation — at
+    100 TB a fingerprint is one scan with a single-row shuffle; 40-bit
+    values keep the BIGINT sum overflow-free below ~2^23 rows per
+    fingerprint (at larger scales fingerprint per partition and compare
+    the partition-level vectors instead)."""
+    o = _t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return o.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("hv").cast("long").alias("hash_sum"),
+        F.expr("bit_xor(hv)").alias("hash_xor"),
+    )
+
+
+@q(
+    "evt_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7) AS BIGINT)
+             AS week_n,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_n
+    """,
+)
+def evt_retention_cohorts(spark, sf_dir):
+    """Retention cohort analysis: users grouped by first-seen week,
+    counted in each subsequent week they were active — the canonical
+    product-analytics triangle (cohort × weeks-since × active users).
+    Scale shape: both sides reduce BEFORE the join (first-seen is a
+    per-user min, activity a per-user-week distinct), so the join keys
+    are user-cardinality, not event-cardinality; the final rollup is
+    tiny (weeks²). Week buckets via date_trunc are engine-portable
+    (ISO Monday start in both Spark and DuckDB)."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 @q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
     """Multimodal plumbing: synthesize a media table (text bytes as the
