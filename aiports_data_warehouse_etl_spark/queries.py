@@ -37,6 +37,10 @@ from aiports_data_warehouse_etl_spark.functions.timecodec import (
     hhmm_add_minutes,
     hhmm_to_minute_of_day,
 )
+from aiports_data_warehouse_etl_spark.functions.zorder import (
+    morton_interleave,
+    morton_sql,
+)
 from aiports_data_warehouse_etl_spark.operators import dedup as D
 from aiports_data_warehouse_etl_spark.operators import similarity as S
 from aiports_data_warehouse_etl_spark.operators import textops as TX
@@ -2965,6 +2969,35 @@ def evt_retention_cohorts(spark, sf_dir):
         )
         .groupBy("cohort_week", "week_n")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@q(
+    "zorder_encode",
+    f"""
+    SELECT o_orderkey,
+           {morton_sql(
+               "o_custkey % 4096",
+               "CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 4096",
+           )} AS zval
+    FROM orders
+    """,
+)
+def zorder_encode(spark, sf_dir):
+    """Morton z-value encode (functions/zorder.py) of every order's
+    (custkey, order-day) pair — the sort key behind the 2-D clustered
+    layout `write_zorder_parquet`. The oracle SQL is GENERATED from
+    the same shift/mask constants as the Spark expression (SimHash
+    precedent), so the two encoders cannot drift. Pure map-side
+    projection: no shuffle, no UDF, whole-stage codegen."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(4096))
+    y = F.pmod(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long"),
+        F.lit(4096),
+    )
+    return o.select(
+        "o_orderkey", morton_interleave(x, y).alias("zval")
     )
 
 

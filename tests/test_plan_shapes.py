@@ -431,3 +431,65 @@ def test_sorted_layout_enables_row_group_skipping(spark, sf_small, tmp_path):
     n_sorted = q.count()
     assert n_sorted == spark.read.parquet(hashed_path).filter(pred).count()
     assert n_sorted > 0
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """write_zorder_parquet clusters on the Morton value of (x, y):
+    every file covers a small rectangle, so footer stats prune files
+    for a selective filter on EITHER column. The single-column sorted
+    layout only prunes on its sort key — a y-filter touches every
+    file there."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aiports_data_warehouse_etl_spark.sources.io import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    # 256x256 dense grid: x and y independent and uniform
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"),
+    )
+    z_path = str(tmp_path / "zorder")
+    x_path = str(tmp_path / "xsorted")
+    write_zorder_parquet(grid, z_path, "x", "y", n_files=16)
+    write_sorted_parquet(grid, x_path, ["x"], n_files=16)
+
+    def ranges(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    overlap = lambda rs, lo, hi: sum(1 for a, b in rs if a <= hi and b >= lo)
+
+    # probe: a 32-wide band in each dimension (1/8 of the key space)
+    zx, zy = ranges(z_path, "x"), ranges(z_path, "y")
+    assert len(zx) >= 8
+    # z-order: each file is a rectangle, so BOTH probes skip most files
+    assert overlap(zx, 0, 31) <= len(zx) // 2
+    assert overlap(zy, 0, 31) <= len(zy) // 2
+
+    # x-sorted contrast: prunes on x but every file spans all of y
+    sx, sy = ranges(x_path, "x"), ranges(x_path, "y")
+    assert overlap(sx, 0, 31) <= len(sx) // 2
+    assert overlap(sy, 0, 31) == len(sy)
+
+    # correctness: identical band counts from both layouts
+    for c in ("x", "y"):
+        pred = (F.col(c) >= 0) & (F.col(c) <= 31)
+        assert (
+            spark.read.parquet(z_path).filter(pred).count()
+            == spark.read.parquet(x_path).filter(pred).count()
+            == 32 * 256
+        )
