@@ -13,6 +13,10 @@ Three paths:
   multi-probe.
 - ``ivf_topk`` — approximate: k-means coarse quantizer (pyspark.ml),
   nprobe-cell search over the same bucket-join plan shape.
+- ``pq_topk`` — approximate: product-quantization codes (m subspace
+  codebooks, corpus stored as m small ints = ~32x compression), one
+  mapInPandas LUT scan + exact re-rank of the candidate superset. The
+  memory-bandwidth path for a 100 TB embedding corpus.
 
 Scoring on candidate PAIRS always goes through ``vector_cosine`` (an
 Arrow-batched numpy kernel): Spark's higher-order-function folds are
@@ -268,6 +272,147 @@ def ivf_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cand_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def pq_train_codebooks(
+    X: np.ndarray, m: int, n_codes: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Train product-quantization codebooks on a driver-side sample:
+    split the dimension into ``m`` subspaces and run seeded Lloyd
+    k-means with ``n_codes`` centroids in each. Returns (m, n_codes,
+    d/m). Like the IVF quantizer, codebooks need a sketch of the
+    distribution, not the corpus — the sample is bounded regardless
+    of corpus size."""
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    n_codes = min(n_codes, len(X))  # can't have more centroids than samples
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, ds))
+    for j in range(m):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        C = Xj[rng.choice(len(Xj), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            assign = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(n_codes):
+                pts = Xj[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 64,
+    rerank: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_query_id: int | None = None,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (the FAISS
+    PQ+refine recipe).
+
+    Corpus vectors are L2-normalized and compressed to ``m`` codebook
+    indices (m bytes instead of 4·d — 32× smaller at d=64, the lever
+    that lets a 100 TB embedding corpus fit scan-speed storage).
+    Queries build an asymmetric-distance lookup table (LUT) of
+    subspace dot products; scanning a candidate costs ``m`` LUT adds
+    instead of ``d`` multiplies.
+
+    Plan shape at scale: ONE mapInPandas pass over the compressed
+    corpus (codebooks + query LUTs are closure constants — nothing is
+    joined or shuffled); each Arrow batch emits only its local
+    top-(k·rerank) per query, so the shuffle that follows carries
+    O(partitions · queries · k·rerank) candidate rows, not the corpus.
+    Candidates then join back to exact vectors for a final exact
+    cosine re-rank — recall lost to 4-bit codes is recovered by
+    re-scoring a small superset exactly. Deterministic end-to-end
+    (seeded training, stable argsorts, id tiebreaks); oracle is
+    rows-only (k-means has no SQL twin) with a recall floor pinned
+    against ``brute_force_topk`` in tests.
+    """
+    base = _as_double(df, vec_col, id_col)
+    X = np.stack(base.select("v").limit(train_sample).toPandas()["v"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    CB = pq_train_codebooks(X, m, n_codes, seed)
+    d = X.shape[1]
+    ds = d // m
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        codes = np.empty((len(V), m), dtype="int32")
+        for j in range(m):
+            d2 = ((V[:, None, j * ds : (j + 1) * ds] - CB[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    q = base if max_query_id is None else base.filter(F.col("id") < max_query_id)
+    qrows = q.select("id", "v").toPandas()  # bounded: queries are the small side
+    qids = qrows["id"].to_numpy()
+    Q = np.stack(qrows["v"].to_numpy())
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[qi, j, c] = <q_subvec_j, codebook_j[c]> — approx cosine is the
+    # sum over j of LUT entries picked by a candidate's codes.
+    LUT = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, ds), CB)
+
+    n_cand = k * rerank
+    j_idx = np.arange(m)
+
+    def scan(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            ids = pdf["id"].to_numpy()
+            out_q, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(qids):
+                sims = LUT[qi][j_idx[None, :], codes].sum(1)
+                sims[ids == qid] = -np.inf  # never propose self
+                top = np.argsort(-sims, kind="stable")[:n_cand]
+                out_q.extend([qid] * len(top))
+                out_id.extend(ids[top])
+                out_sim.extend(sims[top])
+            yield pd.DataFrame(
+                {"qid": out_q, "cand_id": out_id, "approx_sim": out_sim}
+            )
+
+    corpus = base.select("id", encode(F.col("v")).alias("codes"))
+    cand = corpus.mapInPandas(scan, "qid long, cand_id long, approx_sim double")
+    # global candidate cut, then exact re-rank on the true vectors
+    wc = Window.partitionBy("qid").orderBy(F.desc("approx_sim"), F.asc("cand_id"))
+    cand = (
+        cand.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= n_cand)
+        .drop("crk", "approx_sim")
+    )
+    qv = F.broadcast(
+        base.filter(F.col("id").isin([int(i) for i in qids])).select(
+            F.col("id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    # corpus streams; the CANDIDATE set (small by construction) is the
+    # broadcast side — only matching vectors survive the scan
+    exact = (
+        base.select(F.col("id").alias("cand_id"), "v")
+        .join(F.broadcast(cand), "cand_id")
+        .join(qv, "qid")
+        .select(
+            "qid",
+            "cand_id",
+            F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "cand_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )

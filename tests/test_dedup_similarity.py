@@ -280,3 +280,23 @@ def test_cc_keep_best_picks_quality_representative(spark):
     assert {(r.doc_id, r.component) for r in kept} == {(1, 0), (9, 9)}
     # every original column survives the collapse
     assert {r.doc_id: r.score for r in kept} == {1: 0.9, 9: 0.1}
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_small):
+    from aiports_data_warehouse_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    exact = {(r.qid, r.cand_id) for r in brute_force_topk(emb, k=5, max_query_id=20).collect()}
+    approx_rows = pq_topk(emb, k=5, max_query_id=20).collect()
+    approx = {(r.qid, r.cand_id) for r in approx_rows}
+    assert all(r.rnk <= 5 for r in approx_rows)
+    assert not any(r.qid == r.cand_id for r in approx_rows)
+    # 4-bit codes + 4x exact re-rank: recall well above the LUT-only floor
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, f"PQ recall collapsed: {recall}"
+    # deterministic: seeded training, stable argsorts, id tiebreaks
+    again = {
+        (r.qid, r.cand_id)
+        for r in pq_topk(emb, k=5, max_query_id=20).collect()
+    }
+    assert again == approx
