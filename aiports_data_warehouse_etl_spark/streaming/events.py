@@ -450,3 +450,66 @@ def user_stats_tws_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_attributed_revenue(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "attr_revenue",
+    window_minutes: int = 10,
+):
+    """CHAINED stateful operators in one streaming query (Spark 4
+    multi-stateful support): the purchase↔click interval join of
+    ``stream_purchase_attribution`` feeds a tumbling-window aggregation
+    of attributed revenue per hour — join state AND window state in
+    the same pipeline, both bounded by the same watermark, append mode
+    end-to-end. Pre-Spark-3.5 this required two queries with an
+    intermediate sink; as one query there is no intermediate storage
+    and exactly-once comes from the single checkpoint.
+
+    Scale: both operator states are keyed (user for the join, window
+    for the agg) and expire at the watermark; throughput is governed by
+    the shuffle on user_id then the tiny window-key exchange.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    base = spark.readStream.schema(schema).parquet(source_dir)
+
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    attributed = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    )
+    hourly = attributed.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed_pairs"),
+        F.round(F.sum("p_value"), 2).alias("attributed_value"),
+    ).select(F.col("w.start").alias("hour_start"), "n_attributed_pairs", "attributed_value")
+    return (
+        hourly.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

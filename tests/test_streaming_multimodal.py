@@ -344,3 +344,50 @@ def test_transform_with_state_running_stats(spark, sf_small, tmp_path):
     assert got == expected
     if old is not None:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_chained_stateful_stream_matches_batch(spark, sf_small, tmp_path):
+    """Stream-stream join + downstream windowed agg as ONE streaming
+    query (chained stateful operators) produces the same hourly
+    attributed-revenue table as the batch twin."""
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        stream_attributed_revenue,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "chain_src")
+    events.write.parquet(src)
+
+    q = stream_attributed_revenue(spark, src, str(tmp_path / "chain_ck"), "chain_t")
+    q.awaitTermination(120)
+    streamed = {
+        (r.hour_start, r.n_attributed_pairs, r.attributed_value)
+        for r in spark.sql("SELECT * FROM chain_t").collect()
+    }
+
+    e = spark.read.parquet(src)
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("value").alias("pv"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+    )
+    batch = {
+        (r.hour_start, r.n_attributed_pairs, r.attributed_value)
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") < F.col("pts")),
+        )
+        .groupBy(F.window("pts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed_pairs"),
+            F.round(F.sum("pv"), 2).alias("attributed_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_attributed_pairs", "attributed_value")
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
