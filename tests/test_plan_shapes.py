@@ -493,3 +493,44 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
             == spark.read.parquet(x_path).filter(pred).count()
             == 32 * 256
         )
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema drift in a parquet lake: files written before a column
+    existed must still be readable alongside new files. mergeSchema
+    unifies the footers (missing column → NULL); the production
+    posture — an EXPLICIT read schema — gets the same result without
+    paying the all-footers scan, and widened types stay stable."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit("v1").alias("source")
+    ).write.parquet(p)
+    spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        F.lit("v2").alias("source"),
+        (F.col("id") * 1.5).alias("quality"),  # column added in v2
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "source", "quality"}
+    assert merged.count() == 8
+    # rows from before the column existed read as NULL
+    assert merged.filter("source = 'v1' AND quality IS NULL").count() == 5
+    assert merged.filter("source = 'v2' AND quality IS NOT NULL").count() == 3
+
+    # explicit-schema read: same unified view, no footer merge pass
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    explicit = spark.read.schema(schema).parquet(p)
+    assert explicit.count() == 8
+    assert explicit.filter("quality IS NULL").count() == 5
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in explicit.collect()}
+    assert a == b
