@@ -3014,6 +3014,83 @@ def zorder_encode(spark, sf_dir):
     )
 
 
+@q(
+    "emb_label_centroids",
+    """
+    WITH m AS (
+      SELECT label, i.i AS pos,
+             CAST(floor(avg(CAST(embedding[i.i] AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS mu_micro
+      FROM embeddings, generate_series(1, 64) AS i(i)
+      GROUP BY label, i.i
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS dim,
+           array_to_string(array_agg(mu_micro ORDER BY pos), '|') AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, element-wise: posexplode the
+    vector, average each (label, position) cell, reassemble ordered
+    arrays. The array-POSITION analytics shape (also the distributed
+    half of k-means maintenance). Scale: the explode is a narrow map
+    producing (label, pos, x) triples; ONE shuffle keyed by
+    (label, pos) — |labels|·dim cells regardless of corpus size — and
+    partial aggregation does the heavy summing map-side. No driver
+    collect, no UDF; centroid assembly sorts |dim| structs per label.
+    Emitted as scaled-integer micro-units joined with '|' (the
+    registry's arrays-as-scalars hashing convention; integer
+    formatting is engine-portable where double formatting is not)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    m = cells.groupBy("label", "pos").agg(
+        F.floor(F.avg("x") * 1000000 + F.lit(0.5)).cast("long").alias("mu_micro")
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu_micro"))),
+                lambda s: s["mu_micro"].cast("string"),
+            ),
+            "|",
+        ).alias("centroid"),
+    )
+
+
+@q("hll_mergeable_distinct", None)  # sketch binaries are engine-specific
+def hll_mergeable_distinct(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches, Spark 4 native): build one
+    sketch per source, then RE-AGGREGATE the stored sketches into a
+    corpus-wide distinct estimate without touching the raw data again.
+    This is the 100 TB distinct-counting pattern: sketches are built
+    once per partition/day (map-side, mergeable), persisted bytes ride
+    in metadata tables, and any rollup (per source, per month, global)
+    is a cheap union of kilobyte sketches instead of a re-scan.
+    Deterministic for fixed input; accuracy vs exact pinned in
+    tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents")
+    sk = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("doc_id")).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    per_source = sk.select(
+        "source",
+        "n_rows",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
+    )
+    overall = sk.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).cast("long").alias(
+            "approx_distinct"
+        ),
+    ).select(F.lit("__all__").alias("source"), "n_rows", "approx_distinct")
+    return per_source.unionByName(overall)
+
+
 @q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
     """Multimodal plumbing: synthesize a media table (text bytes as the

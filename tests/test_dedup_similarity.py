@@ -300,3 +300,22 @@ def test_pq_topk_recall_and_determinism(spark, sf_small):
         for r in pq_topk(emb, k=5, max_query_id=20).collect()
     }
     assert again == approx
+
+
+def test_hll_mergeable_sketch_accuracy(spark, sf_oracle):
+    """Per-source HLL estimates and the union-of-sketches global
+    estimate both land within 5% of exact distinct counts — the
+    re-aggregation must not lose accuracy vs a fresh global sketch."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    rows = {r.source: r for r in QUERIES["hll_mergeable_distinct"].fn(spark, sf_oracle).collect()}
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    exact_per = {
+        r.source: r.nd
+        for r in d.groupBy("source").agg(F.count_distinct("doc_id").alias("nd")).collect()
+    }
+    exact_all = d.select("doc_id").distinct().count()
+    for src, nd in exact_per.items():
+        assert abs(rows[src].approx_distinct - nd) / nd < 0.05, (src, rows[src], nd)
+    assert abs(rows["__all__"].approx_distinct - exact_all) / exact_all < 0.05
+    assert rows["__all__"].n_rows == d.count()
