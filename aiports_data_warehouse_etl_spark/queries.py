@@ -3061,6 +3061,44 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
+@q(
+    "weighted_sample_priority",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM h
+    ORDER BY CAST(hv AS DOUBLE) / greatest(n_chars, 1) ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_priority(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson / priority sampling, Ohlsson): priority = uniform-hash /
+    weight, keep the k smallest — inclusion probability proportional
+    to weight (here n_chars: longer documents sampled more), and the
+    SAME sample on every run, engine, and partitioning because the
+    uniform comes from md5(doc_id), not an RNG. IEEE division is
+    correctly rounded, so the priority is bit-identical across
+    engines — no transcendental functions in the key. Scale shape:
+    global ORDER BY k is TakeOrderedAndProject (per-partition top-k,
+    then a k-row merge on one reducer) — no full sort of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10).cast(
+        "long"
+    )
+    priority = hv.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        d.select("doc_id", "source", "n_chars", priority.alias("__p"))
+        .orderBy(F.asc("__p"), F.asc("doc_id"))
+        .limit(100)
+        .drop("__p")
+    )
+
+
 @q("hll_mergeable_distinct", None)  # sketch binaries are engine-specific
 def hll_mergeable_distinct(spark, sf_dir):
     """Mergeable HLL sketches (Datasketches, Spark 4 native): build one

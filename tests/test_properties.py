@@ -238,3 +238,23 @@ def test_domain_balance_bounds_and_determinism(spark, sf_small):
     assert dict(a)[
         next(s for s, (t, _) in a.items() if t == min_total)
     ][1] == min_total  # smallest source fully kept
+
+
+def test_weighted_sample_biases_toward_weight(spark, sf_oracle):
+    """Priority sampling with n_chars weights must overrepresent long
+    documents (sample mean length > corpus mean) while staying
+    deterministic across runs."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    fn = QUERIES["weighted_sample_priority"].fn
+    sample = fn(spark, sf_oracle).collect()
+    assert len(sample) == 100
+    corpus_mean = (
+        spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_mean > corpus_mean * 1.1, (sample_mean, corpus_mean)
+    again = fn(spark, sf_oracle).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in sample}
