@@ -534,3 +534,34 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     a = {tuple(r) for r in merged.collect()}
     b = {tuple(r) for r in explicit.collect()}
     assert a == b
+
+
+def test_jdbc_sink_source_roundtrip_embedded(spark, sf_small):
+    """S6 JDBC sink + source, driven end-to-end against the embedded
+    Derby that ships with Spark (no external endpoint needed): write a
+    dimension, read it back both single-stream and as a PARTITIONED
+    parallel scan (numPartitions + bounds — the scale path: each
+    executor opens its own cursor over a key range), and append mode
+    accumulates."""
+    from aiports_data_warehouse_etl_spark.sources.io import write_jdbc
+
+    url = "jdbc:derby:memory:jdbctest;create=true"
+    nation = spark.read.parquet(f"{sf_small}/nation.parquet")
+    write_jdbc(nation, url, "nation", mode="overwrite")
+
+    back = spark.read.jdbc(url, "nation")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+    parallel = spark.read.jdbc(
+        url,
+        "nation",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+    )
+    assert parallel.rdd.getNumPartitions() == 4
+    assert {tuple(r) for r in parallel.collect()} == {tuple(r) for r in nation.collect()}
+
+    write_jdbc(nation, url, "nation", mode="append")
+    assert spark.read.jdbc(url, "nation").count() == 2 * nation.count()
