@@ -4155,6 +4155,37 @@ def orc_roundtrip_agg(spark, sf_dir):
 
 
 @q(
+    "xml_roundtrip_agg",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def xml_roundtrip_agg(spark, sf_dir):
+    """XML source/sink (Spark 4 native): filter customer, write XML,
+    read it back schema-directed, aggregate. Oracle aggregates the
+    same rows straight off parquet — a hash match proves the XML path
+    is lossless for long/double/string columns (shortest-roundtrip
+    numeric serialization both ways)."""
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_xml, write_xml
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/customer_xml"
+    write_xml(c, path, row_tag="customer", root_tag="customers")
+    back = read_xml(spark, path, row_tag="customer", schema=c.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@q(
     "jsonl_roundtrip_stats",
     """
     SELECT source, lang,

@@ -199,6 +199,41 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """XML scan (Spark 4 native data source, the former spark-xml
+    package folded into core). Explicit schema for the same reason as
+    JSON: inference is an extra full pass. Row boundaries come from
+    ``row_tag``; files split at tag boundaries so large XML stays
+    parallel-readable."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str,
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — one element per row under ``root_tag``. Numeric
+    values serialize via shortest-roundtrip formatting, so a
+    schema-directed read returns bit-identical doubles."""
+    df.write.mode(mode).format("xml").option("rootTag", root_tag).option(
+        "rowTag", row_tag
+    ).save(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,
