@@ -4186,6 +4186,49 @@ def xml_roundtrip_agg(spark, sf_dir):
 
 
 @q(
+    "federated_format_union",
+    """
+    WITH u AS (
+      SELECT s_nationkey, s_acctbal FROM supplier
+      UNION ALL SELECT s_nationkey, s_acctbal FROM supplier
+      UNION ALL SELECT s_nationkey, s_acctbal FROM supplier
+    )
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM u GROUP BY s_nationkey
+    """,
+)
+def federated_format_union(spark, sf_dir):
+    """Federated heterogeneous-format scan: the SAME logical table
+    materialized as parquet, CSV, and JSONL is unioned into one plan —
+    the lake reality where history lives in legacy formats next to
+    the curated store. Schema-directed reads on every leg (no
+    inference pass); unionByName keeps column resolution positional-
+    independent. The oracle unions the parquet three times — a hash
+    match proves both text legs decode losslessly. At scale each leg
+    scans in parallel and the union is plan-level (no data movement
+    beyond the shared aggregation shuffle)."""
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.io import read_jsonl, write_csv, write_jsonl
+
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    root = tempfile.mkdtemp(prefix="fed_")
+    write_csv(s, f"{root}/csv")
+    write_jsonl(s, f"{root}/jsonl")
+    csv_leg = (
+        spark.read.schema(s.schema).option("header", True).csv(f"{root}/csv")
+    )
+    jsonl_leg = read_jsonl(spark, f"{root}/jsonl", schema=s.schema)
+    u = s.unionByName(csv_leg).unionByName(jsonl_leg)
+    return u.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@q(
     "jsonl_roundtrip_stats",
     """
     SELECT source, lang,
