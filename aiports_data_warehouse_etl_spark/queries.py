@@ -4604,3 +4604,436 @@ def stratified_sample_hash(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O. Product-analytics batch: funnels, concurrency, anomalies, Pareto
+# ---------------------------------------------------------------------------
+
+@q(
+    "evt_funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INTEGER) AS stage, 'signup' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click_after_signup',
+           CAST(count(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase_after_click',
+           CAST(count(*) AS BIGINT) FROM t3
+    """,
+)
+def evt_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis: users counted at each stage of
+    signup -> click -> purchase, where each step must happen strictly
+    AFTER the user's first qualifying previous step (not merely
+    co-occur). Scale shape: each stage reduces to per-user minima
+    BEFORE the next join, so join inputs are user-cardinality; the
+    event scan is filtered to one type per stage (predicate reaches
+    the parquet scan). The three stage counts are single-row aggs
+    unioned driver-free."""
+    e = _t(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+
+    def stage(df, n, label):
+        return df.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(t1, 1, "signup")
+        .unionByName(stage(t2, 2, "click_after_signup"))
+        .unionByName(stage(t3, 3, "purchase_after_click"))
+    )
+
+
+@q(
+    "evt_peak_concurrency",
+    """
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS p, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT), -1
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type ORDER BY p, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM pts
+    )
+    SELECT event_type, CAST(max(c) AS BIGINT) AS peak
+    FROM r GROUP BY event_type
+    """,
+)
+def evt_peak_concurrency(spark, sf_dir):
+    """Peak interval concurrency (max simultaneously-open sessions)
+    per event type, treating each event as an interval
+    [ts, ts + value minutes]. Classic sweep-line as a window: +1/-1
+    deltas at interval endpoints, running sum in endpoint order, max.
+    Endpoint micros are exact integers (floor both engines — Spark's
+    double->long cast truncates, DuckDB's rounds, so never bare-cast).
+    Ends sort before starts at an identical timestamp (ORDER BY p, d
+    with d=-1 < 1), the half-open-interval convention. Scale shape:
+    one shuffle on event_type; the running sum is a single in-order
+    pass per partition. Skewed types would shard the window by
+    time-range with boundary stitching (SCALE.md)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("p0"),
+        F.floor(F.col("value") * F.lit(60000000.0)).cast("long").alias("dur"),
+    )
+    starts = e.select(
+        "event_type", F.col("p0").alias("p"), F.lit(1).alias("d")
+    )
+    ends = e.select(
+        "event_type", (F.col("p0") + F.col("dur")).alias("p"),
+        F.lit(-1).alias("d"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("p", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.unionByName(ends)
+        .withColumn("c", F.sum("d").over(win))
+        .groupBy("event_type")
+        .agg(F.max("c").cast("long").alias("peak"))
+    )
+
+
+@q(
+    "evt_rolling_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(*) OVER win AS n_prev
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, round((value - mu) / sigma, 6) AS zscore
+    FROM w
+    WHERE n_prev >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 2
+    """,
+)
+def evt_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against
+    the trailing 10 events of the SAME user (frame excludes the
+    current row so an outlier can't mask itself), flagged when |z|>2
+    with at least 5 prior observations. The trailing-window mean and
+    sample stddev are one windowed pass — no self-join. Scale shape:
+    single shuffle on user_id; per-user state is an O(1) ring of 10
+    values regardless of history length."""
+    e = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sigma"),
+        F.count(F.lit(1)).over(win).alias("n_prev"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2)
+        )
+        .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+    )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_TAPS = 20
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_TAPS)]
+
+
+@q(
+    "evt_ewma_value",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             {', '.join(f'lag(value, {k}) OVER win AS v{k}' for k in range(1, _EWMA_TAPS))}
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           round((value * {_EWMA_W[0]!r}
+                  + {' + '.join(f'coalesce(v{k}, 0) * {_EWMA_W[k]!r}' for k in range(1, _EWMA_TAPS))})
+                 / ({_EWMA_W[0]!r}
+                  + {' + '.join(f'CASE WHEN v{k} IS NOT NULL THEN {_EWMA_W[k]!r} ELSE 0 END' for k in range(1, _EWMA_TAPS))}),
+                 6) AS ewma
+    FROM t
+    """,
+)
+def evt_ewma_value(spark, sf_dir):
+    """Exponentially-weighted moving average of `value` per user,
+    truncated at 20 taps (alpha=0.2; weight beyond tap 20 is
+    0.8^20 ~ 1.2%). The recursive EWMA definition is re-expressed as
+    a finite FIR filter over LAG columns so it stays a single
+    windowed pass — portable, exactly reproducible, and free of the
+    pow(1/(1-a), n) overflow the closed-form prefix trick hits on
+    long histories. Normalised by the sum of weights actually
+    present, so early rows (short history) are unbiased. Scale
+    shape: one shuffle on user_id; 20 lags share one sort."""
+    e = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", k).over(win) for k in range(1, _EWMA_TAPS)
+    ]
+    num = lags[0] * F.lit(_EWMA_W[0])
+    den = F.lit(_EWMA_W[0])
+    for k in range(1, _EWMA_TAPS):
+        num = num + F.coalesce(lags[k], F.lit(0.0)) * F.lit(_EWMA_W[k])
+        den = den + F.when(lags[k].isNotNull(), F.lit(_EWMA_W[k])).otherwise(
+            F.lit(0.0)
+        )
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@q(
+    "hist_value_bins",
+    """
+    SELECT CAST(floor(value / 2.5) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY bin
+    """,
+)
+def hist_value_bins(spark, sf_dir):
+    """Fixed-width histogram of the event value distribution
+    (bin width 2.5). Constant bin edges — not data-dependent min/max
+    — so the plan is a single map-side bucket + tiny groupBy, no
+    extra pass to find the range. The per-bin mean doubles as a
+    sanity check that bucketing and averaging saw the same rows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 2.5).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "skyline_price_frontier",
+    """
+    WITH d AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+             max(o_totalprice) AS best_price
+      FROM orders GROUP BY day_n
+    ),
+    r AS (
+      SELECT day_n, best_price,
+             max(best_price) OVER (ORDER BY day_n
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+      FROM d
+    )
+    SELECT day_n, best_price FROM r
+    WHERE prev_max IS NULL OR best_price > prev_max
+    """,
+)
+def skyline_price_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier): order days not dominated by any
+    earlier-or-equal day with a higher total price — i.e. each
+    frontier day strictly raises the running price record. The naive
+    skyline is an O(n^2) dominance anti-join; for two dimensions it
+    collapses to sort-by-x + running-max-of-y, here a per-day
+    pre-aggregation followed by one global window over ~date-range
+    rows (tiny), so the unpartitioned window is safe at any fact
+    scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_n")
+        )
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    win = (
+        Window.orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("prev_max", F.max("best_price").over(win))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("best_price") > F.col("prev_max"))
+        )
+        .select("day_n", "best_price")
+    )
+
+
+@q(
+    "evt_transition_matrix",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p
+    FROM c
+    """,
+)
+def evt_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types: per-user
+    consecutive-event bigrams (LAG over the user's timeline), counted
+    and normalised into P(next | prev). Scale shape: one shuffle on
+    user_id for the lag, then the transition counts collapse to
+    |types|^2 rows, so the normalising window runs on a trivially
+    small frame."""
+    e = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.withColumn("prev_type", F.lag("event_type").over(seq))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+@q(
+    "abc_pareto_parts",
+    """
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_e4,
+             CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev,
+             CAST(sum(rev_e4) OVER () AS BIGINT) AS tot_rev
+      FROM r
+    )
+    SELECT l_partkey,
+           CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
+           round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) <= 0.8 THEN 'A'
+                WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def abc_pareto_parts(spark, sf_dir):
+    """ABC (Pareto 80/95) classification of parts by revenue: rank
+    parts by revenue, classify by cumulative revenue share (A = first
+    80%, B = to 95%, C = tail). Money stays EXACT: prices and
+    discounts are 2-dp decimals, so revenue is accumulated as integer
+    1e-4 currency units (BIGINT) — a float sum differs between
+    engines at the cent level across summation orders, which both
+    perturbs the rank order and flips round(...,2) at half-cent
+    boundaries. The cumulative sum then runs over identical integers
+    in an identical total order (revenue desc, part key). Scale
+    shape: the fact collapses to part-cardinality before any window;
+    the global prefix sum is one in-order pass over that reduced
+    table — at true 100 TB part counts this would shard into range
+    partitions with per-shard offsets (two-pass prefix sum,
+    SCALE.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(cents * disc).cast("long").alias("rev_e4")
+    )
+    cum = (
+        Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy()
+    c = r.select(
+        "l_partkey",
+        "rev_e4",
+        F.sum("rev_e4").over(cum).cast("long").alias("cum_rev"),
+        F.sum("rev_e4").over(total).cast("long").alias("tot_rev"),
+    )
+    share = F.round(
+        F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double"), 6
+    )
+    return c.select(
+        "l_partkey",
+        (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
