@@ -5037,3 +5037,229 @@ def abc_pareto_parts(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P. Graph-analytics batch on the co-purchase graph + robust statistics
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_PAIRS_SQL = """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """Undirected co-purchase edge list: two parts are linked when
+    they appear in the same order. Canonically oriented (src < dst)
+    so each edge exists once. The self-join is keyed on l_orderkey —
+    orders are small (<=7 lines), so the blow-up is bounded at ~21
+    pairs per order regardless of total scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@q(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS ({_COPURCHASE_PAIRS_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.src = e1.dst
+    JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Global triangle count of the co-purchase graph: with every
+    edge oriented low-id -> high-id, each triangle a<b<c matches the
+    wedge join (a,b)+(b,c) closed by (a,c) exactly once — the
+    standard compact-forward algorithm as two equi-joins. Scale
+    shape: wedge volume is sum(out_deg^2); on skewed graphs the
+    production orientation is by DEGREE (low-degree node first),
+    which provably bounds wedges at O(m^1.5) — id-orientation kept
+    here because the oracle must replay the identical join. Both
+    joins shuffle on a part key; no cartesian anywhere."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src"))
+        & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             0.15 * mn.inv_n + {_PR_DAMP!r} * sum({prev}.r / deg.d) AS r
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg ON deg.node = e.src
+      CROSS JOIN mn
+      GROUP BY e.dst, mn.inv_n
+    )"""
+
+
+@q(
+    "graph_pagerank_parts",
+    f"""
+    WITH pairs AS ({_COPURCHASE_PAIRS_SQL}),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    mn AS (SELECT 1.0 / count(*) AS inv_n FROM deg),
+    r0 AS (SELECT node, mn.inv_n AS r FROM deg CROSS JOIN mn),
+    {','.join(_pagerank_iter_sql(f'r{i}', f'r{i + 1}') for i in range(_PR_ITERS))}
+    SELECT node AS l_partkey, round(r, 8) AS pagerank
+    FROM r{_PR_ITERS}
+    """,
+)
+def graph_pagerank_parts(spark, sf_dir):
+    """PageRank (damping 0.85, 3 fixed iterations from uniform) over
+    the undirected co-purchase graph. Each iteration is one
+    edges |><| ranks |><| degrees join + groupBy — the textbook
+    join-based formulation; symmetrised edges mean every node has
+    in-degree >= 1, so there is no dangling-mass term. Fixed
+    iteration count keeps the computation SQL-unrollable, so even
+    this iterative fixpoint is value-hash-checked against the oracle
+    (rounded 1e-8; rank sums are order-independent to ~1e-18 here).
+    Scale shape: ranks/degrees are node-cardinality while edges
+    dominate — production would pre-partition edges by src once and
+    reuse that exchange across iterations, checkpointing lineage
+    every few rounds as connected_components does
+    (operators/dedup.py)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges.cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    n = deg.count()
+    inv_n = 1.0 / n
+    deg.cache()
+    ranks = deg.select("node", F.lit(inv_n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select("dst", (F.col("r") / F.col("d")).alias("w"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 * inv_n) + F.lit(_PR_DAMP) * F.sum("w")
+                ).alias("r")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return ranks.select(
+        F.col("node").alias("l_partkey"), F.round("r", 8).alias("pagerank")
+    )
+
+
+@q(
+    "evt_user_trend_slope",
+    """
+    WITH x AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS xh
+      FROM events
+    )
+    SELECT user_id,
+           round(covar_pop(value, xh) / var_pop(xh), 6) AS slope,
+           round(avg(value) - covar_pop(value, xh) / var_pop(xh) * avg(xh),
+                 6) AS intercept
+    FROM x
+    GROUP BY user_id
+    HAVING count(*) >= 2 AND var_pop(xh) > 0
+    """,
+)
+def evt_user_trend_slope(spark, sf_dir):
+    """Per-user linear trend of event value over time: ordinary
+    least squares as covar_pop/var_pop — one distributed aggregation,
+    no model library. The time axis is re-centred to hours since
+    2024-01-01 BEFORE the moments: raw epoch-micros x-values make
+    E[xy] - E[x]E[y] a catastrophic cancellation of ~1e30 terms,
+    which is exactly the failure mode that diverges between engines.
+    Scale shape: map-side partial moment aggregation; one shuffle on
+    user_id."""
+    e = _t(spark, sf_dir, "events")
+    xh = (
+        (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600000000.0)
+    ).alias("xh")
+    x = e.select("user_id", "value", xh)
+    slope = F.covar_pop("value", "xh") / F.var_pop("xh")
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg("value") - slope * F.avg("xh"), 6).alias(
+                "intercept"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+            F.var_pop("xh").alias("_vx"),
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_vx") > 0))
+        .select("user_id", "slope", "intercept")
+    )
+
+
+@q(
+    "evt_user_value_mad",
+    """
+    WITH m AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m ON e.user_id = m.user_id
+    )
+    SELECT user_id, round(min(med), 6) AS med, round(median(dev), 6) AS mad
+    FROM d GROUP BY user_id
+    """,
+)
+def evt_user_value_mad(spark, sf_dir):
+    """Robust per-user location/spread: exact median and median
+    absolute deviation (MAD). Two grouped exact-median passes with a
+    join-back in between — MAD is not algebraic, so it cannot fold
+    into one aggregation; both medians interpolate the middle pair on
+    even counts identically in both engines. Scale shape: two
+    shuffles on user_id (the second input is already user-partitioned
+    from the first, so AQE reuses the exchange), per-group exact
+    percentile via Spark's single-pass QuantileSummaries at
+    relativeError=0 — no global sort."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    d = e.join(m, "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    return d.groupBy("user_id").agg(
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.median("dev"), 6).alias("mad"),
+    )
