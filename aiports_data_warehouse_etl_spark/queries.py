@@ -5263,3 +5263,232 @@ def evt_user_value_mad(spark, sf_dir):
         F.round(F.min("med"), 6).alias("med"),
         F.round(F.median("dev"), 6).alias("mad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q. Mergeable sketches, UDF surfaces, and shuffle-light top-k
+# ---------------------------------------------------------------------------
+
+@q(
+    "bitmap_distinct_weekly",
+    """
+    SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_weekly(spark, sf_dir):
+    """Exact distinct users per week from MERGEABLE day-level bitmaps
+    (build once, roll up anywhere): day bitmaps via
+    bitmap_construct_agg over bit positions, week rollup via
+    bitmap_or_agg, count via bitmap_count. Unlike count(distinct),
+    the day-level sketch is reusable for month/quarter/all-time
+    rollups without ever touching the raw events again — at 100 TB
+    the events scan happens ONCE and every coarser granularity is a
+    bitmap OR over (granularity × 32k-id-bucket) rows. user_id is
+    shifted +1 to stay in the documented positive domain of
+    bitmap_bit_position."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") + F.lit(1)).alias("uid"),
+    )
+    day_bm = e.groupBy(
+        "day", F.bitmap_bucket_number("uid").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"))
+    week_bm = (
+        day_bm.withColumn(
+            "week", F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd")
+        )
+        .groupBy("week", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    return week_bm.groupBy("week").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
+    )
+
+
+@q(
+    "pandas_grouped_agg_weighted_mean",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+             AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pandas_grouped_agg_weighted_mean(spark, sf_dir):
+    """Grouped-AGGREGATE Pandas UDF (the third pandas surface next to
+    vectorized-scalar and grouped-map): quantity-weighted mean price
+    per returnflag, numpy inside, one scalar out per group. Spark
+    ships each whole group as Arrow batches — no partial aggregation,
+    so this surface is for genuinely non-algebraic kernels; anything
+    algebraic (like this oracle-checkable stand-in) belongs in native
+    sum()/avg() which combine map-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float(np.average(v.to_numpy(), weights=w.to_numpy()))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_quantity"), 2).alias("w_avg_price")
+    )
+
+
+@q(
+    "pandas_cogroup_profile",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+               FROM orders GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(o.total_spend, 0.0) AS total_spend
+    FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+    """,
+)
+def pandas_cogroup_profile(spark, sf_dir):
+    """Cogrouped-map Pandas UDF (groupBy().cogroup().applyInPandas):
+    the two-table python extension surface — events and orders are
+    co-shuffled on the user key and each (left-group, right-group)
+    pair lands in one python call, here merged into a user profile.
+    The oracle proves it equals aggregate + FULL OUTER join. Scale
+    shape: one exchange per side on the same key, zero driver
+    involvement; either group may be empty (outer semantics), which
+    the kernel must handle."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = left["user_id"].iloc[0] if len(left) else right["o_custkey"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([uid], dtype="int64"),
+                "n_events": pd.Series([len(left)], dtype="int64"),
+                "total_spend": [round(float(right["o_totalprice"].sum()), 2)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(profile, "user_id long, n_events long, total_spend double")
+    )
+
+
+@q(
+    "heavy_hitters",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    HAVING count(*) * 8 > (SELECT count(*) FROM events)
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    """phi=1/8 heavy hitters, EXACT, via single-pass Misra-Gries
+    candidate generation + exact recount of candidates only. Per
+    partition, mapInPandas keeps K=16 counters (merge batch
+    value_counts, then decrement all by the (K+1)-th largest when
+    over budget — undercount <= n_p/(K+1)); pigeonhole says any
+    globally (>n/8)-frequent item exceeds n_p/16 in some partition,
+    so the candidate union is a superset of the answer. Pass 2 counts
+    ONLY candidates. On a low-cardinality column this degenerates to
+    a groupBy, but at 100 TB with 1e9-cardinality keys pass 2's
+    shuffle carries K*partitions keys instead of all of them."""
+    from collections import Counter
+
+    K = 16
+
+    def mg(batches):
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["event_type"].value_counts().to_dict())
+            if len(c) > K:
+                kth = sorted(c.values(), reverse=True)[K]
+                c = Counter(
+                    {x: v - kth for x, v in c.items() if v - kth > 0}
+                )
+        yield pd.DataFrame({"event_type": list(c.keys())})
+
+    e = _t(spark, sf_dir, "events").select("event_type")
+    total = e.count()
+    cands = [
+        r.event_type
+        for r in e.mapInPandas(mg, "event_type string").distinct().collect()
+    ]
+    return (
+        e.filter(F.col("event_type").isin(cands))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") * 8 > F.lit(total))
+    )
+
+
+@q(
+    "topk_per_group_agg",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+    """,
+)
+def topk_per_group_agg(spark, sf_dir):
+    """Top-3 orders per customer WITHOUT a window: collect_list of
+    (price, orderkey) structs, sort_array desc, slice 3, explode.
+    Same answer as the row_number formulation (struct comparison =
+    lexicographic, so ties break on orderkey desc exactly like the
+    ORDER BY), different physical plan: a hash aggregate instead of
+    the window's full range-sort of every partition. Honest scale
+    note: collect_list holds each whole group before slicing, so
+    this wins when groups are modest (here <=~40 orders/customer);
+    for huge groups the play is pre-filtering with an approximate
+    per-group threshold, then windowing survivors."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("o_totalprice", "o_orderkey")), asc=False
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return agg.select("o_custkey", F.explode("top").alias("t")).select(
+        "o_custkey", F.col("t.o_orderkey").alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@q(
+    "graph_degree_distribution",
+    f"""
+    WITH pairs AS ({_COPURCHASE_PAIRS_SQL}),
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs)
+      GROUP BY node)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the co-purchase graph — the standard
+    first diagnostic before choosing a triangle/PageRank strategy
+    (it is exactly this histogram that tells you whether id-oriented
+    wedging is safe or degree-orientation/salting is needed). Two
+    shuffles: node degree, then a tiny histogram aggregation."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("src").alias("node")).unionAll(
+        pairs.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
