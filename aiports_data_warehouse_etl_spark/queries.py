@@ -5492,3 +5492,262 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# H. Retrieval / search extension: BM25 keyword search, RAG chunking,
+#    BFS reachability, ordered-set aggregates
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@q(
+    "text_bm25_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS sc
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(sc, 6) AS bm25
+    FROM scores
+    ORDER BY round(sc, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword search (k1=1.2, b=0.75) over the documents table
+    for a fixed 3-term query, exact top-20. The classic lexical
+    retrieval scorer: one token explode feeds document lengths AND
+    the term-filtered tf table, corpus stats (N, avgdl) and per-term
+    df ride in as broadcast one-row/tiny joins, so the only wide
+    shuffles are the two token aggregations. At 100 TB the tf table
+    carries query-terms-only rows (filter BEFORE the tf shuffle), and
+    the final top-20 is a TakeOrderedAndProject, not a global sort.
+    Tie-break on rounded score then doc_id keeps the LIMIT boundary
+    deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("sc"))
+    )
+    return (
+        scored.select("doc_id", F.round("sc", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "doc_chunk_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(tk) AS n_tok, tk,
+             unnest(generate_series(0, CAST(len(tk) - 1 AS BIGINT), 24))
+               AS start
+      FROM t)
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_idx,
+           CAST(least(32, n_tok - start) AS BIGINT) AS chunk_tokens,
+           tk[CAST(start + 1 AS INTEGER)] AS first_tok,
+           tk[CAST(start + least(32, n_tok - start) AS INTEGER)] AS last_tok
+    FROM c
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """RAG-style sliding-window chunking: split each document into
+    32-token chunks with stride 24 (8-token overlap). Pure narrow
+    plan — sequence() generates the chunk starts and posexplode
+    fans them out, so chunking 100 TB of documents is an embarrassed
+    map with NO shuffle at all; the chunk count per doc is
+    ceil(n/stride), bounded and known up front. Emits per-chunk
+    token counts and boundary tokens (the slice positions a real
+    pipeline would hash or embed)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    c = docs.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        "tk",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(24))
+        ).alias("start"),
+    )
+    chunk_tokens = F.least(F.lit(32), F.col("n_tok") - F.col("start"))
+    return c.select(
+        "doc_id",
+        (F.col("start") / 24).cast("long").alias("chunk_idx"),
+        chunk_tokens.cast("long").alias("chunk_tokens"),
+        F.element_at("tk", F.col("start") + 1).alias("first_tok"),
+        F.element_at("tk", (F.col("start") + chunk_tokens).cast("int")).alias(
+            "last_tok"
+        ),
+    )
+
+
+@q(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE pairs AS ({_COPURCHASE_PAIRS_SQL}),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs),
+    seed AS (SELECT min(src) AS node FROM edges),
+    bfs AS (
+      SELECT node, 0 AS hop FROM seed
+      UNION
+      SELECT e.dst AS node, b.hop + 1 AS hop
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hop < 3)
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Bounded BFS (3 hops) from the smallest node of the co-purchase
+    graph: per-node minimum hop distance. Spark side runs the proper
+    distributed BFS — a frontier that is anti-joined against the
+    visited set each level, so every node is expanded at most once
+    and each level is one equi-join + distinct on the edge key.
+    The DuckDB oracle is a recursive CTE whose UNION dedups
+    (node, hop) rows; min(hop) at the end makes both formulations
+    agree. Scale: frontier⋈edges is the canonical Pregel step —
+    partition edges by src once and every level reuses that
+    partitioning; the visited set stays keyed the same way so the
+    anti-join co-locates."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select("src", "dst")
+    seed = edges.agg(F.min("src").alias("node"))
+    visited = seed.withColumn("hops", F.lit(0).cast("long"))
+    frontier = seed
+    for h in range(1, 4):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(
+            frontier.withColumn("hops", F.lit(h).cast("long"))
+        )
+    return visited
+
+
+@q(
+    "agg_ordered_set_suite",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 2) AS median_qty,
+           quantile_disc(l_quantity, 0.90) AS p90_qty,
+           CAST(count_if(l_quantity < 10) AS BIGINT) AS n_low,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_quantity >= 50) AS any_big
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_ordered_set_suite(spark, sf_dir):
+    """Ordered-set + boolean aggregate suite per returnflag: exact
+    interpolated median, discrete p90 (percentile_disc WITHIN GROUP),
+    count_if, bool_and/bool_or. Exact medians need the whole group —
+    fine per-group here; the 100 TB play for global quantiles is the
+    approx_percentile sketch (see approx_sketches) while per-group
+    exact stays shuffle-bounded by the group size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("p90_qty"),
+        F.count_if(F.col("l_quantity") < 10).cast("long").alias("n_low"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_big"),
+    )
+
+
+_ANSI_SHARED_SQL = """
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nationkey,
+             substr(CAST(o.o_orderdate AS STRING), 1, 7) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey,
+               substr(CAST(o.o_orderdate AS STRING), 1, 7)
+    )
+    SELECT n.n_name AS nation, m.month, m.n_orders, m.revenue,
+           round(sum(m.revenue) OVER (
+             PARTITION BY n.n_name ORDER BY m.month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_revenue
+    FROM monthly m
+    JOIN nation n ON m.nationkey = n.n_nationkey
+"""
+
+
+@q("ansi_sql_frontend", _ANSI_SHARED_SQL)
+def ansi_sql_frontend(spark, sf_dir):
+    """The SQL entry point (SURVEY.md §3.3): ONE ANSI SQL string —
+    CTE, joins, grouped aggregation, and a cumulative window — run
+    verbatim through spark.sql() against registered temp views, with
+    the DuckDB oracle executing the IDENTICAL text. This is the
+    dialect-portability proof for the engine's SQL surface: a user of
+    the reference's warehouse entry point (`test_connection.py`) can
+    paste the same query at either engine. Catalyst plans it exactly
+    like the DataFrame formulations (same broadcast star join + one
+    window exchange per nation)."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ANSI_SHARED_SQL)

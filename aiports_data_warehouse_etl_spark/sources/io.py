@@ -43,10 +43,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one driver testdata table (TESTDATA.md).
 
-    ``events`` is written with TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright — read nanos as long (legacy conf) and
-    rebuild the timestamp with exact integer division (a double-based
-    divide would lose precision above 2^53 ns).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (which Spark's parquet
+    reader rejects unless nanos are read as long) and, in newer testdata
+    generations, as TIMESTAMP_NTZ micros. Normalize every variant to
+    TimestampType: the session timezone is pinned to UTC (session.py),
+    so the NTZ→LTZ cast is value-preserving and matches DuckDB's naive
+    reading of the same file. Nanos are rebuilt with exact integer
+    division (a double divide would lose precision above 2^53 ns).
     """
     path = f"{sf_dir}/{table}.parquet"
     if table != "events":
@@ -55,8 +58,11 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -513,3 +513,36 @@ def stream_attributed_revenue(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrichment(
+    spark: SparkSession,
+    source_dir: str,
+    dim_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "enriched_events",
+):
+    """Stream-static join: a stream of events enriched with a static
+    dimension (user → nation name here), then aggregated per nation.
+    The static side is re-resolved every micro-batch (so a dim refresh
+    is picked up without restarting) and is broadcast — no state is
+    kept for the join itself; only the downstream aggregation holds
+    state. This is the canonical streaming-fact ⋈ slowly-changing-dim
+    plan: at 100 TB/day of events the dim stays a broadcast lookup and
+    the only shuffle is the final keyed aggregation.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim_df), on="user_id", how="inner")
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

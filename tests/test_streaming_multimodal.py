@@ -391,3 +391,48 @@ def test_chained_stateful_stream_matches_batch(spark, sf_small, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_small, tmp_path):
+    """Stream-static broadcast join (events ⋈ customer→nation dim) under
+    availableNow must equal the identical batch join+agg."""
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        stream_static_enrichment,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    cust = read_testdata(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = read_testdata(spark, sf_small, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "user_id", "n_name"
+    )
+
+    batch = {
+        r.n_name: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(src)
+        .join(dim, "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+
+    q = stream_static_enrichment(
+        spark, src, dim, str(tmp_path / "ckpt"), query_name="enr_evt"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.n_name: (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM enr_evt").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
