@@ -5662,14 +5662,23 @@ def graph_bfs_hops(spark, sf_dir):
     The DuckDB oracle is a recursive CTE whose UNION dedups
     (node, hop) rows; min(hop) at the end makes both formulations
     agree. Scale: frontier⋈edges is the canonical Pregel step —
-    partition edges by src once and every level reuses that
-    partitioning; the visited set stays keyed the same way so the
-    anti-join co-locates."""
+    edges are materialized ONCE (localCheckpoint truncates lineage,
+    exactly what Pregel supersteps do), and each level's frontier is
+    materialized too; without this every level re-executes the
+    lineitem self-join and all prior levels, blowing the plan up
+    exponentially (measured 23 s → ~2 s at sf0.1). On a cluster the
+    same role is played by reliable checkpointing or persisted
+    adjacency keyed by src so every superstep reuses one
+    partitioning."""
     pairs = _copurchase_pairs(spark, sf_dir)
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).select("src", "dst")
-    seed = edges.agg(F.min("src").alias("node"))
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("node")).localCheckpoint()
     visited = seed.withColumn("hops", F.lit(0).cast("long"))
     frontier = seed
     for h in range(1, 4):
@@ -5678,6 +5687,7 @@ def graph_bfs_hops(spark, sf_dir):
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
         )
         visited = visited.unionAll(
             frontier.withColumn("hops", F.lit(h).cast("long"))
@@ -5751,3 +5761,324 @@ def ansi_sql_frontend(spark, sf_dir):
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ANSI_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# I. Distributed-ML primitives: k-means assignment, multi-feature OLS,
+#    bigram language-model scoring, Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+_L2_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+)
+
+
+@q(
+    "kmeans_assign_step",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             round({_L2_SQL.format(a="e.v", b="c.cv")}, 6) AS dist
+      FROM e CROSS JOIN c),
+    a AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d)
+    SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(dist), 6) AS avg_dist
+    FROM a WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign_step(spark, sf_dir):
+    """One Lloyd assignment step of distributed k-means: every vector
+    is assigned to its nearest of 8 fixed centroids (squared L2,
+    deterministic seed = vec_id < 8), reporting cluster sizes and mean
+    distance. The centroid table is broadcast, so the step is a
+    narrow map over the vectors — the 100 TB shape of every
+    k-means/IVF training loop (the only shuffle is the per-cluster
+    reduction; the k×dim centroid matrix always fits in a broadcast).
+    Distances are rounded before the argmin so the cross-engine
+    tie-break (dist, then centroid id) is exact."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    d = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist)
+    best = d.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("b"))
+    return (
+        best.select(F.col("b.cid").alias("centroid_id"), F.col("b.dist").alias("dist"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+    )
+
+
+_OLS_DET = (
+    "(var_pop(x1) * var_pop(x2) - covar_pop(x1, x2) * covar_pop(x1, x2))"
+)
+_OLS_B1 = (
+    "(var_pop(x2) * covar_pop(x1, y) - covar_pop(x1, x2) * covar_pop(x2, y))"
+    f" / {_OLS_DET}"
+)
+_OLS_B2 = (
+    "(var_pop(x1) * covar_pop(x2, y) - covar_pop(x1, x2) * covar_pop(x1, y))"
+    f" / {_OLS_DET}"
+)
+
+
+@q(
+    "ols_two_feature_by_group",
+    f"""
+    WITH x AS (
+      SELECT event_type, value AS y,
+             (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS x1,
+             CAST(user_id % 10 AS DOUBLE) AS x2
+      FROM events)
+    SELECT event_type,
+           round({_OLS_B1}, 6) AS beta1,
+           round({_OLS_B2}, 6) AS beta2,
+           round(avg(y) - ({_OLS_B1}) * avg(x1) - ({_OLS_B2}) * avg(x2), 6)
+             AS intercept
+    FROM x GROUP BY event_type
+    HAVING {_OLS_DET} > 1e-9
+    """,
+)
+def ols_two_feature_by_group(spark, sf_dir):
+    """Two-feature ordinary least squares per event type, solved in
+    closed form from second moments (var_pop/covar_pop) — the normal
+    equations of a 2×2 system written out as SQL. This is the
+    distributed-regression shape: ALL training data is reduced to a
+    constant-size moment matrix with one map-side-combining
+    aggregation, and the solve is free. Features are re-centred
+    (hours since 2024-01-01, user bucket) before the moments —
+    raw epoch-micros would make E[xy]-E[x]E[y] catastrophically
+    cancel (see evt_user_trend_slope)."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.col("value").alias("y"),
+        ((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600000000.0)).alias("x1"),
+        (F.col("user_id") % 10).cast("double").alias("x2"),
+    )
+    det = F.var_pop("x1") * F.var_pop("x2") - F.covar_pop("x1", "x2") * F.covar_pop("x1", "x2")
+    b1 = (
+        F.var_pop("x2") * F.covar_pop("x1", "y")
+        - F.covar_pop("x1", "x2") * F.covar_pop("x2", "y")
+    ) / det
+    b2 = (
+        F.var_pop("x1") * F.covar_pop("x2", "y")
+        - F.covar_pop("x1", "x2") * F.covar_pop("x1", "y")
+    ) / det
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.round(b1, 6).alias("beta1"),
+            F.round(b2, 6).alias("beta2"),
+            F.round(
+                F.avg("y") - b1 * F.avg("x1") - b2 * F.avg("x2"), 6
+            ).alias("intercept"),
+            det.alias("_det"),
+        )
+        .filter(F.col("_det") > 1e-9)
+        .select("event_type", "beta1", "beta2", "intercept")
+    )
+
+
+@q(
+    "text_bigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, CAST(len(tk) - 1 AS BIGINT)),
+               i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i + 1 AS INTEGER)]
+             )) AS bg
+      FROM t WHERE len(tk) >= 2),
+    cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+    cw AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_w1
+           FROM b GROUP BY split_part(bg, ' ', 1))
+    SELECT b.doc_id,
+           round(avg(ln(CAST(cb.c_bg AS DOUBLE) / cw.c_w1)), 6)
+             AS bigram_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM b
+    JOIN cb USING (bg)
+    JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality score: per document, the mean
+    log-probability of its bigrams under the corpus MLE model
+    P(w2|w1) = c(w1 w2) / c(w1 ·). The LM-perplexity cousin of
+    text_unigram_logprob — repetitive or templated text scores high,
+    incoherent token salad scores low. Corpus counts are one token
+    explode + two aggregations; the per-doc join is on the bigram
+    string. At 100 TB the bigram vocabulary is the heavy table —
+    it shuffles by bigram hash and the prefix counts broadcast only
+    if the vocabulary is capped (here it is naturally tiny)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    n = F.size("tk")
+    bg_list = F.zip_with(
+        F.slice("tk", 1, n - 1),
+        F.slice("tk", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(bg_list).alias("bg"))
+    )
+    cb = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cw = (
+        b.select(F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    return (
+        b.join(cb, "bg")
+        .withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 6).alias(
+                "bigram_logprob"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+_BLOOM_HASH_SQL = (
+    "CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || ':'"
+    " || CAST({k} AS VARCHAR)), 1, 15) AS BIGINT) % 4096"
+)
+
+
+@q(
+    "bloom_membership",
+    f"""
+    WITH members AS (
+      SELECT o_custkey AS k FROM orders
+      GROUP BY o_custkey HAVING count(*) >= 12),
+    hj AS (SELECT unnest([0, 1, 2]) AS j),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_HASH_SQL.format(j="j", k="k")} AS b
+      FROM members CROSS JOIN hj),
+    probe_bits AS (
+      SELECT c_custkey AS k, {_BLOOM_HASH_SQL.format(j="j", k="c_custkey")} AS b
+      FROM customer CROSS JOIN hj),
+    flags AS (
+      SELECT p.k,
+             count(DISTINCT p.b) AS n_pos,
+             count(DISTINCT CASE WHEN bits.b IS NOT NULL THEN p.b END)
+               AS n_set
+      FROM probe_bits p LEFT JOIN bits ON p.b = bits.b
+      GROUP BY p.k)
+    SELECT CAST(count_if(k IN (SELECT k FROM members)) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count_if(n_set = n_pos) AS BIGINT) AS n_bloom_hits,
+           CAST(count_if(n_set = n_pos
+                AND k IN (SELECT k FROM members)) AS BIGINT) AS n_true_hits,
+           CAST(count_if(n_set = n_pos
+                AND k NOT IN (SELECT k FROM members)) AS BIGINT)
+             AS n_false_pos
+    FROM flags
+    """,
+)
+def bloom_membership(spark, sf_dir):
+    """Bloom-filter membership, built and probed declaratively:
+    members (customers with >=12 orders) set K=3 md5-derived bit
+    positions in an m=4096 filter; every customer is then probed —
+    a hit requires ALL its positions set. Reports the exact
+    true-hit / false-positive split against ground truth, proving
+    no false negatives by construction. The scale story is the point:
+    the bit set is DISTINCT over member×K positions (≤ m rows,
+    broadcastable however many members there are), so probing 100 TB
+    of candidates for decontamination/blocklist membership is a
+    broadcast join instead of a shuffle against the member table —
+    the exact anti-join runs only on the tiny bloom-hit survivor set
+    (n_false_pos quantifies that survivor overhead)."""
+    orders = _t(spark, sf_dir, "orders")
+    members = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 12)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    hj = spark.range(3).select(F.col("id").alias("j"))
+
+    def positions(df, key):
+        return df.crossJoin(F.broadcast(hj)).select(
+            F.col(key).alias("k"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col(key).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+            ).alias("b"),
+        )
+
+    bits = positions(members, "k").select("b").distinct()
+    probe_bits = positions(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey"
+    )
+    flags = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "b", "left"
+        )
+        .groupBy("k")
+        .agg(
+            F.countDistinct("b").alias("n_pos"),
+            F.countDistinct(
+                F.when(F.col("hit").isNotNull(), F.col("b"))
+            ).alias("n_set"),
+        )
+    )
+    is_member = members.withColumn("is_m", F.lit(1))
+    joined = flags.join(F.broadcast(is_member), "k", "left")
+    bloom_hit = F.col("n_set") == F.col("n_pos")
+    return joined.agg(
+        F.count_if(F.col("is_m").isNotNull()).cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.count_if(bloom_hit).cast("long").alias("n_bloom_hits"),
+        F.count_if(bloom_hit & F.col("is_m").isNotNull())
+        .cast("long")
+        .alias("n_true_hits"),
+        F.count_if(bloom_hit & F.col("is_m").isNull())
+        .cast("long")
+        .alias("n_false_pos"),
+    )
