@@ -6082,3 +6082,86 @@ def bloom_membership(spark, sf_dir):
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+@q(
+    "win_cume_dist_nth",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_cume_dist_nth(spark, sf_dir):
+    """Window completion suite: cume_dist (fraction of the partition
+    at-or-above this order by price) and nth_value over the full
+    frame (each customer's 3rd-priciest order id on every row). The
+    order-by carries the orderkey tie-break so both engines rank
+    identically. Full-frame nth_value forces the unbounded frame —
+    one sort per customer partition, no extra shuffle beyond the
+    window exchange."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wfull).alias("third_best"),
+    )
+
+
+@q(
+    "ts_seasonal_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+             value
+      FROM events)
+    SELECT event_type, hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS hourly_mean,
+           round(avg(value) - (
+             SELECT avg(value) FROM h h2 WHERE h2.event_type = h.event_type
+           ), 6) AS seasonal_delta
+    FROM h GROUP BY event_type, hour_of_day
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type: the hourly mean
+    and its delta from the type's overall mean — the classic seasonal
+    decomposition baseline (subtracting this profile leaves the
+    residual that anomaly detectors like evt_rolling_zscore should
+    run on). Two aggregations over the same shuffle key family; the
+    per-type overall mean is a tiny broadcast join back. At 100 TB
+    the profile table is |types|×24 rows — always broadcastable."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        "value",
+    )
+    overall = e.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    hourly = e.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("value").alias("raw_mean"),
+    )
+    return hourly.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round("raw_mean", 6).alias("hourly_mean"),
+        F.round(F.col("raw_mean") - F.col("type_mean"), 6).alias(
+            "seasonal_delta"
+        ),
+    )

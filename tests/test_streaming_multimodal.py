@@ -436,3 +436,46 @@ def test_stream_static_enrichment_matches_batch(spark, sf_small, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """format('binaryFile') is the ingestion path for raw media at
+    scale: each file becomes (path, modificationTime, length, content)
+    with content NEVER decoded JVM-side. The read must column-prune
+    (length-only scans skip payload bytes) and the payload must flow
+    into the mapInPandas featurizer unchanged."""
+    import glob
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    payloads = {f"img_{i:02d}.bin": bytes([i] * (100 + i)) for i in range(8)}
+    for name, data in payloads.items():
+        (media_dir / name).write_bytes(data)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(media_dir))
+    )
+    assert {f.name for f in df.schema.fields} == {
+        "path", "modificationTime", "length", "content"
+    }
+    got = {
+        r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content))
+        for r in df.collect()
+    }
+    assert got == {n: (len(d), d) for n, d in payloads.items()}
+
+    # feed the binary payloads through the multimodal featurizer
+    from pyspark.sql import Window
+
+    media = df.select(
+        F.row_number().over(Window.orderBy("path")).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    feats = decode_and_featurize(media)
+    rows = feats.collect()
+    assert len(rows) == 8
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-4 for r in rows)
