@@ -6165,3 +6165,150 @@ def ts_seasonal_profile(spark, sf_dir):
             "seasonal_delta"
         ),
     )
+
+
+_RAKE_STOP = ("the", "and", "of", "to", "a", "in", "is", "on")
+_RAKE_STOP_SQL = "('" + "', '".join(_RAKE_STOP) + "')"
+
+
+@q(
+    "text_keyphrase_rake",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(generate_series(1, CAST(len(tk) AS BIGINT))) AS pos,
+             unnest(tk) AS term
+      FROM t),
+    runs AS (
+      SELECT doc_id, pos, term,
+             count(*) FILTER (WHERE term IN {_RAKE_STOP_SQL})
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM tok),
+    words AS (
+      SELECT doc_id, run_id, pos, term FROM runs
+      WHERE term NOT IN {_RAKE_STOP_SQL}),
+    phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(term, ' ' ORDER BY pos) AS phrase,
+             count(*) AS phrase_len
+      FROM words GROUP BY doc_id, run_id),
+    word_stats AS (
+      SELECT w.term,
+             count(*) AS freq,
+             sum(p.phrase_len) AS degree
+      FROM words w
+      JOIN phrases p ON w.doc_id = p.doc_id AND w.run_id = p.run_id
+      GROUP BY w.term),
+    scored AS (
+      SELECT p.doc_id, p.run_id, p.phrase,
+             sum(CAST(s.degree AS DOUBLE) / s.freq) AS sc
+      FROM words w
+      JOIN phrases p ON w.doc_id = p.doc_id AND w.run_id = p.run_id
+      JOIN word_stats s ON w.term = s.term
+      GROUP BY p.doc_id, p.run_id, p.phrase)
+    SELECT phrase, round(max(sc), 6) AS rake_score,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM scored GROUP BY phrase
+    ORDER BY round(max(sc), 6) DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_keyphrase_rake(spark, sf_dir):
+    """RAKE keyphrase extraction, corpus top-20: documents split into
+    candidate phrases at stopword boundaries, each word scored
+    degree/frequency over all phrases, each phrase scored as the sum
+    of its word scores. Three keyed aggregations (phrases, word
+    stats, phrase scores) + a broadcastable word-stats join — the
+    whole extractor is set-oriented, no per-doc python. At 100 TB
+    the word-stats table is vocabulary-sized (broadcast), phrases
+    shuffle once on (doc, run), and the corpus top-20 is a
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    tok = docs.select("doc_id", F.posexplode("tk").alias("pos", "term"))
+    is_stop = F.col("term").isin(*_RAKE_STOP)
+    runs = tok.withColumn(
+        "run_id",
+        F.sum(is_stop.cast("int")).over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    words = runs.filter(~is_stop).select("doc_id", "run_id", "pos", "term")
+    phrases = words.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    pw = words.join(phrases, ["doc_id", "run_id"])
+    word_stats = pw.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    scored = (
+        pw.join(F.broadcast(word_stats), "term")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(
+            F.sum(F.col("degree").cast("double") / F.col("freq")).alias("sc")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.round(F.max("sc"), 6).alias("rake_score"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(20)
+    )
+
+
+@q(
+    "win_trailing_median",
+    """
+    SELECT event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6)
+             AS trailing_median
+    FROM events
+    """,
+)
+def win_trailing_median(spark, sf_dir):
+    """Exact trailing median over an 11-row frame per user — Spark has
+    no median window function, so the frame is materialized with
+    collect_list OVER the same frame and the median read off the
+    sorted array (interpolating even-sized frames exactly like
+    quantile_cont). The frame bound is what makes this scale: state
+    per row is O(frame), not O(partition), so a 100 TB event stream
+    pays one window sort per user partition and constant extra
+    memory. An unbounded exact running median would instead need the
+    two-heap pattern inside a stateful op (applyInPandasWithState)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(med, 6).alias("trailing_median")
+    )

@@ -479,3 +479,43 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert len(rows) == 8
     assert all(len(r.feature) == 8 for r in rows)
     assert all(abs(sum(r.feature) - 1.0) < 1e-4 for r in rows)
+
+
+def test_read_testdata_normalizes_every_ts_encoding(spark, sf_small, tmp_path):
+    """The driver's events.parquet has shipped with ts as
+    TIMESTAMP(NANOS) and as TIMESTAMP_NTZ micros across testdata
+    generations; plain TIMESTAMP must also survive. read_testdata must
+    normalize all three to TimestampType with identical values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    base = [
+        dt.datetime(2024, 1, 1, 0, 9, 58, 778549),
+        dt.datetime(2024, 3, 5, 12, 0, 0, 1),
+    ]
+    ids = [1, 2]
+
+    def write_variant(name, ts_type):
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(base).cast(ts_type),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    expect = {(i, t) for i, t in zip(ids, base)}
+    for name, ts_type in [
+        ("nanos", pa.timestamp("ns")),
+        ("ntz_micros", pa.timestamp("us")),
+        ("ltz_micros", pa.timestamp("us", tz="UTC")),
+    ]:
+        d = write_variant(name, ts_type)
+        df = read_testdata(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got = {(r.event_id, r.ts) for r in df.collect()}
+        assert got == expect, name
