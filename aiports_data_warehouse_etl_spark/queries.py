@@ -6463,3 +6463,73 @@ def market_basket_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(25)
     )
+
+
+@q(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_orderkey AS key, count(*) AS c
+      FROM lineitem GROUP BY l_orderkey),
+    s AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             max(c) AS max_c,
+             avg(c) AS mean_c,
+             quantile_disc(c, 0.99) AS p99_c
+      FROM k)
+    SELECT 'l_orderkey' AS key_col,
+           CAST(n_keys AS BIGINT) AS n_keys, n_rows,
+           CAST(max_c AS BIGINT) AS max_rows_one_key,
+           round(CAST(max_c AS DOUBLE) / mean_c, 6) AS skew_factor,
+           round(CAST(max_c AS DOUBLE) / n_rows, 6) AS top_key_share,
+           CAST(p99_c AS BIGINT) AS p99_rows_per_key
+    FROM s
+    UNION ALL
+    SELECT 'l_partkey', CAST(n_keys AS BIGINT), n_rows,
+           CAST(max_c AS BIGINT),
+           round(CAST(max_c AS DOUBLE) / mean_c, 6),
+           round(CAST(max_c AS DOUBLE) / n_rows, 6),
+           CAST(p99_c AS BIGINT)
+    FROM (
+      SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+             max(c) AS max_c, avg(c) AS mean_c,
+             quantile_disc(c, 0.99) AS p99_c
+      FROM (SELECT l_partkey, count(*) AS c
+            FROM lineitem GROUP BY l_partkey) t)
+    """,
+)
+def join_key_skew_profile(spark, sf_dir):
+    """The pre-join skew diagnostic that decides the physical
+    strategy for every big join here: per candidate key, cardinality,
+    the heaviest key's row count, skew factor (max/mean), the top
+    key's share of all rows, and the p99 rows-per-key. skew_factor
+    near 1 → plain shuffle join; large factor with tiny top_key_share
+    → AQE skew split suffices; large top_key_share → salt
+    (operators/skew.py). Two keyed counts + constant-size rollups —
+    cheap enough to run ahead of any 100 TB join, and exactly what
+    graph_degree_distribution does for the graph ops."""
+
+    def profile(key_col: str) -> DataFrame:
+        k = (
+            _t(spark, sf_dir, "lineitem")
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return k.agg(
+            F.lit(key_col).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_rows_one_key"),
+            F.round(F.max("c").cast("double") / F.avg("c"), 6).alias(
+                "skew_factor"
+            ),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_key_share"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+            .cast("long")
+            .alias("p99_rows_per_key"),
+        )
+
+    return profile("l_orderkey").unionByName(profile("l_partkey"))

@@ -565,3 +565,25 @@ def test_jdbc_sink_source_roundtrip_embedded(spark, sf_small):
 
     write_jdbc(nation, url, "nation", mode="append")
     assert spark.read.jdbc(url, "nation").count() == 2 * nation.count()
+
+
+def test_compaction_rewrite_reduces_file_count(spark, sf_small, tmp_path):
+    """Small-file compaction: a fragmented table (one file per row
+    group of a 32-way write) rewritten through repartition(2) must
+    land in 2 parquet files with identical data — the maintenance
+    rewrite every long-lived 100 TB table needs to keep scan task
+    counts sane."""
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    nation = spark.read.parquet(f"{sf_small}/nation.parquet")
+    nation.repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+
+    spark.read.parquet(src).repartition(2).write.parquet(dst)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == 2
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b and len(a) == 25
