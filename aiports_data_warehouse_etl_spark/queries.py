@@ -6533,3 +6533,132 @@ def join_key_skew_profile(spark, sf_dir):
         )
 
     return profile("l_orderkey").unionByName(profile("l_partkey"))
+
+
+@q(
+    "emb_covariance_matrix",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    x AS (
+      SELECT vec_id,
+             unnest(generate_series(1, 64)) AS i,
+             unnest(v) AS xi
+      FROM e),
+    y AS (SELECT vec_id, i AS j, xi AS xj FROM x),
+    prod AS (
+      SELECT x.i, y.j, avg(x.xi * y.xj) AS e_xy
+      FROM x JOIN y ON x.vec_id = y.vec_id
+      GROUP BY x.i, y.j),
+    mean AS (SELECT i, avg(xi) AS mu FROM x GROUP BY i)
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           round(p.e_xy - mi.mu * mj.mu, 6) AS cov
+    FROM prod p
+    JOIN mean mi ON p.i = mi.i
+    JOIN mean mj ON p.j = mj.i
+    """,
+)
+def emb_covariance_matrix(spark, sf_dir):
+    """Distributed covariance (Gram) matrix of the 64-dim embedding
+    corpus — the building block of PCA/whitening. The Spark side is
+    the 100 TB pattern: mapInPandas accumulates a per-partition
+    64×64 X^T X, per-dimension sums, and a count with ONE numpy call
+    per Arrow batch, emitting 4096+64+1 rows per partition; a tiny
+    keyed sum then assembles E[x_i x_j] - mu_i mu_j. NO row-level
+    shuffle ever happens — the exchange carries partitions × 4161
+    rows regardless of corpus size. The DuckDB oracle is the naive
+    index-pair self-join over the same data. (An algebraic partial
+    aggregate like this belongs in python only because the kernel is
+    a matrix multiply — numpy's BLAS beats 4096 codegen'd
+    expressions.)"""
+    from collections.abc import Iterator
+
+    dim = 64
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim))
+        sums = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            gram += X.T @ X
+            sums += X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        i, j = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1),
+                           indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([i.ravel(), np.arange(1, dim + 1), [0]]),
+                "j": np.concatenate([j.ravel(), np.zeros(dim, dtype=int), [0]]),
+                "val": np.concatenate([gram.ravel(), sums, [float(n)]]),
+            }
+        )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    parts = e.mapInPandas(partial_gram, "i long, j long, val double")
+    tot = parts.groupBy("i", "j").agg(F.sum("val").alias("val"))
+    n = tot.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("val").alias("n")
+    )
+    means = (
+        tot.filter((F.col("i") > 0) & (F.col("j") == 0))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("val") / F.col("n")).alias("mu"))
+    )
+    gram = tot.filter((F.col("i") > 0) & (F.col("j") > 0)).crossJoin(
+        F.broadcast(n)
+    )
+    mi = means.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("val") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 6
+            ).alias("cov"),
+        )
+    )
+
+
+@q(
+    "hist_equidepth_bins",
+    """
+    WITH r AS (
+      SELECT value,
+             ntile(10) OVER (ORDER BY value, event_id) AS bin
+      FROM events)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM r GROUP BY bin
+    """,
+)
+def hist_equidepth_bins(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of event values: 10 ntile
+    buckets with their boundaries — the histogram CBO statistics use,
+    complementing the fixed-width hist_value_bins. Deterministic via
+    the event_id tie-break. Global ntile = single-partition window;
+    at 100 TB the same result comes from approx_percentile
+    boundaries + a broadcast bucketing join (see rfm_segmentation
+    note)."""
+    from pyspark.sql import Window as W
+
+    r = _t(spark, sf_dir, "events").select(
+        "value",
+        F.ntile(10).over(W.orderBy("value", "event_id")).cast("long").alias("bin"),
+    )
+    return r.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
