@@ -416,3 +416,75 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cand_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def gram_moments(vectors: DataFrame, dim: int) -> DataFrame:
+    """Partial-aggregated second moments of an array<double> column
+    ``v``: per partition, ONE numpy reduction produces the dim×dim
+    X^T X (rows i>=1, j>=1), per-dimension sums (j=0), and the row
+    count (i=j=0); a keyed sum assembles corpus totals. The shuffle
+    carries partitions × (dim²+dim+1) rows regardless of corpus size
+    — the scale pattern for every covariance/PCA/whitening consumer.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim))
+        sums = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            gram += X.T @ X
+            sums += X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        i, j = np.meshgrid(
+            np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+        )
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([i.ravel(), np.arange(1, dim + 1), [0]]),
+                "j": np.concatenate([j.ravel(), np.zeros(dim, dtype=int), [0]]),
+                "val": np.concatenate([gram.ravel(), sums, [float(n)]]),
+            }
+        )
+
+    parts = vectors.select("v").mapInPandas(partial, "i long, j long, val double")
+    return parts.groupBy("i", "j").agg(F.sum("val").alias("val"))
+
+
+def pca_top_component(vectors: DataFrame, dim: int) -> tuple[list[float], float]:
+    """Top principal component of the ``v`` column: assemble the
+    covariance matrix from gram_moments (dim² scalars — the ONLY
+    thing collected to the driver), eigensolve the tiny matrix with
+    numpy, and return (eigenvector, eigenvalue). Sign is fixed so the
+    first component with |w_k| > 1e-12 is positive, making results
+    deterministic across BLAS builds."""
+    import numpy as np
+
+    rows = gram_moments(vectors, dim).collect()
+    gram = np.zeros((dim, dim))
+    sums = np.zeros(dim)
+    n = 0.0
+    for r in rows:
+        if r.i == 0 and r.j == 0:
+            n = r.val
+        elif r.j == 0:
+            sums[r.i - 1] = r.val
+        else:
+            gram[r.i - 1, r.j - 1] = r.val
+    mu = sums / n
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs[:, -1]
+    for x in w:
+        if abs(x) > 1e-12:
+            w = w if x > 0 else -w
+            break
+    return [float(x) for x in w], float(vals[-1])

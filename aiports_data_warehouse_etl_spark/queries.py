@@ -6571,38 +6571,10 @@ def emb_covariance_matrix(spark, sf_dir):
     aggregate like this belongs in python only because the kernel is
     a matrix multiply — numpy's BLAS beats 4096 codegen'd
     expressions.)"""
-    from collections.abc import Iterator
-
-    dim = 64
-
-    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gram = np.zeros((dim, dim))
-        sums = np.zeros(dim)
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            gram += X.T @ X
-            sums += X.sum(axis=0)
-            n += X.shape[0]
-        if n == 0:
-            return
-        i, j = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1),
-                           indexing="ij")
-        yield pd.DataFrame(
-            {
-                "i": np.concatenate([i.ravel(), np.arange(1, dim + 1), [0]]),
-                "j": np.concatenate([j.ravel(), np.zeros(dim, dtype=int), [0]]),
-                "val": np.concatenate([gram.ravel(), sums, [float(n)]]),
-            }
-        )
-
     e = _t(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    parts = e.mapInPandas(partial_gram, "i long, j long, val double")
-    tot = parts.groupBy("i", "j").agg(F.sum("val").alias("val"))
+    tot = S.gram_moments(e, 64)
     n = tot.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("val").alias("n")
     )
@@ -6661,4 +6633,37 @@ def hist_equidepth_bins(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@q("emb_pca_projection", None)  # eigensolve is engine-specific; accuracy-tested
+def emb_pca_projection(spark, sf_dir):
+    """PCA completion: project every embedding onto the corpus's top
+    principal component and report per-label projection stats. The
+    covariance assembly is the distributed part (gram_moments — see
+    emb_covariance_matrix); the eigensolve touches a 64×64 matrix on
+    the driver (the ONLY collect, dim²-sized, corpus-size-free) and
+    the projection itself is a narrow zip_with dot product with the
+    component broadcast as a literal. Rows-only by design — no SQL
+    engine eigensolves — with the variance-captures-eigenvalue
+    accuracy test pinning correctness
+    (test_pca_projection_variance_matches_eigenvalue)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    w, _ = S.pca_top_component(e, 64)
+    proj = F.aggregate(
+        F.zip_with("v", F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", proj.alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("p"), 6).alias("mean_proj"),
+            F.round(F.var_pop("p"), 6).alias("var_proj"),
+        )
     )

@@ -319,3 +319,33 @@ def test_hll_mergeable_sketch_accuracy(spark, sf_oracle):
         assert abs(rows[src].approx_distinct - nd) / nd < 0.05, (src, rows[src], nd)
     assert abs(rows["__all__"].approx_distinct - exact_all) / exact_all < 0.05
     assert rows["__all__"].n_rows == d.count()
+
+
+def test_pca_projection_variance_matches_eigenvalue(spark, sf_small):
+    """The population variance of the top-PC projections must equal
+    the top eigenvalue of the covariance matrix (definition of PCA),
+    and the distributed gram_moments path must agree with a local
+    numpy computation on the collected corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aiports_data_warehouse_etl_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    w, lam = pca_top_component(e, 64)
+
+    X = np.vstack([r.v for r in e.collect()])
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    assert abs(lam - vals[-1]) < 1e-8 * max(1.0, abs(vals[-1]))
+    wl = vecs[:, -1]
+    if np.dot(wl, np.array(w)) < 0:
+        wl = -wl
+    assert np.allclose(np.array(w), wl, atol=1e-8)
+
+    proj = X @ np.array(w)
+    assert abs(proj.var() - lam) < 1e-8 * max(1.0, lam)
