@@ -4,12 +4,13 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each — including the iterative connected-components op (closed by
-a recursive CTE), SimHash (generated bit-vote SQL), and Z-order
-(generated shift/mask SQL). The 7 rows-only entries are exactly the
-ops whose internals are engine-specific by design: the k-means IVF
-and PQ quantizers, HLL/t-digest sketches and the mergeable-HLL
-rollup, seeded Bernoulli sampling (its deterministic hash-bucket and
-priority-sampling twins ARE oracled), the mapInPandas media decode,
+a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL), and
+Z-order (generated shift/mask SQL). The 8 rows-only entries are
+exactly the ops whose internals are engine-specific by design: the
+k-means IVF and PQ quantizers, HLL/t-digest sketches and the
+mergeable-HLL rollup, seeded Bernoulli sampling (its deterministic
+hash-bucket and priority-sampling twins ARE oracled), the mapInPandas
+media decode, the PCA eigensolve (its covariance input IS oracled),
 and catalog introspection — each has an accuracy/behavior test
 instead (COVERAGE.md).
 

@@ -546,3 +546,43 @@ def stream_static_enrichment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Append-mode watermarked tumbling counts to a parquet file sink:
+    a window row is emitted exactly once — when the watermark passes
+    its end — and its state is then evicted, so rows arriving later
+    than the watermark for a closed window are DROPPED, never
+    re-emitted. This is the mode with real state-eviction semantics
+    (complete mode keeps all state and never drops), and the file
+    sink is the one that supports checkpoint recovery across
+    restarts (the memory sink does not) — which is exactly what the
+    late-data test exercises. At scale this is the only output mode
+    whose state size is bounded by watermark × arrival rate rather
+    than by total history."""
+    schema = spark.read.parquet(source_dir).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -519,3 +519,54 @@ def test_read_testdata_normalizes_every_ts_encoding(spark, sf_small, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
         got = {(r.event_id, r.ts) for r in df.collect()}
         assert got == expect, name
+
+
+def test_append_mode_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode + watermark semantics across a restart: run 1 closes
+    and emits early windows; run 2 delivers a row for an already-closed
+    window (later than the watermark) plus rows that close a newer
+    window. The late row must be dropped — the closed window is never
+    re-emitted — while the newly closed window appears exactly once."""
+    import datetime as dt
+
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        stream_append_window_counts,
+    )
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+    day = dt.datetime(2024, 6, 1)
+
+    def ev(h, m):
+        return (day + dt.timedelta(hours=h, minutes=m), "click", 1.0)
+
+    def emitted():
+        rows = spark.read.parquet(out).collect()
+        return sorted((r.window_start.hour, r.n_events) for r in rows)
+
+    # run 1: events 10:00..15:00 → watermark 14:00, windows 10..13 close
+    batch1 = [ev(10, 0), ev(10, 20), ev(11, 5), ev(12, 5), ev(13, 5), ev(15, 0)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q1 = stream_append_window_counts(spark, src, out, ckpt)
+    q1.awaitTermination(120)
+    assert emitted() == [(10, 2), (11, 1), (12, 1), (13, 1)]
+
+    # run 2: a LATE row for the closed 10:00 window + a 16:30 row that
+    # advances the watermark past 15:00. Append mode emits a closed
+    # window in the batch AFTER the watermark passes, so run 2's output
+    # is unchanged — the key assertion is that the late 10:30 row does
+    # NOT re-emit or grow the hour-10 window.
+    batch2 = [ev(10, 30), ev(16, 30)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q2 = stream_append_window_counts(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    assert emitted() == [(10, 2), (11, 1), (12, 1), (13, 1)]
+
+    # run 3: another restart flushes the now-closed hour-15 window with
+    # ONLY its on-time event; hour 10 still 2 — late row provably gone
+    spark.createDataFrame([ev(17, 30)], schema).write.mode("append").parquet(src)
+    q3 = stream_append_window_counts(spark, src, out, ckpt)
+    q3.awaitTermination(120)
+    assert emitted() == [(10, 2), (11, 1), (12, 1), (13, 1), (15, 1)]
