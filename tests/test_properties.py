@@ -258,3 +258,79 @@ def test_weighted_sample_biases_toward_weight(spark, sf_oracle):
     assert sample_mean > corpus_mean * 1.1, (sample_mean, corpus_mean)
     again = fn(spark, sf_oracle).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in sample}
+
+
+def test_chunking_invariants(spark, sf_small):
+    """doc_chunk_overlap invariants on the real corpus: chunk starts
+    stride by 24 so consecutive chunks overlap by 8 tokens; every
+    token position is covered by at least one chunk; chunk sizes are
+    32 except possibly the last; boundary tokens equal direct array
+    indexing."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    chunks = QUERIES["doc_chunk_overlap"].fn(spark, sf_small).collect()
+    docs = {
+        r.doc_id: r.tk
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        tk = docs[doc_id]
+        n = len(tk)
+        cs = sorted(cs, key=lambda c: c.chunk_idx)
+        # stride/coverage: starts are 0,24,48..., last start < n
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        assert (len(cs) - 1) * 24 < n
+        covered = set()
+        for c in cs:
+            start = c.chunk_idx * 24
+            size = min(32, n - start)
+            assert c.chunk_tokens == size
+            assert c.first_tok == tk[start]
+            assert c.last_tok == tk[start + size - 1]
+            covered.update(range(start, start + size))
+        assert covered == set(range(n))
+
+
+def test_rake_phrase_invariants(spark, sf_small):
+    """RAKE invariants: no returned phrase contains a stopword; every
+    phrase occurs verbatim (as a stopword-bounded token run) in at
+    least one document; scores are positive; output is exactly the
+    top-20 by (score, phrase) ordering."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES, _RAKE_STOP
+
+    rows = QUERIES["text_keyphrase_rake"].fn(spark, sf_small).collect()
+    assert len(rows) == 20
+    stop = set(_RAKE_STOP)
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    ]
+
+    def doc_phrases(text):
+        run, out = [], []
+        for t in text.strip().split():
+            if t in stop:
+                if run:
+                    out.append(" ".join(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            out.append(" ".join(run))
+        return out
+
+    all_phrases = set()
+    for t in texts:
+        all_phrases.update(doc_phrases(t))
+    scores = [(r.rake_score, r.phrase) for r in rows]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+    for r in rows:
+        assert r.rake_score > 0
+        assert not (set(r.phrase.split()) & stop)
+        assert r.phrase in all_phrases
