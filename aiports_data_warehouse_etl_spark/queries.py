@@ -6667,3 +6667,78 @@ def emb_pca_projection(spark, sf_dir):
             F.round(F.var_pop("p"), 6).alias("var_proj"),
         )
     )
+
+
+@q(
+    "scd2_point_in_time_join",
+    """
+    WITH v AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             DATE '1990-01-01' AS valid_from,
+             CASE WHEN c_custkey % 2 = 0 THEN DATE '1996-01-01' END
+               AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100, 2),
+             DATE '1996-01-01', NULL
+      FROM customer WHERE c_custkey % 2 = 0)
+    SELECT CAST(year(v.valid_from) AS BIGINT) AS version_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           round(sum(v.acctbal), 2) AS acctbal_at_order
+    FROM orders o
+    JOIN v ON o.o_custkey = v.c_custkey
+          AND o.o_orderdate >= v.valid_from
+          AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY year(v.valid_from)
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal) join — the consumer side of the SCD-2
+    merge: every order joins the dimension VERSION that was valid on
+    its order date (two synthesized versions per even key, cut over
+    at 1996-01-01). The right plan at any scale is an equi-join on
+    the business key with the validity interval as a post-join
+    filter — versions-per-key is tiny and the key carries all the
+    selectivity, so this never becomes a range-join problem the way
+    evt_range_join's keyless intervals do. Exactly one version
+    matches per order by construction (contiguous, non-overlapping
+    validity)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lit("1996-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+            F.lit("1996-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    v = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = o.join(
+        v,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return joined.groupBy(
+        F.year("valid_from").cast("long").alias("version_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum("acctbal"), 2).alias("acctbal_at_order"),
+    )
