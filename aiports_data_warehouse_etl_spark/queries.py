@@ -6742,3 +6742,113 @@ def scd2_point_in_time_join(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.round(F.sum("acctbal"), 2).alias("acctbal_at_order"),
     )
+
+
+@q(
+    "hierarchy_rollup_bom",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_partkey // 10 AS parent, p_retailprice
+      FROM part),
+    anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc_key, 0 AS depth FROM p
+      UNION ALL
+      SELECT a.node, p.parent AS anc_key, a.depth + 1
+      FROM anc a JOIN p ON a.anc_key = p.p_partkey
+      WHERE p.parent > 0 AND a.depth < 6 AND p.parent <> p.p_partkey)
+    SELECT anc_key AS root,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_descendants,
+           round(sum(pp.p_retailprice), 2) AS subtree_value
+    FROM (SELECT DISTINCT node, anc_key FROM anc) t
+    JOIN p pp ON t.node = pp.p_partkey
+    GROUP BY anc_key
+    HAVING count(DISTINCT node) >= 5
+    """,
+)
+def hierarchy_rollup_bom(spark, sf_dir):
+    """Hierarchical (bill-of-materials style) rollup over a synthetic
+    part tree (parent = partkey/10, ~5 levels): for every ancestor,
+    the descendant count and total subtree value. Spark side builds
+    the ancestor closure by iterated self-joins on the parent edge —
+    depth-bounded like the DuckDB recursive CTE — with each level
+    localCheckpoint'd (same superstep rule as graph_bfs_hops). The
+    tree fan-in is 10, so the closure is ~depth×|parts| rows: linear,
+    never explosive. This is the WITH RECURSIVE capability for
+    org-charts/BOM/category trees on an engine without recursive SQL."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_partkey") / 10).alias("parent"),
+        "p_retailprice",
+    )
+    edges = p.select("p_partkey", "parent").localCheckpoint()
+    anc = p.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_partkey").alias("anc_key"),
+    )
+    frontier = anc
+    for _ in range(6):
+        frontier = (
+            frontier.join(
+                edges, frontier.anc_key == edges.p_partkey
+            )
+            .filter(
+                (F.col("parent") > 0) & (F.col("parent") != F.col("p_partkey"))
+            )
+            .select("node", F.col("parent").alias("anc_key"))
+            .localCheckpoint()
+        )
+        anc = anc.unionByName(frontier)
+    closure = anc.distinct()
+    vals = p.select(F.col("p_partkey").alias("node"), "p_retailprice")
+    return (
+        closure.join(vals, "node")
+        .groupBy(F.col("anc_key").alias("root"))
+        .agg(
+            F.countDistinct("node").cast("long").alias("n_descendants"),
+            F.round(F.sum("p_retailprice"), 2).alias("subtree_value"),
+        )
+        .filter(F.col("n_descendants") >= 5)
+    )
+
+
+@q(
+    "evt_top_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY event_type || ' > ' || e2 || ' > ' || e3
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def evt_top_paths(spark, sf_dir):
+    """Top-10 three-step behavioral paths: LEAD twice over each user's
+    time-ordered events, count path trigrams corpus-wide. One window
+    sort per user partition feeding a tiny keyed count (|event
+    types|³ keys at most) and a TakeOrderedAndProject — the
+    n-step generalization of the Markov transition matrix."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
