@@ -6852,3 +6852,96 @@ def evt_top_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@q(
+    "decimal_exact_money",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING)
+             AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+               * CAST(1 - l_discount AS DECIMAL(18, 2))) AS STRING) AS net,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_exact_money(spark, sf_dir):
+    """Money arithmetic in DECIMAL, not DOUBLE: cast once at the scan
+    edge, then every sum is EXACT — no rounding discipline needed for
+    the oracle because both engines compute the identical rational.
+    This is the type the curated money columns should carry in a real
+    warehouse; Spark's decimal aggregation stays in Tungsten's
+    128-bit path (sum of DECIMAL(18,2) widens to DECIMAL(28,2),
+    product to DECIMAL(38,6) — same widening rules as the SQL
+    standard, so the schemas line up engine-to-engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_disc = (1 - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("gross"),
+        F.sum(price * one_minus_disc).cast("string").alias("net"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@q(
+    "collation_group_lcase",
+    """
+    SELECT lower(o_orderpriority) AS priority_lc,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_orderpriority) AS canonical
+    FROM orders GROUP BY lower(o_orderpriority)
+    """,
+)
+def collation_group_lcase(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 collations): grouping on a
+    UTF8_LCASE-collated expression merges case variants inside the
+    hash aggregate itself — no lower() materialization in the grouped
+    key. The oracle is the classic lower() GROUP BY; emitting the
+    lowercased key and the min() canonical form makes the two
+    formulations value-identical. At scale the collated comparison
+    runs in the JVM hash agg exactly like a binary key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.collate("o_orderpriority", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_orderpriority").alias("canonical"),
+        )
+        .select(F.lower("k").alias("priority_lc"), "n", "canonical")
+    )
+
+
+@q(
+    "ansi_try_suite",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_orderkey % 7)) AS BIGINT)
+                END AS safe_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           TRY_CAST(o_orderpriority AS INTEGER) AS not_a_number
+    FROM orders
+    """,
+)
+def ansi_try_suite(spark, sf_dir):
+    """ANSI-mode safety valves: Spark 4 runs ANSI SQL by default
+    (division by zero and bad casts THROW), and try_divide/try_cast
+    are the explicit null-on-error escape hatches. safe_div exercises
+    try_divide against a modulo that hits zero every 7th key;
+    prio_num parses the leading digit of '1-URGENT'-style strings;
+    not_a_number proves a full-string bad cast nulls instead of
+    failing the job. The DuckDB twin spells the same semantics with
+    CASE + TRY_CAST."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor(
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 7)
+        ).cast("long").alias("safe_div"),
+        F.try_to_number(
+            F.substring("o_orderpriority", 1, 1), F.lit("9")
+        ).cast("int").alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("not_a_number"),
+    )
