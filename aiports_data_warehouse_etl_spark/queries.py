@@ -6945,3 +6945,60 @@ def ansi_try_suite(spark, sf_dir):
         ).cast("int").alias("prio_num"),
         F.col("o_orderpriority").try_cast("int").alias("not_a_number"),
     )
+
+
+@q(
+    "share_of_parent",
+    """
+    WITH rn AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM rn
+    """,
+)
+def share_of_parent(spark, sf_dir):
+    """Ratio-to-parent / ratio-to-report: each nation's revenue as a
+    share of its region and of the grand total — two window sums over
+    the ALREADY-aggregated 25-row rollup, so the windows cost nothing
+    regardless of input scale (the expensive part is the one keyed
+    aggregation underneath, and the star join stays all-broadcast).
+    The canonical OLAP drill-down companion to grouping sets."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region")
+    rn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rn.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue")
+            / F.sum("revenue").over(W.partitionBy("region")),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
+        ).alias("share_of_total"),
+    )
