@@ -7002,3 +7002,62 @@ def share_of_parent(spark, sf_dir):
             F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
         ).alias("share_of_total"),
     )
+
+
+@q(
+    "evt_cusum_drift",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             sum(value - 55.0) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT user_id,
+             c - least(0.0, min(c) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      FROM x)
+    SELECT user_id,
+           CAST(count_if(cusum > 500.0) AS BIGINT) AS n_alarms,
+           round(max(cusum), 6) AS max_cusum
+    FROM s GROUP BY user_id
+    """,
+)
+def evt_cusum_drift(spark, sf_dir):
+    """CUSUM drift detection per user — the sequential recurrence
+    s_i = max(0, s_{i-1} + (x_i - k)) looks iterative, but the
+    prefix-min identity s_i = c_i - min(0, min_{j<=i} c_j) (c =
+    running sum of deviations) turns it into TWO stacked window
+    functions: a cumulative sum and a running minimum over the same
+    per-user ordering. One window sort per user partition, zero
+    python, zero state — the pattern for ANY max(0, ...)-reset
+    recurrence (drawdown, water-filling, queue depth). Alarm
+    threshold h=500 on deviations from k=55."""
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    x = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - 55.0).over(wc).alias("c"),
+    )
+    wm = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = x.select(
+        "user_id",
+        (F.col("c") - F.least(F.lit(0.0), F.min("c").over(wm))).alias("cusum"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count_if(F.col("cusum") > 500.0).cast("long").alias("n_alarms"),
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+    )

@@ -334,3 +334,39 @@ def test_rake_phrase_invariants(spark, sf_small):
         assert r.rake_score > 0
         assert not (set(r.phrase.split()) & stop)
         assert r.phrase in all_phrases
+
+
+def test_cusum_prefix_min_identity_matches_recurrence(spark, sf_small):
+    """evt_cusum_drift computes s_i = max(0, s_{i-1} + d_i) via the
+    prefix-min identity using only window functions; the literal
+    python recurrence over each user's time-ordered series must
+    agree exactly."""
+    import duckdb
+    from collections import defaultdict
+
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, value FROM '{sf_small}/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    series = defaultdict(list)
+    for u, v in rows:
+        series[u].append(v)
+
+    def recurrence(vals, k=55.0, h=500.0):
+        s = mx = 0.0
+        n = 0
+        for v in vals:
+            s = max(0.0, s + (v - k))
+            mx = max(mx, s)
+            n += int(s > h)
+        return n, round(mx, 6)
+
+    got = {
+        r.user_id: (r.n_alarms, r.max_cusum)
+        for r in QUERIES["evt_cusum_drift"].fn(spark, sf_small).collect()
+    }
+    assert got == {u: recurrence(vals) for u, vals in series.items()}
