@@ -7061,3 +7061,150 @@ def evt_cusum_drift(spark, sf_dir):
         F.count_if(F.col("cusum") > 500.0).cast("long").alias("n_alarms"),
         F.round(F.max("cusum"), 6).alias("max_cusum"),
     )
+
+
+_CMS_W = 256
+
+
+@q(
+    "cms_event_counts",
+    f"""
+    WITH hj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+      SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type),
+                                 1, 15) AS BIGINT) % {_CMS_W} AS col,
+             count(*) AS c
+      FROM events CROSS JOIN hj
+      GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type FROM events),
+    est AS (
+      SELECT t.event_type,
+             min(cells.c) AS cms_estimate
+      FROM types t
+      CROSS JOIN hj
+      JOIN cells ON cells.j = hj.j
+        AND cells.col = CAST('0x' || substr(md5(CAST(hj.j AS VARCHAR) || ':'
+                             || t.event_type), 1, 15) AS BIGINT) % {_CMS_W}
+      GROUP BY t.event_type)
+    SELECT e.event_type, CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(x.exact_n AS BIGINT) AS exact_n
+    FROM est e
+    JOIN (SELECT event_type, count(*) AS exact_n
+          FROM events GROUP BY event_type) x USING (event_type)
+    """,
+)
+def cms_event_counts(spark, sf_dir):
+    """Count-Min sketch, built and queried declaratively: d=4 md5 hash
+    rows × w=256 columns of counters (a GROUP BY over the exploded
+    (row, bucket) pairs), point-queried as the min over the 4 cells a
+    key hashes to. CMS never undercounts — the estimate >= exact
+    always, equality when no collisions — and the cell table is
+    MERGEABLE: day-sketches sum cell-wise into week-sketches exactly
+    like the bitmap/HLL rollups here. The full build is one 1024-cell
+    aggregate regardless of stream size; the oracle recomputes the
+    identical deterministic cells in SQL, alongside the exact counts
+    for the accuracy story."""
+    e = _t(spark, sf_dir, "events").select("event_type")
+    hj = spark.range(4).select(F.col("id").alias("j"))
+
+    def bucket(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j_col.cast("string"), F.lit(":"), key_col
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        e.crossJoin(F.broadcast(hj))
+        .groupBy("j", bucket(F.col("j"), F.col("event_type")).alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    types = e.distinct()
+    probes = types.crossJoin(F.broadcast(hj)).select(
+        "event_type",
+        "j",
+        bucket(F.col("j"), F.col("event_type")).alias("col"),
+    )
+    est = (
+        probes.join(cells, ["j", "col"])
+        .groupBy("event_type")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return est.join(exact, "event_type")
+
+
+@q(
+    "pipeline_training_corpus",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text, {_TOKS_SQL} AS tk FROM documents),
+    m AS (SELECT *, greatest(len(tk), 1) AS n FROM t),
+    q AS (
+      SELECT doc_id, lang, source, text, tk,
+             round(0.5 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n)
+                 + 0.2 * least((CAST(len(list_filter(tk,
+                       x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                     / n) * 5.0, 1.0),
+               6) AS quality
+      FROM m),
+    f AS (SELECT * FROM q WHERE quality >= 0.55),
+    d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+          FROM f)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM d WHERE doc_id = canon
+    GROUP BY lang, source
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """The training-data pipeline as ONE composed plan: quality-score
+    every document (native expressions), gate at 0.55, exact-dedup
+    keeping the min-id canonical copy per content hash, and report
+    the kept corpus per (lang, source) — docs, tokens, mean quality.
+    Each stage is an operator proven separately (text_quality,
+    dedup_exact); the point here is composition: Catalyst fuses the
+    scoring and gating into the scan stage, the dedup window and the
+    final rollup are the only exchanges, and nothing materializes
+    between stages. This is the shape a 100 TB corpus-prep job
+    actually ships as."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    q_df = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.55)
+    canon = q_df.withColumn(
+        "canon", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    )
+    return (
+        canon.filter(F.col("doc_id") == F.col("canon"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
