@@ -7208,3 +7208,87 @@ def pipeline_training_corpus(spark, sf_dir):
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+@q(
+    "id_gaps_islands",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    g AS (
+      SELECT id,
+             id - row_number() OVER (ORDER BY id) AS grp
+      FROM k)
+    SELECT CAST(min(id) AS BIGINT) AS island_start,
+           CAST(max(id) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM g GROUP BY grp
+    HAVING count(*) >= 3
+    """,
+)
+def id_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands over the order-key space: contiguous id runs
+    via the classic id - row_number() grouping constant (runs of
+    consecutive ids share the difference). Finds every island of >= 3
+    consecutive keys — the audit query for 'did the upstream loader
+    skip ids'. The time-based twin is evt_sessions_30m; this is the
+    integer-sequence form. Global row_number = one total-order sort;
+    at 100 TB do it per partition-range and stitch the boundary
+    islands (range partitioner preserves order)."""
+    from pyspark.sql import Window as W
+
+    k = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    ).distinct()
+    g = k.withColumn("grp", F.col("id") - F.row_number().over(W.orderBy("id")))
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.min("id").cast("long").alias("island_start"),
+            F.max("id").cast("long").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .drop("grp")
+    )
+
+
+@q(
+    "revenue_mom_growth",
+    """
+    WITH m AS (
+      SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY substr(CAST(o_orderdate AS STRING), 1, 7))
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+             AS delta,
+           round((revenue / lag(revenue) OVER (ORDER BY month) - 1) * 100,
+                 4) AS pct_growth
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: LAG over the aggregated
+    monthly series — absolute delta and percent growth, NULL for the
+    first month. The window runs over |months| rows, so it is free at
+    any input scale; the only real work is the keyed monthly
+    aggregation underneath."""
+    from pyspark.sql import Window as W
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "month"
+            )
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") / prev - 1) * 100, 4).alias("pct_growth"),
+    )
