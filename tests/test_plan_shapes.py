@@ -587,3 +587,32 @@ def test_compaction_rewrite_reduces_file_count(spark, sf_small, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b and len(a) == 25
+
+
+def test_parameterized_sql_binding(spark, sf_small):
+    """spark.sql named-parameter binding (the injection-safe way to
+    template warehouse queries): the bound literal must behave exactly
+    like the inlined one, including for values that would break naive
+    string interpolation."""
+    spark.read.parquet(f"{sf_small}/orders.parquet").createOrReplaceTempView(
+        "p_orders"
+    )
+    bound = spark.sql(
+        "SELECT count(*) AS n FROM p_orders "
+        "WHERE o_orderpriority = :prio AND o_totalprice > :floor",
+        args={"prio": "1-URGENT", "floor": 1000.0},
+    ).collect()[0].n
+    inlined = spark.sql(
+        "SELECT count(*) AS n FROM p_orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0"
+    ).collect()[0].n
+    assert bound == inlined and bound > 0
+
+    # a value full of SQL metacharacters binds as a plain string
+    weird = "x' OR '1'='1; DROP TABLE p_orders --"
+    n = spark.sql(
+        "SELECT count(*) AS n FROM p_orders WHERE o_orderpriority = :p",
+        args={"p": weird},
+    ).collect()[0].n
+    assert n == 0
+    assert spark.sql("SELECT count(*) AS n FROM p_orders").collect()[0].n > 0
