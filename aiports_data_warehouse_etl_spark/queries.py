@@ -7292,3 +7292,49 @@ def revenue_mom_growth(spark, sf_dir):
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         F.round((F.col("revenue") / prev - 1) * 100, 4).alias("pct_growth"),
     )
+
+
+@q(
+    "evt_interarrival_stats",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap_us) / 1e6, 4) AS mean_gap_s,
+           round(median(gap_us) / 1e6, 4) AS median_gap_s,
+           round(quantile_disc(gap_us, 0.95) / 1e6, 4) AS p95_gap_s
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def evt_interarrival_stats(spark, sf_dir):
+    """Arrival-process characterization per event type: inter-arrival
+    gaps via LAG over the per-type time order, then mean / exact
+    median / discrete p95 in seconds. The capacity-planning query —
+    mean >> median means bursty arrivals, and p95 sizes the idle
+    timeout. One window sort per type partition feeding a per-type
+    ordered-set aggregation; gaps are computed in integer micros and
+    divided once at the end so the quantiles order exactly."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 4).alias("mean_gap_s"),
+        F.round(F.median("gap_us") / 1e6, 4).alias("median_gap_s"),
+        F.round(
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)")
+            / 1e6,
+            4,
+        ).alias("p95_gap_s"),
+    )
