@@ -1109,45 +1109,146 @@ def pivot_event_types(spark, sf_dir):
 @q(
     "agg_stats_suite",
     """
+    WITH z AS (
+      SELECT event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS vx
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(vx) AS DOUBLE) AS sx,
+             CAST(sum(vx * vx) AS DOUBLE) AS sxx,
+             round(min(value), 2) AS min_value,
+             round(max(value), 2) AS max_value,
+             round(quantile_cont(value, 0.5), 6) AS median_value
+      FROM z GROUP BY event_type
+    )
     SELECT event_type,
-           round(avg(value), 6) AS avg_value,
-           round(stddev_samp(value), 6) AS std_value,
-           round(var_samp(value), 6) AS var_value,
-           round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value,
-           round(quantile_cont(value, 0.5), 6) AS median_value
-    FROM events GROUP BY event_type
+           round(sx / n / 100.0, 6) AS avg_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1) / 10000.0), 6) AS std_value,
+           round((sxx - sx * sx / n) / (n - 1) / 10000.0, 6) AS var_value,
+           min_value, max_value, median_value
+    FROM s
     """,
 )
 def agg_stats_suite(spark, sf_dir):
     """Statistical aggregates incl. exact interpolated median
-    (percentile, not approx — it gates correctness)."""
+    (percentile, not approx — it gates correctness).
+
+    avg/std/var are computed from EXACT integer sums of the 2-decimal
+    fixed-point values (scaled ×100; DECIMAL(38,0) sums in Spark,
+    HUGEINT in DuckDB) with the final formula evaluated in double in
+    an identical operation order on both engines — immune to the
+    moment-accumulation-order ulp drift that flaked agg_corr in r1.
+    Median stays native: both engines interpolate the same two
+    doubles, which is already deterministic."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
-        F.round(F.var_samp("value"), 6).alias("var_value"),
+    z = e.select(
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("vx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("vx")).cast("double").alias("sx"),
+        F.sum(dec("vx") * dec("vx")).cast("double").alias("sxx"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0)) / F.lit(10000.0)
+    return s.select(
+        "event_type",
+        F.round(sx / n / F.lit(100.0), 6).alias("avg_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+        F.round(var, 6).alias("var_value"),
+        "min_value",
+        "max_value",
+        "median_value",
     )
 
 
 @q(
     "agg_corr",
     """
+    WITH z AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS px,
+             CAST(round(l_discount * 10000) AS BIGINT) AS dx,
+             CAST(round(l_tax * 10000) AS BIGINT) AS tx
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(qx) AS DOUBLE) AS sx,
+             CAST(sum(px) AS DOUBLE) AS sy,
+             CAST(sum(qx * px) AS DOUBLE) AS sxy,
+             CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+             CAST(sum(px * px) AS DOUBLE) AS syy,
+             CAST(sum(dx) AS DOUBLE) AS sd,
+             CAST(sum(tx) AS DOUBLE) AS st,
+             CAST(sum(dx * tx) AS DOUBLE) AS sdt
+      FROM z GROUP BY l_returnflag
+    )
     SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
-    FROM lineitem GROUP BY l_returnflag
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS qty_price_corr,
+           round((sdt - sd * st / n) / (n - 1) / 100000000.0, 6) AS disc_tax_cov
+    FROM s
     """,
 )
 def agg_corr(spark, sf_dir):
-    """Correlation / covariance aggregates."""
+    """Correlation / covariance aggregates.
+
+    Deterministic cross-engine formulation: Spark's and DuckDB's
+    streaming `corr`/`covar_samp` accumulate moments in different
+    orders, so the last ulp (and hence a round(,6) at a boundary)
+    can differ. Instead the fixed-point doubles (quantity/price have
+    2 decimals, discount/tax 4) are scaled to exact integers, summed
+    EXACTLY (DECIMAL(38,0) in Spark so px*px never overflows bigint;
+    HUGEINT natively in DuckDB), and the corr/covar formula is then
+    evaluated in double with an identical operation order on both
+    engines — bit-identical inputs through identical IEEE754 ops.
+    corr is scale-invariant so the *100 factors cancel; covar is
+    un-scaled by 1e8. Scale shape: single map-side-combined hash
+    aggregate on l_returnflag, shuffle carries 10 numbers per group."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+    z = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("px"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("dx"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("tx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("qx")).cast("double").alias("sx"),
+        F.sum(dec("px")).cast("double").alias("sy"),
+        F.sum(dec("qx") * dec("px")).cast("double").alias("sxy"),
+        F.sum(dec("qx") * dec("qx")).cast("double").alias("sxx"),
+        F.sum(dec("px") * dec("px")).cast("double").alias("syy"),
+        F.sum(dec("dx")).cast("double").alias("sd"),
+        F.sum(dec("tx")).cast("double").alias("st"),
+        F.sum(dec("dx") * dec("tx")).cast("double").alias("sdt"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sd, st, sdt = F.col("sd"), F.col("st"), F.col("sdt")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+        F.round((sdt - sd * st / n) / (n - F.lit(1.0)) / F.lit(1e8), 6).alias(
+            "disc_tax_cov"
+        ),
     )
 
 
@@ -2390,21 +2491,39 @@ def tpch_q22_idle_customers(spark, sf_dir):
 @q(
     "corr_scalar_subquery",
     """
+    WITH z AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS px
+      FROM orders
+    )
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
-    FROM orders o
-    WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
-                                  WHERE o2.o_custkey = o.o_custkey)
+    FROM (
+      SELECT *,
+             CAST(sum(px) OVER (PARTITION BY o_custkey) AS DOUBLE) AS spx,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cn
+      FROM z
+    )
+    WHERE CAST(px AS DOUBLE) > 1.5 * (spx / cn)
     """,
 )
 def corr_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery (orders 50% above their customer's
     own average): decorrelated into a per-customer window average —
-    one shuffle on the correlation key instead of a per-row subquery."""
+    one shuffle on the correlation key instead of a per-row subquery.
+    The filter boundary compares exact scaled-integer sums (not a
+    float avg whose accumulation order differs per engine), so no
+    boundary row can flip between Spark and the oracle."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    z = o.withColumn(
+        "px", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
     return (
-        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > 1.5 * F.col("__cust_avg"))
+        z.withColumn("spx", F.sum("px").over(w).cast("double"))
+        .withColumn("cn", F.count(F.lit(1)).over(w).cast("double"))
+        .filter(
+            F.col("px").cast("double") > 1.5 * (F.col("spx") / F.col("cn"))
+        )
         .select(
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
         )
@@ -5190,43 +5309,58 @@ def graph_pagerank_parts(spark, sf_dir):
       SELECT user_id, value,
              (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS xh
       FROM events
+    ), s AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(xh AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xh * xh AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(value * xh AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM x GROUP BY user_id
     )
     SELECT user_id,
-           round(covar_pop(value, xh) / var_pop(xh), 6) AS slope,
-           round(avg(value) - covar_pop(value, xh) / var_pop(xh) * avg(xh),
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
                  6) AS intercept
-    FROM x
-    GROUP BY user_id
-    HAVING count(*) >= 2 AND var_pop(xh) > 0
+    FROM s
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0
     """,
 )
 def evt_user_trend_slope(spark, sf_dir):
     """Per-user linear trend of event value over time: ordinary
-    least squares as covar_pop/var_pop — one distributed aggregation,
-    no model library. The time axis is re-centred to hours since
-    2024-01-01 BEFORE the moments: raw epoch-micros x-values make
-    E[xy] - E[x]E[y] a catastrophic cancellation of ~1e30 terms,
-    which is exactly the failure mode that diverges between engines.
-    Scale shape: map-side partial moment aggregation; one shuffle on
-    user_id."""
+    least squares from sufficient statistics — one distributed
+    aggregation, no model library. The time axis is re-centred to
+    hours since 2024-01-01 BEFORE the moments: raw epoch-micros
+    x-values make n*Sxy - Sx*Sy a catastrophic cancellation of ~1e30
+    terms, exactly the failure mode that diverges between engines.
+    Per-row terms (xh, xh², value·xh) are computed in double
+    (deterministic per row), cast to DECIMAL(38,12) and summed
+    EXACTLY, then the OLS formula runs in double with identical op
+    order on both engines — no accumulation-order ulp drift.
+    Scale shape: map-side partial sums; one shuffle on user_id."""
     e = _t(spark, sf_dir, "events")
     xh = (
         (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600000000.0)
     ).alias("xh")
     x = e.select("user_id", "value", xh)
-    slope = F.covar_pop("value", "xh") / F.var_pop("xh")
+    d12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d12(F.col("xh"))).cast("double").alias("sx"),
+        F.sum(d12(F.col("value"))).cast("double").alias("sy"),
+        F.sum(d12(F.col("xh") * F.col("xh"))).cast("double").alias("sxx"),
+        F.sum(d12(F.col("value") * F.col("xh"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return (
-        x.groupBy("user_id")
-        .agg(
+        s.filter((n >= 2) & ((n * sxx - sx * sx) > 0))
+        .select(
+            "user_id",
             F.round(slope, 6).alias("slope"),
-            F.round(F.avg("value") - slope * F.avg("xh"), 6).alias(
-                "intercept"
-            ),
-            F.count(F.lit(1)).alias("_n"),
-            F.var_pop("xh").alias("_vx"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
         )
-        .filter((F.col("_n") >= 2) & (F.col("_vx") > 0))
-        .select("user_id", "slope", "intercept")
     )
 
 
