@@ -46,25 +46,56 @@ def with_scalable_row_id(
 ) -> DataFrame:
     """Dense 0-based row id at fact scale: no single-partition window.
 
-    Range-repartitions on the ordering key (distributed sort), then adds
-    cumulative per-partition offsets. Two passes over the data, all
-    narrow after the sort; survives 100 TB where ``Window.orderBy``
-    would OOM one task.
+    Entirely JVM-side (no ``.rdd``, no Python round-trip — r1's
+    ``rdd.zipWithIndex`` version pickled every row through Python):
+
+    1. range-repartition on the ordering key (distributed sort) and
+       stamp ``spark_partition_id()``; ``localCheckpoint`` pins the
+       partition layout so the counts job and the numbering job see
+       the SAME range boundaries (and the shuffle/sort runs once, not
+       twice — lineage is truncated, recompute impossible);
+    2. per-partition row counts (one row per partition — a bounded,
+       legitimate driver collect) → cumulative offsets;
+    3. broadcast-join the tiny offset table back on partition id and
+       add ``row_number() OVER (PARTITION BY pid ORDER BY key)``.
+       The window's hash exchange on pid moves already-clustered rows
+       once; every operator stays in whole-stage codegen.
+
+    Ids are identical to ``with_row_id``'s for the same total
+    ordering; survives 100 TB where ``Window.orderBy`` would OOM one
+    task. ``localCheckpoint`` stores blocks on executors (not fault
+    tolerant): an executor loss fails the job loudly instead of
+    silently renumbering — the correct failure mode for key
+    assignment; use a reliable checkpoint dir if re-runs are cheaper
+    than determinism risk.
     """
-    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
-    indexed = ordered.rdd.zipWithIndex()
-    schema = df.schema
+    stamped = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = stamped.groupBy("__pid").count().collect()
+    offsets, running = [], int(start)
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += row["count"]
     spark = df.sparkSession
-
-    def flatten(pair):
-        row, idx = pair
-        return (*row, idx + start)
-
-    out = indexed.map(flatten)
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(list(schema.fields) + [T.StructField(name, T.LongType(), False)])
-    return spark.createDataFrame(out, out_schema)
+    if not offsets:  # empty input: keep schema, zero rows
+        return df.withColumn(name, F.lit(0).cast("long")).limit(0)
+    # VALUES literal keeps the offset table JVM-side (createDataFrame
+    # would round-trip it through a PythonRDD scan node)
+    values = ", ".join(f"({int(p)}, {int(o)}L)" for p, o in offsets)
+    off_df = spark.sql(f"SELECT * FROM VALUES {values} AS t(__pid, __off)")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        stamped.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            name,
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
 
 
 def first_seen_id(

@@ -616,3 +616,33 @@ def test_parameterized_sql_binding(spark, sf_small):
     ).collect()[0].n
     assert n == 0
     assert spark.sql("SELECT count(*) AS n FROM p_orders").collect()[0].n > 0
+
+
+def test_scalable_row_id_stays_jvm_side(spark, sf_small):
+    """with_scalable_row_id must not route rows through Python: r1's
+    rdd.zipWithIndex version pickled every fact row JVM→Python→JVM.
+    The rewrite is per-partition counts + broadcast offsets +
+    row_number per partition — all JVM/codegen. The ids must be
+    bit-identical to the single-window with_row_id reference."""
+    from aiports_data_warehouse_etl_spark.functions.keys import (
+        with_row_id,
+        with_scalable_row_id,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    order = ["l_orderkey", "l_linenumber"]
+    scalable = with_scalable_row_id(li, order, "rid", start=7)
+
+    p = plan(scalable)
+    for banned in ("PythonRDD", "BatchEvalPython", "MapInPandas", "EvalPython"):
+        assert banned not in p, f"{banned} found in plan:\n{p}"
+    assert "BroadcastHashJoin" in p  # offset attach is a broadcast join
+
+    expected = {
+        (r.l_orderkey, r.l_linenumber): r.rid
+        for r in with_row_id(li, order, "rid", start=7).collect()
+    }
+    got = {(r.l_orderkey, r.l_linenumber): r.rid for r in scalable.collect()}
+    assert got == expected
