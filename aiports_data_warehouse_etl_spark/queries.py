@@ -3248,26 +3248,45 @@ def hll_mergeable_distinct(spark, sf_dir):
     return per_source.unionByName(overall)
 
 
-@q("mm_decode_features", None)  # mapInPandas kernel — no SQL twin
+@q("mm_decode_features", None)  # mapInPandas decode kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
-    """Multimodal plumbing: synthesize a media table (text bytes as the
-    opaque binary payload — the container has no image/audio libs, so
-    the decode kernel is a deterministic fake), then run the Arrow-
-    batched mapInPandas decode+featurize pass. Proves schema, batch
-    iteration, and column pruning; a real PIL/ffmpeg kernel swaps in
-    without touching the plan."""
+    """Multimodal decode end-to-end with REAL codecs: synthesize
+    deterministic media payloads from doc_id (PNG images encoded with
+    the repo's pure-stdlib encoder, PCM16 WAV audio, raw text bytes as
+    the undecodable control group), then run the Arrow-batched
+    mapInPandas decode+featurize pass — actual pixel/sample statistics
+    come back out (functions/mediacodec.py). Column pruning holds: only
+    (media_id, kind, payload) cross into Python, in both passes."""
     from aiports_data_warehouse_etl_spark.operators.multimodal import (
         decode_and_featurize,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+
+    def encode_media(batches):
+        import numpy as np
+
+        from aiports_data_warehouse_etl_spark.functions import mediacodec as mc
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 == 0:  # 8x8 gray PNG, pixels seeded by doc_id
+                    px = ((np.arange(64, dtype=np.int64) * (did + 7)) % 256
+                          ).astype(np.uint8).reshape(8, 8, 1)
+                    rows.append((did, "image", mc.encode_png(px)))
+                elif did % 3 == 1:  # 64-sample PCM16 ramp WAV
+                    sig = ((np.arange(64, dtype=np.int64) * (did % 500 + 1))
+                           % 20000).astype(np.int16)
+                    rows.append((did, "audio", mc.encode_wav(sig, 8000)))
+                else:  # raw text bytes: honest undecodable control
+                    rows.append((did, "video", text.encode("utf-8")))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode_media,
+        "media_id long, kind string, payload binary",
     )
     return decode_and_featurize(media)
 

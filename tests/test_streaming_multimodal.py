@@ -79,28 +79,83 @@ def test_sliding_stream_matches_batch(spark, sf_small, tmp_path):
     assert len({ws for ws, _ in streamed}) > 2 * len(tumbling_starts)
 
 
-@pytest.fixture()
-def media(spark):
-    rows = [
-        (0, "image", b"\x00\x01\x02\x03" * 8, "image/png", 4, 4, None, None),
-        (1, "audio", b"\xff" * 100, "audio/wav", None, None, 2000, 16000),
+def _real_media_rows():
+    """Real PNG / PPM / WAV payloads with KNOWN pixel/sample content."""
+    import numpy as np
+
+    from aiports_data_warehouse_etl_spark.functions import mediacodec as mc
+
+    # 4x4 gray PNG: all pixels 100 except one 200
+    img = np.full((4, 4, 1), 100, dtype=np.uint8)
+    img[0, 0, 0] = 200
+    png = mc.encode_png(img)
+    # 2x3 RGB PPM, constant red
+    red = np.zeros((2, 3, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    ppm = mc.encode_ppm(red)
+    # 1s of silence + a step, PCM16 8kHz
+    sig = np.concatenate(
+        [np.zeros(400, dtype=np.int16), np.full(400, 1000, dtype=np.int16)]
+    )
+    wav = mc.encode_wav(sig, 8000)
+    return [
+        (0, "image", png, "image/png", 4, 4, None, None),
+        (1, "audio", wav, "audio/wav", None, None, 100, 8000),
         (2, "video", b"\x10\x20", "video/mp4", 640, 480, 3500, None),
         (3, "image", None, "image/png", 1, 1, None, None),
+        (4, "image", ppm, "image/x-portable-pixmap", 3, 2, None, None),
+        (5, "image", b"\x00\x01\x02\x03" * 8, "application/octet-stream",
+         None, None, None, None),
     ]
-    return spark.createDataFrame(rows, schemas.MEDIA)
 
 
-def test_decode_and_featurize(media):
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(_real_media_rows(), schemas.MEDIA)
+
+
+def test_decode_and_featurize_real_pixels(media):
     out = {r.media_id: r for r in decode_and_featurize(media).collect()}
-    assert out[0].n_bytes == 32
-    assert len(out[0].feature) == 8
-    assert abs(sum(out[0].feature) - 1.0) < 1e-6  # L1-normalized
-    assert out[3].feature is None and out[3].n_bytes is None  # null payload
+    # PNG: real per-pixel stats — mean of (15*100 + 200)/16 = 106.25
+    png = out[0]
+    assert png.fmt == "png" and (png.width, png.height) == (4, 4)
+    assert abs(png.sig_mean - 106.25) < 1e-9
+    assert png.sig_std > 0
+    # 8-bin histogram over [0,256): 15/16 px in bin 3 (96-128), 1 in bin 6
+    assert abs(png.feature[3] - 15 / 16) < 1e-6
+    assert abs(png.feature[6] - 1 / 16) < 1e-6
+    # WAV: real per-sample stats — mean of half zeros, half 1000 = 500
+    wav = out[1]
+    assert wav.fmt == "wav" and wav.n_samples == 800 and wav.sample_rate == 8000
+    assert abs(wav.sig_mean - 500.0) < 1e-9
+    # PPM: pure red — luma = 0.299*255
+    ppm = out[4]
+    assert ppm.fmt == "ppm" and (ppm.width, ppm.height) == (3, 2)
+    assert abs(ppm.sig_mean - 0.299 * 255) < 1e-6 and ppm.sig_std == 0.0
+    # undecodable bytes fall back to byte-level features, honestly labelled
+    raw = out[5]
+    assert raw.fmt == "raw" and raw.width is None
+    assert abs(sum(raw.feature) - 1.0) < 1e-5
+    # video payload is not a decodable still format -> raw fallback
+    assert out[2].fmt == "raw"
+    # null payload
+    assert out[3].feature is None and out[3].n_bytes is None
 
 
-def test_resize_stub_raises(media):
-    with pytest.raises(Exception):  # NotImplementedError crosses py4j
-        resize_images(media, 64, 64).collect()
+def test_resize_images_real(media):
+    from aiports_data_warehouse_etl_spark.functions import mediacodec as mc
+
+    out = {r.media_id: r for r in resize_images(media, 2, 2).collect()}
+    # only kind == image rows flow through
+    assert set(out) == {0, 3, 4, 5}
+    small = mc.decode_png(bytes(out[0].payload))
+    assert small.shape == (2, 2, 1)
+    # nearest-neighbour of the 4x4 gray: top-left keeps the 200 pixel
+    assert small[0, 0, 0] == 200 and small[1, 1, 0] == 100
+    red = mc.decode_ppm(bytes(out[4].payload))
+    assert red.shape == (2, 2, 3) and red[:, :, 0].min() == 255
+    # undecodable / null payloads yield honest null rows
+    assert out[3].payload is None and out[5].payload is None
 
 
 def test_video_frame_sampling(media):
