@@ -479,6 +479,10 @@ def pca_top_component(vectors: DataFrame, dim: int) -> tuple[list[float], float]
             sums[r.i - 1] = r.val
         else:
             gram[r.i - 1, r.j - 1] = r.val
+    if not rows or n <= 0:
+        raise ValueError(
+            "pca_top_component: empty corpus (no moment rows / n == 0)"
+        )
     mu = sums / n
     cov = gram / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)

@@ -3669,17 +3669,35 @@ def m3_scd2_merge(spark, sf_dir):
     )
 
 
-@q("catalog_tables", None)  # catalog introspection — environment-dependent
+@q(
+    "catalog_tables",
+    """
+    SELECT table_name AS tbl, (table_type = 'VIEW') AS is_view
+    FROM information_schema.tables
+    WHERE table_name IN ('region', 'nation', 'customer', 'orders')
+    """,
+)
 def catalog_tables(spark, sf_dir):
-    """S7 (INFORMATION_SCHEMA scan analogue): register the testdata
-    tables as temp views and scan the catalog — `SHOW TABLES` through
-    the same Catalyst session catalog a warehouse deployment queries.
-    Rows-only: view lifetimes are session-scoped, not data-derived."""
+    """S7 (INFORMATION_SCHEMA scan analogue, ref test_connection.py:16-21):
+    register testdata tables as temp views and scan the session catalog
+    — `SHOW TABLES` through the same Catalyst catalog a warehouse
+    deployment queries. Oracled: BOTH engines introspect their own
+    catalog for the same four tables (the driver registers the testdata
+    set as DuckDB views, so information_schema lists them as VIEWs; the
+    Spark temp views report isTemporary) — a genuine metadata-scan
+    parity check, not a data query. The cat_ prefix isolates this
+    query's registrations from any other session views."""
     for t in ("region", "nation", "customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"cat_{t}")
-    return spark.sql("SHOW TABLES").filter(
-        F.col("tableName").startswith("cat_")
-    ).select("tableName", "isTemporary")
+    names = [f"cat_{t}" for t in ("region", "nation", "customer", "orders")]
+    return (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(names))
+        .select(
+            F.expr("substring(tableName, 5)").alias("tbl"),
+            F.col("isTemporary").alias("is_view"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5922,7 +5940,15 @@ def ansi_sql_frontend(spark, sf_dir):
     window exchange per nation)."""
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_ANSI_SHARED_SQL)
+    try:
+        # spark.sql resolves the views at analysis time, so they can be
+        # dropped immediately: the returned DataFrame keeps its plan and
+        # the session never leaks unprefixed view names that could
+        # shadow (or be shadowed by) user/test views.
+        return spark.sql(_ANSI_SHARED_SQL)
+    finally:
+        for t in ("orders", "customer", "nation"):
+            spark.catalog.dropTempView(t)
 
 
 # ---------------------------------------------------------------------------
@@ -6727,7 +6753,10 @@ def emb_covariance_matrix(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    tot = S.gram_moments(e, 64)
+    # the n/means/gram branches below each reference tot: pin the
+    # 4161-row moment table once so the embeddings scan + Python gram
+    # pass runs exactly once, not three times
+    tot = S.gram_moments(e, 64).localCheckpoint()
     n = tot.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("val").alias("n")
     )
