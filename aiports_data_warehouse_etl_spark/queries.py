@@ -6120,11 +6120,19 @@ def text_bigram_logprob(spark, sf_dir):
     log-probability of its bigrams under the corpus MLE model
     P(w2|w1) = c(w1 w2) / c(w1 ·). The LM-perplexity cousin of
     text_unigram_logprob — repetitive or templated text scores high,
-    incoherent token salad scores low. Corpus counts are one token
-    explode + two aggregations; the per-doc join is on the bigram
-    string. At 100 TB the bigram vocabulary is the heavy table —
-    it shuffles by bigram hash and the prefix counts broadcast only
-    if the vocabulary is capped (here it is naturally tiny)."""
+    incoherent token salad scores low.
+
+    ONE wide exchange over the exploded stream: the bigram-count agg.
+    The prefix counts c(w1 ·) are derived FROM the bigram vocabulary
+    (sum of c_bg by first word — a vocab-sized agg), not by a second
+    pass over the exploded data, and the assembled LM (bg, c_bg, c_w1)
+    broadcasts back onto the stream instead of shuffling it by bigram
+    hash (r1 shape: 2 extra wide exchanges). The final per-doc agg
+    partial-aggregates map-side — explode keeps a doc's bigrams in one
+    partition, so that exchange carries ~one row per doc. At 100 TB
+    cap the vocabulary (frequency floor) to keep the broadcast
+    bounded; an uncapped web-scale vocab needs the shuffle join
+    fallback."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
     )
@@ -6140,14 +6148,14 @@ def text_bigram_logprob(spark, sf_dir):
     )
     cb = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     cw = (
-        b.select(F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_w1"))
+        cb.groupBy(F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
     )
+    lm = cb.withColumn(
+        "w1", F.split_part("bg", F.lit(" "), F.lit(1))
+    ).join(cw, "w1").select("bg", "c_bg", "c_w1")
     return (
-        b.join(cb, "bg")
-        .withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
-        .join(cw, "w1")
+        b.join(F.broadcast(lm), "bg")
         .groupBy("doc_id")
         .agg(
             F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 6).alias(
