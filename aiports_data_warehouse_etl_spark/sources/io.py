@@ -40,7 +40,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+# Per-application cache of testdata scans: the 186-query contract
+# sweep reads the same ten immutable parquet tables hundreds of times;
+# persisting each once (spillable MEMORY_AND_DISK) removes the repeated
+# scan + ts-normalization work from every query after the first. Keyed
+# by applicationId so a fresh session never sees another app's plans.
+# Disable with SPARK_GRAFT_NO_TD_CACHE=1 for A/B scan measurements.
+_TD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def read_testdata(
+    spark: SparkSession, sf_dir: str, table: str, cache: bool | None = None
+) -> DataFrame:
     """Scan one driver testdata table (TESTDATA.md).
 
     ``events.ts`` has shipped as TIMESTAMP(NANOS) (which Spark's parquet
@@ -50,19 +61,41 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     so the NTZ→LTZ cast is value-preserving and matches DuckDB's naive
     reading of the same file. Nanos are rebuilt with exact integer
     division (a double divide would lose precision above 2^53 ns).
+
+    Results are cached per (application, sf_dir, table) as a persisted
+    DataFrame — the testdata is immutable, so every contract query
+    shares one in-memory columnar copy instead of re-scanning parquet.
     """
+    import os
+
+    if cache is None:
+        cache = os.environ.get("SPARK_GRAFT_NO_TD_CACHE", "") != "1"
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    if cache and key in _TD_CACHE:
+        return _TD_CACHE[key]
+
     path = f"{sf_dir}/{table}.parquet"
     if table != "events":
-        return spark.read.parquet(path)
-    from pyspark.sql import functions as F
+        df = spark.read.parquet(path)
+    else:
+        from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if cache:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # marker: downstream operators (e.g. the dedup family's shingle
+        # builder) may attach derived persisted tables to this object —
+        # safe because the cached instance is stable for the app's life
+        df._sg_cacheable = True
+        _TD_CACHE[key] = df
     return df
 
 

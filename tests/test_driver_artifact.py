@@ -1,0 +1,74 @@
+"""Tripwire for the driver correctness gate (VERDICT r1, next-round
+item 8): round 1's CORRECTNESS_r01.json silently covered only 50 of
+186 registry queries. This test makes a partial or red driver sweep
+LOUD: the latest round-2+ artifact must cover (nearly) the whole
+registry and every covered row must be green.
+
+The 90% floor (rather than 100%) tolerates queries added to the
+registry after the artifact was written — mid-round the registry can
+run ahead of the last driver sweep; a genuine partial sweep (r1 was
+27%) still trips immediately.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _latest_artifact() -> tuple[int, dict] | None:
+    arts = {}
+    for p in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            arts[int(m.group(1))] = p
+    if not arts:
+        return None
+    n = max(arts)
+    with open(arts[n]) as f:
+        return n, json.load(f)
+
+
+def test_driver_artifact_covers_registry():
+    art = _latest_artifact()
+    if art is None:
+        pytest.skip("no driver CORRECTNESS artifact yet")
+    n, data = art
+    if n < 2:
+        pytest.skip("r1 artifact is known-partial (50/186); gate starts at r2")
+    covered = set(QUERIES) & set(data)
+    coverage = len(covered) / len(QUERIES)
+    missing = sorted(set(QUERIES) - set(data))
+    assert coverage >= 0.9, (
+        f"driver CORRECTNESS_r{n:02d} covers only {len(covered)}/{len(QUERIES)} "
+        f"registry queries ({coverage:.0%}) — partial sweep. "
+        f"Missing e.g.: {missing[:15]}"
+    )
+
+
+def test_driver_artifact_rows_are_green():
+    art = _latest_artifact()
+    if art is None:
+        pytest.skip("no driver CORRECTNESS artifact yet")
+    n, data = art
+    if n < 2:
+        pytest.skip("r1 artifact predates the deterministic-aggregate fixes")
+    bad = {}
+    for name, row in data.items():
+        if name not in QUERIES or not isinstance(row, dict):
+            continue
+        if row.get("err") is not None:
+            bad[name] = f"err={row['err']!r}"
+        elif not (row.get("rows_match") and row.get("schema_match")):
+            bad[name] = f"rows={row.get('rows_match')} schema={row.get('schema_match')}"
+        elif QUERIES[name].oracle is not None and not row.get("hash_match"):
+            bad[name] = "hash mismatch"
+    assert not bad, f"driver CORRECTNESS_r{n:02d} red rows: {bad}"

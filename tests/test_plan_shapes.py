@@ -7,10 +7,19 @@ bucketed self-joins, whole-stage codegen on the hot paths."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aiports_data_warehouse_etl_spark.operators.dedup import lsh_candidate_pairs
 from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+
+@pytest.fixture(autouse=True)
+def _no_testdata_cache(monkeypatch):
+    """Plan assertions inspect the parquet scan (PushedFilters,
+    ReadSchema); the testdata persist-cache would swap those scans for
+    InMemoryTableScan nodes, so bypass it in this module only."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_TD_CACHE", "1")
 
 
 def plan(df) -> str:
