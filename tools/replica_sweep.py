@@ -1,0 +1,55 @@
+"""Replicate the driver's CORRECTNESS gate locally: run every oracled
+registry query on Spark and DuckDB at a given sf dir, compare, and time.
+
+Usage: python tools/replica_sweep.py [sf_dir] [query_name ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from oracle import compare_query, duckdb_con  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    spark = get_spark()
+    con = duckdb_con(sf_dir)
+    t0 = time.time()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                problems = compare_query(df, con, oracles[name])
+            else:
+                n = df.count()
+                problems = [] if n >= 0 else ["negative count?"]
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"EXC {type(exc).__name__}: {exc}"]
+        dt = time.time() - t
+        status = "ok" if not problems else "FAIL"
+        results[name] = {"status": status, "sec": round(dt, 2), "problems": problems[:5]}
+        print(f"{status:4s} {dt:7.2f}s {name}" + ("" if not problems else f"  {problems[:2]}"), flush=True)
+    total = time.time() - t0
+    fails = {k: v for k, v in results.items() if v["status"] != "ok"}
+    print(f"\nTOTAL {total:.1f}s  {len(results)} queries  {len(fails)} failures")
+    if fails:
+        print(json.dumps(fails, indent=2))
+
+
+if __name__ == "__main__":
+    main()
