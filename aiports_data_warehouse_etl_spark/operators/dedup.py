@@ -740,3 +740,192 @@ def decontaminate_flags(
             (F.coalesce("n_shared_shingles", F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: delta batch vs existing corpus index
+# ---------------------------------------------------------------------------
+
+def incremental_minhash_matches(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Per delta doc, its best near-duplicate in the existing corpus:
+    ``(delta_id, n_matches, best_base_id, best_jaccard)``.
+
+    This is the production incremental-ingest shape: at 100 TB the
+    base corpus's band table is a PRECOMPUTED index (write it once with
+    the corpus, bucketed by (band, key)); a new batch only computes its
+    own bands and equi-joins delta→index — the base text is re-read
+    only for the candidate docs that collide, never rescanned. The
+    delta side is small relative to the corpus, so AQE broadcasts it
+    into the index join and the verification join's base side is
+    semi-join-pruned to candidates first.
+
+    Best match = max exact Jaccard (rounded, guard digits), ties broken
+    by min base id — a total order, so the result is deterministic.
+    """
+    from pyspark import StorageLevel
+
+    # base/delta are filtered derivatives, so they miss the shared
+    # testdata shingle cache — persist both here: the banding, the
+    # verification join's two sides and the size tables all re-read
+    # these rows (6 plan references otherwise re-shingle the corpus).
+    base_rows = shingle_rows(base, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    delta_rows = shingle_rows(delta, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return incremental_minhash_matches_from_rows(
+        base_rows, delta_rows, threshold=threshold, num_hashes=num_hashes, bands=bands
+    )
+
+
+def incremental_minhash_matches_from_rows(
+    base_rows: DataFrame,
+    delta_rows: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Core of :func:`incremental_minhash_matches` over pre-built
+    ``(id, s)`` shingle-row tables — callers holding a single cached
+    corpus-wide shingle table (e.g. the per-app testdata cache) pass
+    cheap filters of it for both sides instead of re-shingling."""
+    from pyspark import StorageLevel
+
+    def banded(ex: DataFrame, side: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        mins = ex.groupBy("id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"__m{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        return mins.select(
+            F.col("id").alias(f"{side}_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        f"__m{j}"
+                                        for j in range(
+                                            b * rows_per_band, (b + 1) * rows_per_band
+                                        )
+                                    ],
+                                )
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{side}_id", "bk.band", "bk.key")
+
+    # Three downstream plan references (two semi-join prunes + the
+    # intersection join) would each re-run the band join — persist the
+    # (small) candidate set once.
+    cand = (
+        banded(delta_rows, "delta")
+        .join(banded(base_rows, "base"), ["band", "key"])
+        .select("delta_id", "base_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Verification: |A∩B| via shingle-keyed join restricted to candidate
+    # docs (semi-join prune both sides), sizes from the shingle tables.
+    d_ex = delta_rows.join(
+        cand.select(F.col("delta_id").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("delta_id"), "s")
+    b_ex = base_rows.join(
+        cand.select(F.col("base_id").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("base_id"), "s")
+    inter = (
+        cand.join(d_ex, "delta_id")
+        .join(b_ex, ["base_id", "s"])
+        .groupBy("delta_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    d_sz = delta_rows.groupBy("id").agg(F.count(F.lit(1)).alias("d_sh"))
+    b_sz = base_rows.groupBy("id").agg(F.count(F.lit(1)).alias("b_sh"))
+    scored = (
+        inter.join(d_sz, inter.delta_id == d_sz.id)
+        .drop("id")
+        .join(b_sz, inter.base_id == b_sz.id)
+        .drop("id")
+        .select(
+            "delta_id",
+            "base_id",
+            F.round(
+                F.col("n_inter") / (F.col("d_sh") + F.col("b_sh") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = Window.partitionBy("delta_id").orderBy(
+        F.col("jaccard").desc(), F.col("base_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .groupBy("delta_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max(F.when(F.col("__rn") == 1, F.col("base_id"))).cast("long").alias("best_base_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("jaccard"))).alias("best_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (shared long token windows, Lee et al. shape)
+# ---------------------------------------------------------------------------
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Doc pairs sharing ≥1 exact k-token window, with the count of
+    distinct shared windows: ``(id_a, id_b, n_shared_windows)``.
+
+    The fixed-k inverted-index approximation of suffix-array exact-
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): any shared run of ≥ k tokens necessarily
+    shares a k-window, so recall at span length ≥ k is exact. Plan:
+    distinct (doc, window) rows → drop boilerplate windows appearing in
+    > ``max_df`` docs (bounds the quadratic blowup of hot keys — same
+    role as the suffix-array's frequent-span cutoff) → self-join keyed
+    on the window hash → pair count. Shuffles are keyed by window hash;
+    nothing is all-pairs.
+    """
+    win = shingle_rows(df, text_col, id_col, k).select(
+        "id", F.md5(F.col("s")).alias("h")
+    )
+    rare = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter((F.col("df_cnt") >= 2) & (F.col("df_cnt") <= max_df))
+        .select("h")
+    )
+    w = win.join(rare, "h")
+    a = w.alias("a")
+    b = w.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )

@@ -7528,3 +7528,208 @@ def evt_interarrival_stats(spark, sf_dir):
             4,
         ).alias("p95_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R2: incremental ingest dedup, exact-substring dedup, quality classifier,
+# corpus mixture weights
+# ---------------------------------------------------------------------------
+
+_INCR_SIG_SQL = (
+    "list_transform(range(0, 8), "
+    "j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s))))"
+)
+
+
+@q(
+    "dedup_incremental_index",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+           FROM t WHERE len(tk) >= 3),
+    sig AS (SELECT doc_id, sh, {_INCR_SIG_SQL} AS sig FROM sh WHERE len(sh) > 0),
+    banded AS (
+      SELECT doc_id, sh, b.b AS band,
+             md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|')) AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, bs.doc_id AS base_id
+      FROM banded d JOIN banded bs ON d.band = bs.band AND d.key = bs.key
+      WHERE d.doc_id % 5 = 0 AND bs.doc_id % 5 <> 0
+    ),
+    scored AS (
+      SELECT c.delta_id, c.base_id,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM cand c JOIN sh a ON c.delta_id = a.doc_id JOIN sh b ON c.base_id = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.35
+    ),
+    agg AS (SELECT delta_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   max(jaccard) AS best_jaccard
+            FROM scored GROUP BY delta_id)
+    SELECT a.delta_id, a.n_matches,
+           CAST(min(s.base_id) AS BIGINT) AS best_base_id,
+           a.best_jaccard
+    FROM agg a JOIN scored s
+      ON s.delta_id = a.delta_id AND s.jaccard = a.best_jaccard
+    GROUP BY a.delta_id, a.n_matches, a.best_jaccard
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental-ingest dedup: the 20% of docs with doc_id%5=0 play
+    the freshly-ingested delta batch, the rest the existing corpus
+    whose LSH band table is the precomputed index. Per delta doc: how
+    many base near-dups it collides with and its best match. At corpus
+    scale the base band table is stored bucketed by (band, key) and the
+    delta batch broadcasts into it — ingest cost is O(delta), never a
+    corpus rescan (operators/dedup.py:incremental_minhash_matches)."""
+    rows = D.shingle_rows(_t(spark, sf_dir, "documents"))
+    return D.incremental_minhash_matches_from_rows(
+        rows.filter(F.col("id") % 5 != 0),
+        rows.filter(F.col("id") % 5 == 0),
+        threshold=0.35,
+    )
+
+
+_K8_WINDOWS_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)), "
+    "i -> array_to_string(list_slice(tk, i, i + 7), ' ')))"
+)
+
+
+@q(
+    "dedup_exact_substring",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    w AS (SELECT doc_id, unnest({_K8_WINDOWS_SQL}) AS s FROM t WHERE len(tk) >= 8),
+    h AS (SELECT doc_id, md5(s) AS h FROM w),
+    rare AS (SELECT h FROM h GROUP BY h HAVING count(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM h a JOIN rare r ON a.h = r.h JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup, fixed-k inverted-index form (Lee et al.):
+    doc pairs sharing ≥1 exact 8-token window — any shared run of ≥8
+    tokens necessarily shares one, so recall at that span length is
+    exact. Hot boilerplate windows (document frequency > 50) are cut
+    before the pair join, bounding the quadratic blowup the way the
+    suffix-array method cuts frequent spans."""
+    return D.exact_substring_pairs(
+        _t(spark, sf_dir, "documents"), k=8, max_df=50
+    )
+
+
+@q(
+    "quality_classifier_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(tk) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS DOUBLE)
+               / greatest(len(tk), 1) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id, stop_ratio, digit_ratio,
+             2.0 * least(n_tok / 200.0, 1.0) + 3.0 * stop_ratio
+               - 5.0 * digit_ratio - 1.0 AS z
+      FROM f
+    )
+    SELECT doc_id,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS score,
+           z >= 0.0 AS keep
+    FROM z
+    """,
+)
+def quality_classifier_score(spark, sf_dir):
+    """Model-based quality filter in the fastText-classifier shape: a
+    fixed linear model over doc features squashed to [0,1]. The squash
+    is the rational z/(1+|z|) sigmoid, not exp() — add/mul/div/abs are
+    exactly-rounded IEEE ops, so Spark and DuckDB produce identical
+    bits (the round-1 agg_corr lesson: never put libm functions on the
+    hash-compare path). Pure codegen'd expressions, no UDF; at 100 TB
+    this is a free rider on the ingest scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin([s for s in TX.STOPWORDS]))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    digit_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    z = (
+        F.lit(2.0) * F.least(n_tok / 200.0, F.lit(1.0))
+        + F.lit(3.0) * stop_ratio
+        - F.lit(5.0) * digit_ratio
+        - F.lit(1.0)
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), 6).alias("score"),
+        (z >= 0.0).alias("keep"),
+    )
+
+
+@q(
+    "corpus_mixture_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM per_src),
+    p AS (
+      SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / total), 12) AS DECIMAL(20, 12)) AS sq
+      FROM per_src, tot
+    ),
+    norm AS (SELECT sum(sq) AS sq_sum FROM p)
+    SELECT p.source, p.n_tokens,
+           round(CAST(p.sq AS DOUBLE) / CAST(n.sq_sum AS DOUBLE), 6) AS weight,
+           round(CAST(p.sq AS DOUBLE) / CAST(n.sq_sum AS DOUBLE) * 1000000.0
+                 / p.n_tokens, 6) AS epochs_at_1m_budget
+    FROM p, norm n
+    """,
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Temperature-balanced corpus mixture (the multinomial-sampling
+    recipe from multilingual LM training, α = 0.5): per-source sampling
+    weight ∝ sqrt(token share), plus the implied epochs per source at a
+    1M-token budget — >1 means that source up-samples. sqrt is an
+    exactly-rounded IEEE op (unlike pow/exp) and the cross-source
+    normalizer is summed as DECIMAL(20,12) of pre-rounded terms, so
+    both engines sum exactly the same values order-free."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total"))
+    p = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double") / F.col("total")), 12)
+        .cast("decimal(20,12)")
+        .alias("sq"),
+    )
+    norm = p.agg(F.sum("sq").alias("sq_sum"))
+    w = F.col("sq").cast("double") / F.col("sq_sum").cast("double")
+    return p.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w * 1000000.0 / F.col("n_tokens"), 6).alias("epochs_at_1m_budget"),
+    )
