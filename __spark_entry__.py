@@ -51,6 +51,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_connected_components",
     "dedup_cc_keep_best", "dedup_passages", "decontaminate",
+    "dedup_incremental_index", "dedup_exact_substring",
     # similarity / embeddings
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "emb_norm_stats", "emb_covariance_matrix", "emb_pca_projection",

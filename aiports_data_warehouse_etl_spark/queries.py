@@ -7733,3 +7733,189 @@ def corpus_mixture_weights(spark, sf_dir):
         F.round(w, 6).alias("weight"),
         F.round(w * 1000000.0 / F.col("n_tokens"), 6).alias("epochs_at_1m_budget"),
     )
+
+
+_BF_TOP5_SQL = f"""
+      SELECT qid, cand_id FROM (
+        SELECT qid, cand_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM (SELECT qs.qid, e.vec_id AS cand_id,
+                     round({_COS_SQL.format(a="qs.qv", b="e.v")}, 6) AS cos_sim
+              FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) qs
+              JOIN e ON e.vec_id <> qs.qid)
+      ) WHERE rnk <= 5
+"""
+
+
+@q(
+    "sim_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bf AS ({_BF_TOP5_SQL}),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    lsh AS (
+      SELECT qid, cand_id FROM (
+        SELECT qid, cand_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM (SELECT qs.qid, b.vec_id AS cand_id,
+                     round({_COS_SQL.format(a="qs.qv", b="b.v")}, 6) AS cos_sim
+              FROM (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 10) qs
+              JOIN b ON b.bucket = qs.qb AND b.vec_id <> qs.qid)
+      ) WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT bf.qid, CAST(count(lsh.cand_id) AS BIGINT) AS n_hits
+      FROM bf LEFT JOIN lsh ON bf.qid = lsh.qid AND bf.cand_id = lsh.cand_id
+      GROUP BY bf.qid
+    )
+    SELECT qid, n_hits, round(CAST(n_hits AS DOUBLE) / 5.0, 6) AS recall_at_5
+    FROM hits
+    """,
+)
+def sim_recall_eval(spark, sf_dir):
+    """Recall@5 of the sign-LSH bucket index against the exact
+    brute-force baseline, per query — the ANN quality gate as a
+    first-class query ("measure, don't guess"). At corpus scale this
+    runs over a SAMPLED query set (here: vec_id < 10) while the index
+    serves the full corpus, which is exactly how production recall
+    monitoring works. Both rankings rank the ROUNDED cosine so the
+    comparison is bit-stable across engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    bf = S.brute_force_topk(e, k=5, max_query_id=10).select("qid", "cand_id")
+    lsh = S.lsh_bucket_topk(e, k=5, max_query_id=10).select(
+        F.col("qid").alias("lqid"), F.col("cand_id").alias("lcand")
+    )
+    hits = (
+        bf.join(
+            lsh,
+            (F.col("qid") == F.col("lqid")) & (F.col("cand_id") == F.col("lcand")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("lcand").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "qid",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+@q(
+    "ts_resample_interpolate",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             date_trunc('hour', to_timestamp(min(t_us) / 1000000)) AS lo,
+             to_timestamp(max(t_us) / 1000000) AS hi
+      FROM e GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, epoch_us(g.g) AS t_us
+      FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(g)
+    ),
+    u AS (
+      SELECT event_type, t_us, value, 0 AS is_grid FROM e
+      UNION ALL
+      SELECT event_type, t_us, NULL AS value, 1 AS is_grid FROM grid
+    ),
+    w AS (
+      SELECT event_type, t_us, is_grid,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t_us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t_us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+             first_value(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t_us, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t_us, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM u
+    )
+    SELECT event_type, CAST(to_timestamp(t_us / 1000000) AS TIMESTAMP) AS grid_ts,
+           round(CASE
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             WHEN next_t = prev_t THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * (CAST(t_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+           END, 6) AS value_interp
+    FROM w WHERE is_grid = 1
+    """,
+)
+def ts_resample_interpolate(spark, sf_dir):
+    """Regular-grid resampling with linear interpolation: hourly grid
+    per event type, each grid point interpolated between its bracketing
+    observations (boundary points take the nearest real value). One
+    union + one per-type window sort — the gap-fill plan that
+    partitions by (type, day) at 100 TB so no partition ever holds more
+    than a day of one type. Interpolation arithmetic is integer-micro
+    deltas and one double divide, exactly-rounded on both engines."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.timestamp_micros(F.min("t_us"))).alias("lo"),
+        F.timestamp_micros(F.max("t_us")).alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("g"),
+    ).select("event_type", F.unix_micros("g").alias("t_us"))
+    u = e.select("event_type", "t_us", "value", F.lit(0).alias("is_grid")).unionByName(
+        grid.select(
+            "event_type", "t_us", F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    t_if_val = F.when(F.col("value").isNotNull(), F.col("t_us"))
+    w = u.select(
+        "event_type",
+        "t_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("prev_val"),
+        F.last(t_if_val, ignorenulls=True).over(back).alias("prev_t"),
+        F.first("value", ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(t_if_val, ignorenulls=True).over(fwd).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                (F.col("t_us") - F.col("prev_t")).cast("double")
+                / (F.col("next_t") - F.col("prev_t")).cast("double")
+            )
+        )
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros("t_us").alias("grid_ts"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+    )
