@@ -586,3 +586,67 @@ def stream_append_window_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    base_docs,
+    ingest_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.35,
+):
+    """Streaming ingest dedup: every micro-batch of newly-arrived
+    documents is checked against the EXISTING corpus's MinHash band
+    index before admission — the continuous form of
+    ``dedup.incremental_minhash_matches``.
+
+    foreachBatch is the right tool here (the shingle windows and the
+    multi-join verification plan aren't expressible as an incremental
+    streaming query), and it is exactly the production shape: the base
+    shingle table is computed once and persisted (at scale: the stored,
+    bucketed band index), each arriving batch runs the batch operator
+    against it, and the checkpoint gives exactly-once per batch. The
+    per-batch cost is O(batch), never a corpus rescan.
+
+    Output rows: (delta_id, n_matches, best_base_id, best_jaccard) for
+    matched docs plus (delta_id, 0, null, null) for admitted ones, so
+    the sink is a complete admission log.
+    """
+    from pyspark import StorageLevel
+
+    from aiports_data_warehouse_etl_spark.operators.dedup import (
+        incremental_minhash_matches_from_rows,
+        shingle_rows,
+    )
+
+    base_rows = shingle_rows(base_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    base_rows.count()  # materialize the index once, before the stream starts
+
+    schema = spark.read.parquet(ingest_dir).schema
+
+    def check_batch(batch_df, batch_id: int):
+        delta_rows = shingle_rows(batch_df)
+        matches = incremental_minhash_matches_from_rows(
+            base_rows, delta_rows, threshold=threshold
+        )
+        log = (
+            batch_df.select(F.col("doc_id").alias("delta_id"))
+            .join(matches, "delta_id", "left")
+            .select(
+                "delta_id",
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+                F.col("best_base_id").cast("long").alias("best_base_id"),
+                "best_jaccard",
+            )
+        )
+        log.write.mode("append").parquet(out_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(ingest_dir)
+        .writeStream.foreachBatch(check_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -655,3 +655,34 @@ def test_scalable_row_id_stays_jvm_side(spark, sf_small):
     }
     got = {(r.l_orderkey, r.l_linenumber): r.rid for r in scalable.collect()}
     assert got == expected
+
+
+def test_exact_substring_join_is_keyed(spark, sf_small):
+    """dedup_exact_substring's pair join must be keyed on the window
+    hash — never a nested-loop over doc pairs."""
+    p = plan(QUERIES["dedup_exact_substring"].fn(spark, sf_small))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_classifier_is_pure_codegen(spark, sf_small):
+    """The quality classifier is a scan-side expression — no Python
+    eval nodes may appear (it must ride the ingest scan for free)."""
+    p = plan(QUERIES["quality_classifier_score"].fn(spark, sf_small))
+    for banned in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD"):
+        assert banned not in p, f"{banned} in plan"
+
+
+def test_mixture_weights_broadcasts_scalars(spark, sf_small):
+    """corpus_mixture_weights joins two 1-row scalar aggregates onto
+    the per-source table — both must broadcast; a shuffle join against
+    a scalar would be absurd at any scale."""
+    p = plan(QUERIES["corpus_mixture_weights"].fn(spark, sf_small))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_incremental_index_joins_are_keyed(spark, sf_small):
+    """dedup_incremental_index: every join (band-index probe, semi-join
+    prunes, verification) must be keyed — the delta batch meets the
+    corpus only through the (band, key) equi-join."""
+    p = plan(QUERIES["dedup_incremental_index"].fn(spark, sf_small))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
