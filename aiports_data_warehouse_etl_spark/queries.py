@@ -6963,8 +6963,9 @@ def hierarchy_rollup_bom(spark, sf_dir):
     depth-bounded like the DuckDB recursive CTE — with each level
     localCheckpoint'd (same superstep rule as graph_bfs_hops). The
     tree fan-in is 10, so the closure is ~depth×|parts| rows: linear,
-    never explosive. This is the WITH RECURSIVE capability for
-    org-charts/BOM/category trees on an engine without recursive SQL."""
+    never explosive. The hand-iterated twin of recursive_cte_bom
+    (Spark 4.1's native WITH RECURSIVE) — this form keeps per-level
+    checkpoint/repartition control for very deep closures."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.floor(F.col("p_partkey") / 10).alias("parent"),
@@ -7919,3 +7920,43 @@ def ts_resample_interpolate(spark, sf_dir):
             F.round(interp, 6).alias("value_interp"),
         )
     )
+
+
+# One ANSI text, two engines: the recursive ancestor closure is written
+# in the SQL dialect intersection (floor-divide spelled explicitly) so
+# the SAME string runs on Spark 4.1's native WITH RECURSIVE and on
+# DuckDB as the oracle.
+_RECURSIVE_BOM_SQL = """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, CAST(floor(p_partkey / 10) AS BIGINT) AS parent,
+             p_retailprice
+      FROM {part}),
+    anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc_key, 0 AS depth FROM p
+      UNION ALL
+      SELECT a.node, p.parent AS anc_key, a.depth + 1
+      FROM anc a JOIN p ON a.anc_key = p.p_partkey
+      WHERE p.parent > 0 AND a.depth < 4 AND p.parent <> p.p_partkey)
+    SELECT anc_key AS root,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_descendants,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           round(sum(p_retailprice), 2) AS subtree_value
+    FROM (SELECT node, anc_key, max(depth) AS depth
+          FROM anc GROUP BY node, anc_key) t
+    JOIN p pp ON t.node = pp.p_partkey
+    GROUP BY anc_key
+    HAVING count(DISTINCT node) >= 3
+"""
+
+
+@q("recursive_cte_bom", _RECURSIVE_BOM_SQL.format(part="part"))
+def recursive_cte_bom(spark, sf_dir):
+    """The BOM ancestor closure through Spark 4.1's NATIVE recursive
+    CTE — the literal ANSI text the oracle runs, executed by Catalyst's
+    UnionLoop. Complements hierarchy_rollup_bom (the hand-iterated
+    closure with per-superstep localCheckpoint control): the native
+    form is what users port in from warehouse SQL unchanged; the
+    iterative form is the tuning escape hatch when a 100 TB closure
+    needs checkpoint/repartition control per level."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("rec_part")
+    return spark.sql(_RECURSIVE_BOM_SQL.format(part="rec_part"))
