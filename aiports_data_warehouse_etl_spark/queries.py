@@ -7960,3 +7960,49 @@ def recursive_cte_bom(spark, sf_dir):
     needs checkpoint/repartition control per level."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("rec_part")
     return spark.sql(_RECURSIVE_BOM_SQL.format(part="rec_part"))
+
+
+@q("emb_logreg_train", None)  # iterative distributed training — no SQL twin
+def emb_logreg_train(spark, sf_dir):
+    """Distributed logistic-regression training (full-batch GD) on the
+    embeddings table. The target is linearly realizable BY CONSTRUCTION
+    — y = [Σ ±x_i >= 0], the sign of a fixed alternating-sign
+    projection — so convergence is provable and the behavior test can
+    assert accuracy, not hope (the synthetic labels aren't linearly
+    separable from these embeddings, measured 0.63 ceiling). Each
+    iteration is one mapInPandas pass emitting per-partition gradient
+    partials (dim+2 doubles — the moment-reduction rule: rows never
+    shuffle, the network carries partials × partitions); the driver
+    folds and re-broadcasts. Inference then applies the learned weights
+    as a native zip_with expression — training is Python-kernel work,
+    serving is codegen. Output: weight terms + intercept + final loss +
+    train accuracy (operators/ml.py)."""
+    from aiports_data_warehouse_etl_spark.operators import ml as ML
+
+    sign_proj = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(1.0 if i % 2 == 0 else -1.0) for i in range(64)]),
+            lambda x, s: x * s,
+        ),
+        F.lit(0.0),
+        lambda acc, vv: acc + vv,
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").alias("features"),
+        (sign_proj >= 0.0).cast("double").alias("y"),
+    ).repartition(8)
+    fit = ML.logreg_train_gd(e, lr=5.0, iters=15, l2=1e-3)
+    scored = ML.logreg_predict(e, fit["w"], fit["b"])
+    acc = scored.agg(
+        F.avg(
+            ((F.col("score") >= 0.5).cast("double") == F.col("y")).cast("double")
+        ).alias("a")
+    ).collect()[0]["a"]
+    rows = [(f"w{i:02d}", float(v)) for i, v in enumerate(fit["w"])]
+    rows += [
+        ("intercept", float(fit["b"])),
+        ("final_loss", float(fit["loss"][-1])),
+        ("train_acc", float(acc)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
