@@ -5,14 +5,14 @@
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each — including the iterative connected-components op (closed by
 a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL), and
-Z-order (generated shift/mask SQL). The 8 rows-only entries are
+Z-order (generated shift/mask SQL). The 9 rows-only entries are
 exactly the ops whose internals are engine-specific by design: the
 k-means IVF and PQ quantizers, HLL/t-digest sketches and the
 mergeable-HLL rollup, seeded Bernoulli sampling (its deterministic
 hash-bucket and priority-sampling twins ARE oracled), the mapInPandas
-media decode, the PCA eigensolve (its covariance input IS oracled),
-and catalog introspection — each has an accuracy/behavior test
-instead (COVERAGE.md).
+media decode and Y4M video demux, the PCA eigensolve (its covariance
+input IS oracled), and iterative gradient-descent training — each has an
+accuracy/behavior test instead (COVERAGE.md).
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """
@@ -46,6 +46,7 @@ _PRIORITY = [
     # round-1 verdict-flagged entries (prove the fixes)
     "agg_corr", "agg_stats_suite", "corr_scalar_subquery",
     "evt_user_trend_slope", "catalog_tables", "mm_decode_features",
+    "mm_video_frame_sample",
     "text_bigram_logprob",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",

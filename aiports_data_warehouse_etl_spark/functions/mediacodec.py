@@ -41,6 +41,8 @@ def sniff_format(data: bytes | None) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -260,3 +262,78 @@ def luminance(arr: np.ndarray) -> np.ndarray:
     if a.shape[2] >= 3:
         return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
     return a[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (.y4m) — uncompressed video container (the ffmpeg/x264
+# interchange format): one stream header line, then per-frame FRAME
+# markers followed by raw planar YUV. Supported colourspaces: Cmono
+# (luma only) and C420/C420jpeg/C420mpeg2 (4:2:0 subsampled chroma).
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Parse a Y4M stream → (frames[T, H, W] uint8 luma, fps_num,
+    fps_den). Chroma planes are size-validated and skipped — the
+    analytics kernels consume luma. Raises ValueError on malformed
+    headers/truncated frames (never fabricates pixels)."""
+    if data[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    header = data[9:nl].decode("ascii", "strict")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    cspace = "420"
+    for tok in header.split():
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tok[0] == "C":
+            cspace = tok[1:]
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("420"):
+        frame_bytes = width * height + 2 * ((width // 2) * (height // 2))
+    elif cspace == "mono":
+        frame_bytes = width * height
+    else:
+        raise ValueError(f"unsupported Y4M colourspace C{cspace}")
+
+    frames = []
+    pos = nl + 1
+    luma = width * height
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(data[pos:pos + luma], dtype=np.uint8).reshape(
+                height, width
+            )
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, height, width), np.uint8), fps_num, fps_den
+
+
+def encode_y4m(
+    frames: np.ndarray, fps_num: int = 25, fps_den: int = 1, mono: bool = True
+) -> bytes:
+    """Emit a Y4M stream from (T, H, W) uint8 luma frames — Cmono by
+    default, or C420 with neutral (128) chroma planes."""
+    t, h, w = frames.shape
+    cs = b"Cmono" if mono else b"C420"
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps_num, fps_den, cs)]
+    chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    for i in range(t):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+        if not mono:
+            out.append(chroma)
+    return b"".join(out)

@@ -4,8 +4,9 @@ with typed metadata (schemas.MEDIA).
 The decode kernels are REAL (r1 shipped metadata-only stubs): PNG and
 binary PPM/PGM images are decoded to pixel arrays (stdlib zlib +
 pure-Python scanline unfilter, `functions/mediacodec.py`), WAV PCM to
-sample arrays (stdlib ``wave``), and the emitted features are actual
-per-pixel / per-sample statistics. Payloads in a format the
+sample arrays (stdlib ``wave``), YUV4MPEG2 video is demuxed to luma
+frame stacks, and the emitted features are actual per-pixel /
+per-sample / per-frame statistics. Payloads in a format the
 environment cannot decode (JPEG, MP4, arbitrary bytes) fall back to
 byte-level features and are labelled ``fmt='raw'`` — they never fake
 pixel statistics.
@@ -35,7 +36,7 @@ DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
-        T.StructField("fmt", T.StringType(), True),  # png|ppm|wav|raw|null
+        T.StructField("fmt", T.StringType(), True),  # png|ppm|wav|y4m|raw|null
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -115,6 +116,20 @@ def _decode_one(payload: bytes | None) -> dict:
                 feature=_hist_feature(flat, -32768.0, 32768.0),
             )
             return out
+        if fmt == "y4m":
+            frames, fps_num, fps_den = mc.decode_y4m(payload)
+            luma = frames.astype(np.float64).ravel()
+            out.update(
+                fmt=fmt,
+                width=int(frames.shape[2]),
+                height=int(frames.shape[1]),
+                n_samples=int(frames.shape[0]),  # frame count
+                sample_rate=int(round(fps_num / max(fps_den, 1))),
+                sig_mean=round(float(luma.mean()), 6) if luma.size else None,
+                sig_std=round(float(luma.std()), 6) if luma.size else None,
+                feature=_hist_feature(luma, 0.0, 256.0) if luma.size else None,
+            )
+            return out
     except Exception:
         pass  # corrupt body after a valid magic: treat as raw bytes
     out.update(fmt="raw", feature=_byte_feature(payload))
@@ -169,20 +184,70 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_offset_ms", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("std_luma", T.DoubleType(), True),
+    ]
+)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame offset,
-    computed from metadata ONLY (no decode) — the exploded plan that a
-    real ffmpeg kernel would fill with pixels (no MP4 demuxer exists in
-    this environment, and faking pixel data would be worse than none).
-    """
-    frames = media.filter(
-        (F.col("kind") == "video") & F.col("duration_ms").isNotNull()
-    ).select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
+    """Real video frame sampling: Y4M payloads (the ffmpeg/x264
+    uncompressed interchange container, `mediacodec.decode_y4m`) are
+    demuxed executor-side and one row per sampled timestamp comes back
+    with ACTUAL per-frame luma statistics. Payloads in a container this
+    environment cannot demux (MP4 etc.) fall back to the metadata-only
+    offset grid with null stats — offsets are real, pixels are never
+    faked. mapInPandas, column-pruned to (media_id, payload,
+    duration_ms); at scale the media table partitions by payload size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                mid = int(mid)
+                if payload is not None and mc.sniff_format(payload) == "y4m":
+                    try:
+                        frames, fn, fd = mc.decode_y4m(bytes(payload))
+                    except ValueError:
+                        frames = None
+                    if frames is not None and len(frames):
+                        ms_per_frame = 1000.0 * fd / fn
+                        step = max(int(round(every_ms / ms_per_frame)), 1)
+                        for idx in range(0, len(frames), step):
+                            luma = frames[idx].astype(np.float64)
+                            rows.append(
+                                (
+                                    mid,
+                                    idx,
+                                    int(idx * ms_per_frame),
+                                    round(float(luma.mean()), 6),
+                                    round(float(luma.std()), 6),
+                                )
+                            )
+                        continue
+                if dur is not None and not pd.isna(dur):
+                    for off in range(0, int(dur), every_ms):
+                        rows.append((mid, None, off, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "frame_offset_ms",
+                    "mean_luma",
+                    "std_luma",
+                ],
             )
-        ).alias("frame_offset_ms"),
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
     )
-    return frames

@@ -8006,3 +8006,62 @@ def emb_logreg_train(spark, sf_dir):
         ("train_acc", float(acc)),
     ]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+@q("mm_video_frame_sample", None)  # mapInPandas Y4M demux — no SQL twin
+def mm_video_frame_sample(spark, sf_dir):
+    """Video frame sampling with a REAL demuxer: synthesize per-doc
+    YUV4MPEG2 payloads (the ffmpeg/x264 uncompressed interchange
+    container, encoded by functions/mediacodec.py — frame count/fps/
+    pixels all seeded by doc_id), then run the Arrow-batched
+    mapInPandas frame sampler: every 500 ms the actual decoded frame's
+    luma statistics come back. Every third doc gets an undecodable
+    payload and must surface as the metadata-only fallback grid —
+    pixels are never faked (operators/multimodal.py)."""
+    from aiports_data_warehouse_etl_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def encode_media(batches):
+        import numpy as np
+
+        from aiports_data_warehouse_etl_spark.functions import mediacodec as mc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:  # undecodable container: fallback path
+                    rows.append((did, "video", b"\x00mp4?", None, 1500))
+                else:
+                    n_frames = 4 + did % 5
+                    fps = 4 if did % 2 == 0 else 8
+                    frames = np.stack(
+                        [
+                            ((np.arange(16, dtype=np.int64) * (did + i + 1)) % 256)
+                            .astype(np.uint8)
+                            .reshape(4, 4)
+                            for i in range(n_frames)
+                        ]
+                    )
+                    rows.append(
+                        (
+                            did,
+                            "video",
+                            mc.encode_y4m(frames, fps, 1),
+                            None,
+                            int(n_frames * 1000 / fps),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "duration_ms"],
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        encode_media,
+        "media_id long, kind string, payload binary, mime string, duration_ms long",
+    )
+    return sample_video_frames(media, every_ms=500)

@@ -125,3 +125,36 @@ def test_decode_rejects_garbage():
         mc.decode_png(b"\x89PNG\r\n\x1a\n" + b"junkjunkjunk")
     with pytest.raises(ValueError):
         mc.decode_image(b"not an image at all")
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_mono_and_420():
+    fr = (np.arange(4 * 6 * 8).reshape(4, 6, 8) % 256).astype(np.uint8)
+    for mono in (True, False):
+        data = mc.encode_y4m(fr, 30, 1, mono=mono)
+        assert mc.sniff_format(data) == "y4m"
+        dec, fn, fd = mc.decode_y4m(data)
+        assert (fn, fd) == (30, 1)
+        np.testing.assert_array_equal(dec, fr)
+
+
+def test_y4m_malformed_rejected():
+    fr = np.zeros((2, 4, 4), np.uint8)
+    good = mc.encode_y4m(fr, 25, 1)
+    with pytest.raises(ValueError):
+        mc.decode_y4m(good[:-3])  # truncated final frame
+    with pytest.raises(ValueError):
+        mc.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + b"\x00" * 48)
+    with pytest.raises(ValueError):
+        mc.decode_y4m(b"P6\n1 1\n255\nabc")  # not y4m at all
+
+
+def test_y4m_fps_fraction():
+    fr = np.zeros((1, 2, 2), np.uint8)
+    dec, fn, fd = mc.decode_y4m(mc.encode_y4m(fr, 30000, 1001))
+    assert (fn, fd) == (30000, 1001)
+    assert dec.shape == (1, 2, 2)

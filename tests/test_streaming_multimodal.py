@@ -98,6 +98,11 @@ def _real_media_rows():
         [np.zeros(400, dtype=np.int16), np.full(400, 1000, dtype=np.int16)]
     )
     wav = mc.encode_wav(sig, 8000)
+    # 10-frame 4x4 Y4M at 5 fps (2000ms): frame i is constant luma 10*i
+    vid = np.stack(
+        [np.full((4, 4), 10 * i, dtype=np.uint8) for i in range(10)]
+    )
+    y4m = mc.encode_y4m(vid, 5, 1)
     return [
         (0, "image", png, "image/png", 4, 4, None, None),
         (1, "audio", wav, "audio/wav", None, None, 100, 8000),
@@ -106,6 +111,7 @@ def _real_media_rows():
         (4, "image", ppm, "image/x-portable-pixmap", 3, 2, None, None),
         (5, "image", b"\x00\x01\x02\x03" * 8, "application/octet-stream",
          None, None, None, None),
+        (6, "video", y4m, "video/x-yuv4mpeg", 4, 4, 2000, None),
     ]
 
 
@@ -159,9 +165,31 @@ def test_resize_images_real(media):
 
 
 def test_video_frame_sampling(media):
-    frames = sample_video_frames(media, every_ms=1000).collect()
-    # 3500ms video sampled at 1000ms → offsets 0,1000,2000,3000
-    assert [r.frame_offset_ms for r in frames] == [0, 1000, 2000, 3000]
+    rows = sample_video_frames(media, every_ms=1000).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+
+    # undecodable mp4 (3500ms): metadata-only offset grid, null stats
+    mp4 = sorted(by_media[2], key=lambda r: r.frame_offset_ms)
+    assert [r.frame_offset_ms for r in mp4] == [0, 1000, 2000, 3000]
+    assert all(r.frame_idx is None and r.mean_luma is None for r in mp4)
+
+    # Y4M (10 frames @ 5fps = 200ms/frame): 1000ms step → every 5th
+    # frame, REAL decoded luma (frame i is constant 10*i)
+    y4m = sorted(by_media[6], key=lambda r: r.frame_offset_ms)
+    assert [(r.frame_idx, r.frame_offset_ms) for r in y4m] == [(0, 0), (5, 1000)]
+    assert [r.mean_luma for r in y4m] == [0.0, 50.0]
+    assert all(r.std_luma == 0.0 for r in y4m)
+
+
+def test_decode_and_featurize_y4m(media):
+    out = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    v = out[6]
+    assert v.fmt == "y4m" and (v.width, v.height) == (4, 4)
+    assert v.n_samples == 10 and v.sample_rate == 5
+    # mean luma over all frames: mean of 0,10,...,90 = 45
+    assert abs(v.sig_mean - 45.0) < 1e-9 and v.sig_std > 0
 
 
 def test_stateful_user_activity(spark, sf_small, tmp_path):
