@@ -8065,3 +8065,41 @@ def mm_video_frame_sample(spark, sf_dir):
         "media_id long, kind string, payload binary, mime string, duration_ms long",
     )
     return sample_video_frames(media, every_ms=500)
+
+
+@q(
+    "arrow_batch_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+)
+def arrow_batch_stats(spark, sf_dir):
+    """mapInArrow surface: the zero-copy sibling of mapInPandas —
+    RecordBatches flow straight from the JVM into pyarrow.compute
+    kernels (utf8_length, count_substring) with no pandas
+    materialization, the right shape when the kernel is itself
+    columnar. Oracled against the equivalent SQL expressions — Arrow
+    kernels and SQL string functions must agree to the byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            t = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.count_substring(t, "e"), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_e"],
+            )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInArrow(stats, "doc_id long, n_chars long, n_e long")
+    )

@@ -16,7 +16,12 @@ with zero coordination.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Deterministic field derivations (all int64-safe for rows < ~3e9):
 #   user_id  = (i * KNUTH) % N_USERS        — multiplicative scatter
@@ -59,8 +64,54 @@ class _SyntheticEventsReader(DataSourceReader):
         )
 
 
+def _rows_between(i0: int, i1: int):
+    """Deterministic rows for index range [i0, i1) — the same integer
+    derivations as the batch reader, so batch scan, first stream pass
+    and offset-range REPLAY all produce identical bytes."""
+    for i in range(i0, i1):
+        yield (
+            i,
+            (i * KNUTH) % N_USERS,
+            KINDS[i % len(KINDS)],
+            ((i * LCG) % 10_000) / 100.0,
+        )
+
+
+class _SyntheticEventsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic row space.
+
+    Offsets are plain row indices, so `readBetweenOffsets` (the
+    recovery path Spark calls when a batch must be REPLAYED after a
+    failure before its offset commits) regenerates exactly the rows
+    the lost batch contained — the determinism the batch reader
+    guarantees across task retries, extended to streaming recovery.
+    A `rows` cap makes the stream finite: read() past the cap returns
+    an empty iterator with an unchanged offset, which lets
+    processAllAvailable()/availableNow drain and stop."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        i1 = min(i0 + self.batch, self.rows)
+        # a LIST-iterator, not a generator: Spark copy.copy()s the
+        # prefetched batch in its offset cache (replay-before-commit),
+        # and generators are neither copyable nor picklable
+        return iter(list(_rows_between(i0, i1))), {"i": i1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_rows_between(int(start["i"]), int(end["i"]))))
+
+
 class SyntheticEventsSource(DataSource):
-    """`spark.read.format("synthetic_events").option("rows", N)`."""
+    """`spark.read.format("synthetic_events").option("rows", N)` — and
+    `spark.readStream` with the same options for the micro-batch form
+    (`batch` rows per trigger)."""
 
     @classmethod
     def name(cls) -> str:
@@ -71,6 +122,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsSimpleStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

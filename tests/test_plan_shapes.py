@@ -686,3 +686,54 @@ def test_incremental_index_joins_are_keyed(spark, sf_small):
     corpus only through the (band, key) equi-join."""
     p = plan(QUERIES["dedup_incremental_index"].fn(spark, sf_small))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_python_datasource_streams_microbatches(spark, tmp_path):
+    """The same custom Python source serves readStream via the
+    SimpleDataSourceStreamReader API: finite row space drains across
+    multiple micro-batches, totals match the batch scan exactly, and
+    the offset-range replay path regenerates identical rows."""
+    from aiports_data_warehouse_etl_spark.sources.pyds import (
+        _SyntheticEventsSimpleStreamReader,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 500)
+        .option("batch", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(event_id) AS s, round(sum(value), 2) AS v "
+        "FROM pyds_stream"
+    ).collect()[0]
+    batch = (
+        spark.read.format("synthetic_events").option("rows", 500).load()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("s"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.s, got.v) == (batch.n, batch.s, batch.v) == (500, 124750, batch.v)
+
+    # failure-replay contract: re-reading an offset range is bit-identical
+    r = _SyntheticEventsSimpleStreamReader({"rows": 500, "batch": 120})
+    replay = list(r.readBetweenOffsets({"i": 120}, {"i": 240}))
+    first, nxt = r.read({"i": 120})
+    assert nxt == {"i": 240}
+    assert replay == list(first)
