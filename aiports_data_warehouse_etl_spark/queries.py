@@ -8103,3 +8103,98 @@ def arrow_batch_stats(spark, sf_dir):
         .select("doc_id", "text")
         .mapInArrow(stats, "doc_id long, n_chars long, n_e long")
     )
+
+
+# Shared ANSI text for the correlated-LATERAL query — table names
+# templated (Spark reads prefixed temp views, DuckDB the driver's
+# standard views), ORDER BY keys include the tiebreak so LIMIT 2 is a
+# total order on both engines.
+_LATERAL_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM {customer} c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_custkey < 100
+"""
+
+
+@q(
+    "lateral_top_orders",
+    _LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def lateral_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery (ANSI LATERAL, Spark 4 native):
+    per customer, the top-2 orders by price — the literal text the
+    oracle runs. Catalyst decorrelates this into a ranked join (no
+    per-row re-execution), which is exactly why the construct is safe
+    at scale; the win_top3_per_customer window form is its moral twin
+    and the two must stay consistent."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(_LATERAL_SQL.format(customer="lat_customer", orders="lat_orders"))
+
+
+@q(
+    "cluster_top_terms",
+    r"""
+    WITH j AS (
+      SELECT e.label, d.text FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    tok AS (
+      SELECT label, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM j
+    ),
+    tf AS (SELECT label, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    cf AS (SELECT term, count(DISTINCT label) AS cf FROM tok GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n FROM j),
+    scored AS (
+      SELECT tf.label, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / cf.cf), 6) AS score
+      FROM tf JOIN cf ON tf.term = cf.term CROSS JOIN n
+    )
+    SELECT label, term, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3 AND score > 0
+    """,
+)
+def cluster_top_terms(spark, sf_dir):
+    """Cluster labeling: join each document to its embedding's cluster
+    label (at production scale: the IVF/k-means assignment) and surface
+    the top-3 cluster-distinctive terms by cluster-level TF-IDF —
+    tf-in-cluster × ln(n_clusters / clusters-containing-term). The
+    standard way to give semantic names to embedding clusters; all
+    shuffles keyed by term or label, corpus size rides a broadcast
+    1-row aggregate, rank over the ROUNDED score."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("label", "text")
+    tok = j.select(
+        "label", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("label", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cf = tok.groupBy("term").agg(F.count_distinct("label").alias("cf"))
+    n = j.agg(F.count_distinct("label").cast("long").alias("n"))
+    scored = (
+        tf.join(cf, "term")
+        .join(F.broadcast(n))
+        .select(
+            "label",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("cf")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("score") > 0))
+        .select("label", "term", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
