@@ -2918,6 +2918,58 @@ def csv_roundtrip_stats(spark, sf_dir):
 
 
 @q(
+    "tlog_acid_table",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_acid_table(spark, sf_dir):
+    """Transaction-log table format end-to-end (sources/txlog.py): the
+    orders table lands via two ATOMIC appends, a copy-on-write
+    DELETE WHERE (only files containing matching rows rewrite — found
+    distributed via input_file_name, untouched files carry over by
+    reference), then a bin-pack COMPACT — and the final snapshot read
+    must aggregate identically to plain SQL over the surviving rows.
+    This is the fixed curated-layer load (`dags/Load.py:17` overwrites
+    directories mid-read; the log gives readers snapshot isolation +
+    time travel instead). Log replay is O(commits since checkpoint),
+    never O(files); commits are one O_EXCL create."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        t.delete_where("o_orderkey % 10 = 0")
+        t.compact(target_file_bytes=1 << 30)
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        # materialize before the table directory disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "full_outer_reconcile",
     """
     WITH o AS (
@@ -7964,19 +8016,21 @@ def recursive_cte_bom(spark, sf_dir):
 
 @q("emb_logreg_train", None)  # iterative distributed training — no SQL twin
 def emb_logreg_train(spark, sf_dir):
-    """Distributed logistic-regression training (full-batch GD) on the
+    """Distributed logistic-regression training (Newton/IRLS) on the
     embeddings table. The target is linearly realizable BY CONSTRUCTION
     — y = [Σ ±x_i >= 0], the sign of a fixed alternating-sign
     projection — so convergence is provable and the behavior test can
     assert accuracy, not hope (the synthetic labels aren't linearly
     separable from these embeddings, measured 0.63 ceiling). Each
-    iteration is one mapInPandas pass emitting per-partition gradient
-    partials (dim+2 doubles — the moment-reduction rule: rows never
-    shuffle, the network carries partials × partitions); the driver
-    folds and re-broadcasts. Inference then applies the learned weights
-    as a native zip_with expression — training is Python-kernel work,
-    serving is codegen. Output: weight terms + intercept + final loss +
-    train accuracy (operators/ml.py)."""
+    Newton iteration is ONE mapInPandas pass emitting per-partition
+    moment partials — gradient (dim+1) + Hessian (dim+1)² doubles, the
+    moment-reduction rule: rows never shuffle, the network carries
+    partials × partitions — and IRLS's quadratic convergence needs ~6
+    such passes where gradient descent needs hundreds of small steps
+    (each a full cluster pass at 100 TB). Inference then applies the
+    learned weights as a native zip_with expression — training is
+    Python-kernel work, serving is codegen. Output: weight terms +
+    intercept + final loss + train accuracy (operators/ml.py)."""
     from aiports_data_warehouse_etl_spark.operators import ml as ML
 
     sign_proj = F.aggregate(
@@ -7992,7 +8046,7 @@ def emb_logreg_train(spark, sf_dir):
         F.col("embedding").alias("features"),
         (sign_proj >= 0.0).cast("double").alias("y"),
     ).repartition(8)
-    fit = ML.logreg_train_gd(e, lr=5.0, iters=15, l2=1e-3)
+    fit = ML.logreg_train_irls(e, iters=6, l2=1e-3)
     scored = ML.logreg_predict(e, fit["w"], fit["b"])
     acc = scored.agg(
         F.avg(

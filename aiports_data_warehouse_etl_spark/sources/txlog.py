@@ -1,0 +1,387 @@
+"""Transaction-log table format: ACID-ish parquet tables on a plain
+filesystem — append / overwrite / delete-where / compact with atomic
+commits, snapshot-isolated reads, time travel, and vacuum.
+
+The reference's warehouse loads (`dags/Load.py:17`, first-load-or-delta
+merge ×7) overwrite whole directories: a reader that lists the target
+mid-load sees half a table. This module gives the curated layer the
+modern fix, built only on public log-structured-table ideas (the
+Delta-Lake/Iceberg model): data files are immutable parquet, table
+state is an ordered JSON action log, and a commit is ONE atomic
+`O_CREAT|O_EXCL` create of `_txlog/<version>.json` — readers resolve a
+version and only ever see complete commits.
+
+Scale design (100 TB):
+- Data files never rewrite on append; delete-where is copy-on-write of
+  ONLY the files that actually contain matching rows (found with
+  `input_file_name()`, a distributed scan, not driver logic).
+- Snapshot resolution reads the JSON log, not the filesystem: no
+  O(files) directory listing on the read path. A checkpoint (full
+  live-file list) lands every `checkpoint_every` commits, so log
+  replay is O(commits since checkpoint).
+- Per-file min/max column stats ride in the log (from parquet footers
+  at commit time) so readers can prune files before Spark ever opens
+  them — the same skip-index idea as `write_sorted_parquet`.
+- Concurrency is optimistic: the version-file create either wins or
+  raises `FileExistsError`; appends rebase and retry automatically,
+  read-modify-write ops (overwrite/delete/compact) raise `TxConflict`
+  when the table moved under them.
+
+Single-JVM local mode uses POSIX `O_EXCL` atomicity; on an object
+store the same protocol runs on a putIfAbsent / DynamoDB-style
+log-commit primitive — the log format is transport-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class TxConflict(RuntimeError):
+    """A read-modify-write commit lost the race: the table advanced
+    past the snapshot the operation was computed from."""
+
+
+_LOG_DIR = "_txlog"
+_VERSION_WIDTH = 20
+
+
+def _version_path(table_path: str, version: int) -> str:
+    return os.path.join(
+        table_path, _LOG_DIR, f"{version:0{_VERSION_WIDTH}d}.json"
+    )
+
+
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(
+        table_path, _LOG_DIR, f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+    )
+
+
+def _file_stats(abs_path: str) -> dict:
+    """Per-file row count + min/max column stats from the parquet
+    footer (pyarrow) — commit-time metadata, so the read path can
+    prune files without opening them."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)):
+                lo, hi = str(lo), str(hi)
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {"rows": md.num_rows, "bytes": os.path.getsize(abs_path),
+            "min": mins, "max": maxs}
+
+
+class TxLogTable:
+    """One log-structured table rooted at ``path``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_every: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+
+    # -- log plumbing ---------------------------------------------------
+
+    def latest_version(self) -> int:
+        """Highest committed version, -1 for an empty table."""
+        best = -1
+        for name in os.listdir(os.path.join(self.path, _LOG_DIR)):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                best = max(best, int(name.split(".")[0]))
+        return best
+
+    def _read_commit(self, version: int) -> dict:
+        with open(_version_path(self.path, version)) as fh:
+            return json.load(fh)
+
+    def _snapshot(self, version: int | None = None) -> dict:
+        """Resolve live files at ``version`` (default: latest).
+
+        Replays from the newest checkpoint ≤ version; each commit's
+        ``remove`` drops files, ``add`` introduces them. Returns
+        {"version", "schema", "files": {rel_path: stats}}.
+        """
+        head = self.latest_version() if version is None else version
+        if head < 0:
+            return {"version": -1, "schema": None, "files": {}}
+        start = 0
+        state: dict = {"schema": None, "files": {}}
+        for v in range(head, -1, -1):
+            cp = _checkpoint_path(self.path, v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    state = json.load(fh)
+                start = v + 1
+                break
+        for v in range(start, head + 1):
+            commit = self._read_commit(v)
+            if commit.get("schema"):
+                state["schema"] = commit["schema"]
+            for rel in commit.get("remove", []):
+                state["files"].pop(rel, None)
+            for add in commit.get("add", []):
+                state["files"][add["path"]] = add["stats"]
+        return {"version": head, **state}
+
+    def _try_commit(self, version: int, commit: dict) -> bool:
+        """ONE atomic create — the whole concurrency story. Returns
+        False when another writer took this version number."""
+        commit["ts"] = time.time_ns()
+        payload = json.dumps(commit, sort_keys=True).encode()
+        try:
+            fd = os.open(
+                _version_path(self.path, version),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        if version > 0 and version % self.checkpoint_every == 0:
+            snap = self._snapshot(version)
+            cp = {"schema": snap["schema"], "files": snap["files"]}
+            tmp = _checkpoint_path(self.path, version) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(cp, fh, sort_keys=True)
+            os.replace(tmp, _checkpoint_path(self.path, version))
+        return True
+
+    # -- staging --------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> tuple[list[dict], str]:
+        """Write ``df``'s parquet files into a fresh staging dir and
+        return their add-actions. Files are invisible until a commit
+        references them — a failed writer leaves only garbage for
+        vacuum, never a torn table."""
+        token = uuid.uuid4().hex
+        rel_dir = os.path.join("data", token)
+        abs_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("errorifexists").parquet(abs_dir)
+        adds = []
+        for name in sorted(os.listdir(abs_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(rel_dir, name)
+            adds.append(
+                {"path": rel, "stats": _file_stats(os.path.join(self.path, rel))}
+            )
+        return adds, df.schema.json()
+
+    # -- write operations ----------------------------------------------
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Blind append: stages once, then rebases onto whatever the
+        latest version is until the commit lands (appends always
+        commute)."""
+        adds, schema = self._stage(df)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(v, {"op": "append", "add": adds,
+                                    "schema": schema}):
+                return v
+        raise TxConflict(f"append lost {max_retries} commit races")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents in one commit (remove every live
+        file + add the staged ones). Conflicts with any concurrent
+        commit — the caller asked for 'the table becomes exactly df',
+        which is undefined if the base moved."""
+        base = self._snapshot()
+        adds, schema = self._stage(df)
+        commit = {
+            "op": "overwrite",
+            "add": adds,
+            "remove": sorted(base["files"]),
+            "schema": schema,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict("overwrite: table advanced past base snapshot")
+        return base["version"] + 1
+
+    def delete_where(self, predicate: str) -> int:
+        """Copy-on-write delete: ONLY files that actually contain a
+        matching row are rewritten (found distributed, via
+        ``input_file_name()``); untouched files carry over by
+        reference. Commits remove(matched) + add(rewritten)."""
+        base = self._snapshot()
+        if base["version"] < 0 or not base["files"]:
+            return base["version"]
+        paths = {
+            os.path.join(self.path, rel): rel for rel in base["files"]
+        }
+        df = self.spark.read.parquet(*sorted(paths))
+        hit_rows = (
+            df.filter(F.expr(predicate))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        hit_rel = sorted(
+            paths[p] for p in (_strip_scheme(r["f"]) for r in hit_rows)
+        )
+        if not hit_rel:
+            return base["version"]
+        survivors = self.spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in hit_rel]
+        ).filter(~F.expr(predicate))
+        adds, _ = self._stage(survivors)
+        commit = {
+            "op": "delete",
+            "predicate": predicate,
+            "add": adds,
+            "remove": hit_rel,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict("delete_where: table advanced past base snapshot")
+        return base["version"] + 1
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Bin-pack small files: rewrite every live file smaller than
+        the target into ceil(total/target) files. Identical rows before
+        and after — pure layout surgery, same commit protocol."""
+        base = self._snapshot()
+        small = sorted(
+            rel for rel, st in base["files"].items()
+            if st["bytes"] < target_file_bytes
+        )
+        if len(small) < 2:
+            return base["version"]
+        total = sum(base["files"][rel]["bytes"] for rel in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        packed = self.spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in small]
+        ).repartition(int(n_out))
+        adds, _ = self._stage(packed)
+        commit = {
+            "op": "compact",
+            "add": adds,
+            "remove": small,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict("compact: table advanced past base snapshot")
+        return base["version"] + 1
+
+    # -- read path ------------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``). ``prune`` maps
+        column → (lo, hi): files whose footer stats cannot intersect
+        the range are dropped BEFORE Spark opens them — log-side data
+        skipping on top of parquet's own row-group pruning."""
+        snap = self._snapshot(version)
+        files = snap["files"]
+        if prune:
+            files = {
+                rel: st for rel, st in files.items()
+                if _stats_may_match(st, prune)
+            }
+        if not files:
+            if snap["schema"] is None:
+                raise ValueError(f"txlog table {self.path} has no commits")
+            empty_schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in sorted(files)]
+        )
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version/op/file deltas — the
+        lineage surface (reference S8) for the curated layer."""
+        out = []
+        for v in range(self.latest_version() + 1):
+            c = self._read_commit(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": c["op"],
+                    "added": len(c.get("add", [])),
+                    "removed": len(c.get("remove", [])),
+                    "ts": c["ts"],
+                }
+            )
+        return out
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Delete data files referenced by NO version ≥ (latest -
+        retain_versions). With the default every non-current file goes —
+        time travel window shrinks accordingly; callers pick retention.
+        Returns the deleted relative paths."""
+        floor = max(self.latest_version() - retain_versions, 0)
+        keep: set[str] = set()
+        for v in range(floor, self.latest_version() + 1):
+            keep.update(self._snapshot(v)["files"])
+        deleted = []
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return deleted
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for name in sorted(os.listdir(subdir)):
+                rel = os.path.join("data", sub, name)
+                if rel not in keep and name.endswith(".parquet"):
+                    os.remove(os.path.join(subdir, name))
+                    deleted.append(rel)
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+        return deleted
+
+
+def _strip_scheme(uri: str) -> str:
+    if uri.startswith("file:"):
+        uri = uri[5:]
+        while uri.startswith("//"):
+            uri = uri[1:]
+    return uri
+
+
+def _stats_may_match(st: dict, prune: dict[str, tuple]) -> bool:
+    for col, (lo, hi) in prune.items():
+        fmin = st.get("min", {}).get(col)
+        fmax = st.get("max", {}).get(col)
+        if fmin is None or fmax is None:
+            continue  # no stats — cannot skip safely
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            return False
+    return True

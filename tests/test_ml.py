@@ -72,6 +72,45 @@ def test_logreg_matches_numpy_reference(spark, emb):
     assert abs(fit["b"] - b) < 1e-12
 
 
+def test_irls_matches_numpy_newton_and_beats_gd(spark, emb):
+    """6 Newton passes reach a LOWER loss than 15 GD passes (quadratic
+    vs linear convergence — the reason the registry trainer is IRLS:
+    every saved pass is a full cluster scan at 100 TB), and the
+    distributed moment fold matches a single-node numpy Newton solver
+    to 1e-9 relative."""
+    rows = emb.select("embedding").collect()
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    v = np.array([1.0 if i % 2 == 0 else -1.0 for i in range(64)])
+    y = (X @ v >= 0).astype(np.float64)
+
+    iters, l2 = 6, 1e-3
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    beta = np.zeros(65)
+    reg = l2 * np.eye(65)
+    reg[-1, -1] = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xa @ beta)))
+        g = Xa.T @ (p - y) / len(y) + reg @ beta
+        H = (Xa * (p * (1 - p))[:, None]).T @ Xa / len(y) + reg
+        beta = beta - np.linalg.solve(H, g)
+
+    df = emb.select(
+        F.col("embedding").alias("features"), _target_expr().alias("y")
+    ).repartition(4)
+    fit = ML.logreg_train_irls(df, iters=iters, l2=l2)
+    np.testing.assert_allclose(fit["w"], beta[:-1], rtol=1e-9, atol=1e-10)
+    assert abs(fit["b"] - beta[-1]) < 1e-9
+
+    gd = ML.logreg_train_gd(df, lr=5.0, iters=15, l2=l2)
+    assert fit["loss"][-1] < gd["loss"][-1]
+
+    scored = ML.logreg_predict(df, fit["w"], fit["b"])
+    acc = scored.agg(
+        F.avg(((F.col("score") >= 0.5).cast("double") == F.col("y")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95
+
+
 def test_logreg_predict_is_native(spark, emb):
     df = emb.select(F.col("embedding").alias("features"))
     scored = ML.logreg_predict(df, np.zeros(64), 0.0)

@@ -1,0 +1,180 @@
+"""Transaction-log table format: atomic commits, snapshot isolation,
+time travel, copy-on-write delete, compaction, vacuum, optimistic
+concurrency (sources/txlog.py).
+
+The reference's loads overwrite whole directories mid-read
+(`dags/Load.py:17`); these tests pin the log-structured fix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiports_data_warehouse_etl_spark.sources.txlog import (
+    TxConflict,
+    TxLogTable,
+    _version_path,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return TxLogTable(spark, str(tmp_path / "t"), checkpoint_every=4)
+
+
+def _orders(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def test_append_and_snapshot_read(spark, tbl):
+    o = _orders(spark)
+    lo = o.filter("o_orderkey % 2 = 0")
+    hi = o.filter("o_orderkey % 2 = 1")
+    assert tbl.append(lo) == 0
+    assert tbl.append(hi) == 1
+    got = tbl.read()
+    assert got.count() == o.count()
+    assert got.schema == o.schema
+    # version 0 still reads as only the first half (time travel)
+    assert tbl.read(version=0).count() == lo.count()
+
+
+def test_overwrite_replaces_contents(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o)
+    tbl.overwrite(o.limit(10))
+    assert tbl.read().count() == 10
+    assert tbl.read(version=0).count() == o.count()
+
+
+def test_delete_where_is_copy_on_write(spark, tbl):
+    o = _orders(spark)
+    # two commits -> at least two file sets; delete hits only one half
+    tbl.append(o.filter("o_orderkey < 1000").repartition(2))
+    tbl.append(o.filter("o_orderkey >= 1000").repartition(2))
+    before = tbl._snapshot()["files"]
+    v = tbl.delete_where("o_orderkey < 500")
+    after = tbl._snapshot()["files"]
+    surviving_original = set(before) & set(after)
+    # the >=1000 files contain no matching rows and carry over untouched
+    assert surviving_original, "untouched files must carry over by reference"
+    got = tbl.read()
+    assert got.filter("o_orderkey < 500").count() == 0
+    expect = o.filter("o_orderkey >= 500").count()
+    assert got.count() == expect
+    # time travel still sees the deleted rows
+    assert tbl.read(version=v - 1).count() == o.count()
+
+
+def test_delete_where_no_match_is_noop(spark, tbl):
+    o = _orders(spark)
+    v0 = tbl.append(o)
+    assert tbl.delete_where("o_orderkey < 0") == v0
+    assert tbl.latest_version() == v0
+
+
+def test_compact_reduces_files_preserves_rows(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.repartition(8))
+    tbl.append(o.repartition(8))
+    before = tbl._snapshot()
+    n_before = len(before["files"])
+    total = tbl.read().count()
+    chk = tbl.read().agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    tbl.compact(target_file_bytes=1 << 30)
+    after = tbl._snapshot()
+    assert len(after["files"]) < n_before
+    assert tbl.read().count() == total
+    chk2 = tbl.read().agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    assert abs(chk - chk2) < 1e-6
+
+
+def test_append_rebases_past_commit_race(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.limit(5))
+    # another writer takes the next version number out from under us
+    with open(_version_path(tbl.path, 1), "w") as fh:
+        json.dump({"op": "append", "add": [], "ts": 0}, fh)
+    v = tbl.append(o.limit(3))  # first try collides, rebase lands at 2
+    assert v == 2
+    assert tbl.read().count() == 8
+
+
+def test_read_modify_write_conflict_raises(spark, tbl):
+    """A writer whose table advances between snapshot-resolve and
+    commit must raise, never silently clobber the interleaved commit.
+    The race is injected at the staging step — exactly where a slow
+    overwrite spends its time in production."""
+    o = _orders(spark)
+    tbl.append(o.limit(20))
+    racer = TxLogTable(spark, tbl.path)
+    real_stage = tbl._stage
+
+    def stage_then_lose_race(df):
+        adds = real_stage(df)
+        racer.append(o.limit(5))  # interleaved commit wins the version
+        return adds
+
+    tbl._stage = stage_then_lose_race
+    with pytest.raises(TxConflict):
+        tbl.overwrite(o.limit(2))
+    tbl._stage = real_stage
+    # the interleaved append survived untouched
+    assert tbl.read().count() == 25
+
+
+def test_checkpoint_bounds_log_replay(spark, tbl):
+    o = _orders(spark).limit(50)
+    for i in range(6):  # checkpoint_every=4 -> checkpoint at v4
+        tbl.append(o.filter(f"o_orderkey % 6 = {i}"))
+    cps = [
+        f for f in os.listdir(os.path.join(tbl.path, "_txlog"))
+        if f.endswith(".checkpoint.json")
+    ]
+    assert cps, "expected a checkpoint file"
+    # snapshot after checkpoint equals full replay
+    assert tbl.read().count() == o.count()
+
+
+def test_stats_pruning_skips_files(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 1000"))
+    tbl.append(o.filter("o_orderkey >= 1000"))
+    snap = tbl._snapshot()
+    pruned = tbl.read(prune={"o_orderkey": (0, 10)})
+    # only the low file(s) should survive pruning
+    full_files = len(snap["files"])
+    pruned_files = len(
+        {r["f"] for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()}
+    )
+    assert pruned_files < full_files
+    # pruning is an optimization, never a filter: superset of matches
+    assert pruned.filter("o_orderkey <= 10").count() == \
+        o.filter("o_orderkey <= 10").count()
+
+
+def test_vacuum_removes_only_unreferenced(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o)
+    tbl.overwrite(o.limit(10))
+    expect = tbl.read().count()
+    deleted = tbl.vacuum(retain_versions=0)
+    assert deleted, "the overwritten files should be vacuumed"
+    assert tbl.read().count() == expect
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(tbl.path, rel))
+
+
+def test_history_surfaces_lineage(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.limit(5))
+    tbl.overwrite(o.limit(3))
+    hist = tbl.history()
+    assert [h["op"] for h in hist] == ["append", "overwrite"]
+    assert hist[1]["removed"] >= 1
