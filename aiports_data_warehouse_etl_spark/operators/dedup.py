@@ -34,6 +34,22 @@ from aiports_data_warehouse_etl_spark.operators.textops import tokens
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def _repersist_if_cleared(df: DataFrame) -> DataFrame:
+    """A `spark.catalog.clearCache()` anywhere (bench hygiene, a
+    driver sweep) evicts the attached shared materializations but
+    leaves the attribute pointing at a now-uncached plan — which would
+    silently recompute on EVERY use inside the multi-use LSH plans.
+    Re-mark it persisted; the next action rebuilds the blocks once."""
+    try:
+        if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+            from pyspark import StorageLevel
+
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+    except Exception:
+        pass  # storage introspection is best-effort; worst case: recompute
+    return df
+
+
 def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: canonical (min) id + copy count."""
     return (
@@ -84,7 +100,7 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     cache = getattr(df, "_sg_shingle_cache", None)
     key = (text_col, id_col, k)
     if cache is not None and key in cache:
-        return cache[key]
+        return _repersist_if_cleared(cache[key])
 
     # The <k-token filter runs on the RAW token count, not size(sh):
     # a filter on the derived array column would be pushed below the
@@ -131,7 +147,7 @@ def shingle_rows(
     cache = getattr(df, "_sg_shingle_rows_cache", None)
     ckey = (text_col, id_col, k)
     if cache is not None and ckey in cache:
-        return cache[ckey]
+        return _repersist_if_cleared(cache[ckey])
     tk = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),

@@ -8014,6 +8014,38 @@ def recursive_cte_bom(spark, sf_dir):
     return spark.sql(_RECURSIVE_BOM_SQL.format(part="rec_part"))
 
 
+@q("bpe_vocab_learn", None)  # iterative argmax-per-round — no SQL twin
+def bpe_vocab_learn(spark, sf_dir):
+    """Distributed BPE vocabulary learning (operators/bpe.py): the
+    corpus collapses to a (word, freq) table in one shuffle, then each
+    merge round is one map-side-combined pair-count aggregation plus a
+    driver argmax of ONE row, with the merge applied as a native
+    higher-order fold — rows never cross into Python. The parity test
+    (tests/test_bpe.py) proves the merge sequence matches a
+    single-node reference implementation exactly; output includes the
+    corpus-token compression trajectory each merge buys."""
+    from aiports_data_warehouse_etl_spark.operators.bpe import bpe_learn
+
+    merges = bpe_learn(
+        _t(spark, sf_dir, "documents"), n_merges=10, min_count=2
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["rank"],
+                m["left"],
+                m["right"],
+                m["merged"],
+                m["pair_count"],
+                m["corpus_tokens"],
+            )
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string,"
+        " pair_count long, corpus_tokens long",
+    )
+
+
 @q("emb_logreg_train", None)  # iterative distributed training — no SQL twin
 def emb_logreg_train(spark, sf_dir):
     """Distributed logistic-regression training (Newton/IRLS) on the
