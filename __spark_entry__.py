@@ -5,14 +5,15 @@
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each — including the iterative connected-components op (closed by
 a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL), and
-Z-order (generated shift/mask SQL). The 9 rows-only entries are
+Z-order (generated shift/mask SQL). The 10 rows-only entries are
 exactly the ops whose internals are engine-specific by design: the
 k-means IVF and PQ quantizers, HLL/t-digest sketches and the
 mergeable-HLL rollup, seeded Bernoulli sampling (its deterministic
 hash-bucket and priority-sampling twins ARE oracled), the mapInPandas
 media decode and Y4M video demux, the PCA eigensolve (its covariance
-input IS oracled), and iterative gradient-descent training — each has an
-accuracy/behavior test instead (COVERAGE.md).
+input IS oracled), iterative Newton/IRLS training, and BPE vocabulary
+learning (parity-tested merge-for-merge against a single-node
+reference) — each has an accuracy/behavior test instead (COVERAGE.md).
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """
@@ -61,6 +62,8 @@ _PRIORITY = [
     "text_scrub_pii", "text_tfidf_top_terms",
     # corpus-prep pipeline
     "pipeline_training_corpus", "pack_documents", "data_split_hash",
+    # round-2 additions: ACID table format, BPE, profiler
+    "tlog_acid_table", "bpe_vocab_learn", "profile_table_stats",
 ]
 
 

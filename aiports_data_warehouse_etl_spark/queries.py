@@ -2970,6 +2970,91 @@ def tlog_acid_table(spark, sf_dir):
 
 
 @q(
+    "profile_table_stats",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 2) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 2) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(min(o_custkey) AS DOUBLE), 2),
+           round(CAST(max(o_custkey) AS DOUBLE), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           NULL, NULL, strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """One-pass table profiler: per-column row/null/exact-distinct
+    counts plus typed min/max, the ANALYZE-style statistics sweep every
+    warehouse runs before planning. Plan shape: ONE scan feeding a
+    6-way `stack` unpivot into a 6-group hash aggregate — map-side
+    partial aggregation collapses the unpivot's row multiplication
+    inside each task, so the shuffle carries 6 rows per partition, not
+    6× the table. (The oracle's UNION ALL of per-column scans is the
+    shape to AVOID at 100 TB: it reads the table once per column.)
+    Numeric and string min/max stay in separate typed columns — a
+    stringly-typed min would order '10' < '9'."""
+    o = _t(spark, sf_dir, "orders")
+    unpivoted = o.select(
+        F.expr(
+            """stack(6,
+          'o_orderkey',      CAST(o_orderkey AS DOUBLE),   CAST(NULL AS STRING),
+          'o_custkey',       CAST(o_custkey AS DOUBLE),    CAST(NULL AS STRING),
+          'o_totalprice',    o_totalprice,                 CAST(NULL AS STRING),
+          'o_orderstatus',   CAST(NULL AS DOUBLE),         o_orderstatus,
+          'o_orderpriority', CAST(NULL AS DOUBLE),         o_orderpriority,
+          'o_orderdate',     CAST(NULL AS DOUBLE),
+                             date_format(o_orderdate, 'yyyy-MM-dd')
+        ) AS (col_name, val_num, val_str)"""
+        )
+    )
+    return unpivoted.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.count(F.lit(1)) - F.count(F.coalesce(F.col("val_num").cast("string"), F.col("val_str")))
+        ).cast("long").alias("n_nulls"),
+        F.greatest(
+            F.countDistinct("val_num"), F.countDistinct("val_str")
+        ).cast("long").alias("n_distinct"),
+        F.round(F.min("val_num"), 2).alias("min_num"),
+        F.round(F.max("val_num"), 2).alias("max_num"),
+        F.min("val_str").alias("min_str"),
+        F.max("val_str").alias("max_str"),
+    )
+
+
+@q(
     "full_outer_reconcile",
     """
     WITH o AS (

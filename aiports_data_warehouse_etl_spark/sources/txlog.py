@@ -216,6 +216,71 @@ class TxLogTable:
                 return v
         raise TxConflict(f"append lost {max_retries} commit races")
 
+    def txn_seen(self, txn_app: str, txn_id: int) -> bool:
+        """True when an (app, id) transaction marker is already in the
+        log. Backward scan — the newest commits are the likely hits;
+        at scale the checkpoint would carry a per-app high-water map,
+        the protocol is unchanged."""
+        for v in range(self.latest_version(), -1, -1):
+            c = self._read_commit(v)
+            if c.get("txn_app") == txn_app and c.get("txn_id") == txn_id:
+                return True
+        return False
+
+    def append_batch_txn(
+        self, df: DataFrame, txn_app: str, txn_id: int, max_retries: int = 20
+    ) -> int | None:
+        """Idempotent append for streaming sinks: the commit carries an
+        (app, batch-id) transaction marker, and a marker already in the
+        log makes the call a NO-OP — so a foreachBatch replay after a
+        crash-between-write-and-checkpoint lands the batch exactly
+        once (the classic at-least-once hole in plain parquet appends,
+        e.g. `streaming/events.py:incremental_load_stream`). The
+        guarantee is the standard one: a replayed batch id must carry
+        the same rows, which Structured Streaming's checkpointed
+        offsets ensure while the checkpoint is retained."""
+        if self.txn_seen(txn_app, txn_id):
+            return None
+        adds, schema = self._stage(df)
+        for _ in range(max_retries):
+            if self.txn_seen(txn_app, txn_id):
+                return None  # another attempt of the same batch won
+            v = self.latest_version() + 1
+            commit = {
+                "op": "append",
+                "add": adds,
+                "schema": schema,
+                "txn_app": txn_app,
+                "txn_id": txn_id,
+            }
+            if self._try_commit(v, commit):
+                return v
+        raise TxConflict(f"append_batch_txn lost {max_retries} commit races")
+
+    def write_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        txn_app: str | None = None,
+        available_now: bool = True,
+    ):
+        """Streaming sink: every micro-batch becomes one atomic,
+        idempotent log commit (`append_batch_txn`), so readers never
+        see a torn batch and restarts never double-append. Returns the
+        started StreamingQuery."""
+        app = txn_app or f"txlog:{self.path}"
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_batch_txn(batch_df, app, int(batch_id))
+
+        writer = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents in one commit (remove every live
         file + add the staged ones). Conflicts with any concurrent

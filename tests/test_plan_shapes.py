@@ -737,3 +737,56 @@ def test_python_datasource_streams_microbatches(spark, tmp_path):
     first, nxt = r.read({"i": 120})
     assert nxt == {"i": 240}
     assert replay == list(first)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_small):
+    """AQE's runtime skew-join handling is the engine's answer to hot
+    keys a salt-free plan meets at 100 TB (SCALE.md Joins): with one
+    key owning ~90% of the probe side, the post-execution adaptive
+    plan must mark the sort-merge join's skewed side as split
+    (`skew=true`) once the skew thresholds are crossed. Thresholds are
+    scaled down so the small fixture crosses them the way a real
+    partition would at cluster scale.
+
+    Two real preconditions, learned the hard way and worth pinning:
+    (1) the skewed side needs MULTIPLE map tasks — a hot reduce
+    partition fed by one mapper is a single unsplittable block; (2)
+    the rule pattern-matches Sort DIRECTLY over the shuffle stage on
+    both sides, so a dim built via distinct() (final aggregate between
+    sort and stage) silently disqualifies the join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = spark.read.parquet(f"{sf_small}/events.parquet").repartition(8)
+        # ~2/3-hot probe side: most events collapse onto user 7; the
+        # uuid pad keeps the hot partition incompressibly above the
+        # scaled-down threshold, the way real rows would be at scale
+        skewed = ev.select(
+            F.when(F.col("event_id") % 3 != 0, F.lit(7))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "event_id",
+            F.expr("repeat(uuid(), 40)").alias("pad"),
+        )
+        dim = spark.read.parquet(f"{sf_small}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        )
+        joined = skewed.join(dim, "user_id").select("user_id", "c_name", "pad")
+        joined.collect()  # AQE finalizes the plan only on execution
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -171,6 +171,44 @@ def test_vacuum_removes_only_unreferenced(spark, tbl):
         assert not os.path.exists(os.path.join(tbl.path, rel))
 
 
+def test_append_batch_txn_is_idempotent(spark, tbl):
+    o = _orders(spark).limit(30)
+    v = tbl.append_batch_txn(o, "loader", 0)
+    assert v == 0
+    # a foreachBatch replay of the same (app, batch) is a no-op
+    assert tbl.append_batch_txn(o, "loader", 0) is None
+    assert tbl.read().count() == 30
+    # a different app reusing the batch id is a distinct transaction
+    assert tbl.append_batch_txn(o, "backfill", 0) == 1
+    assert tbl.read().count() == 60
+
+
+def test_stream_into_txlog_restart_no_duplicates(spark, tmp_path):
+    """AvailableNow stream → txlog sink; a restart with new source
+    files appends ONLY the new batch, and replays never double-land."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    o = _orders(spark)
+    o.filter("o_orderkey < 40").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = t.write_stream(stream, ckpt, txn_app="loader")
+    q.awaitTermination(120)
+    first = t.read().count()
+    assert first == 40
+    # restart with more source data: only the delta lands
+    o.filter("o_orderkey >= 1000 AND o_orderkey < 1025").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = t.write_stream(stream2, ckpt, txn_app="loader")
+    q2.awaitTermination(120)
+    assert t.read().count() == first + 25
+    # every commit carries its transaction marker
+    assert t.txn_seen("loader", 0)
+
+
 def test_history_surfaces_lineage(spark, tbl):
     o = _orders(spark)
     tbl.append(o.limit(5))
