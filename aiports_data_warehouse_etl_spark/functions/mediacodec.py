@@ -37,6 +37,8 @@ def sniff_format(data: bytes | None) -> str | None:
         return None
     if data[:8] == _PNG_MAGIC:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] in (b"P6", b"P5") and len(data) > 2 and data[2:3] in b" \t\n\r":
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -239,12 +241,18 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Dispatch PNG/PPM decode by magic bytes."""
+    """Dispatch PNG/PPM/JPEG decode by magic bytes."""
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
+    if fmt == "jpeg":
+        from aiports_data_warehouse_etl_spark.functions.jpegcodec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(data)
     raise ValueError("not a decodable image")
 
 

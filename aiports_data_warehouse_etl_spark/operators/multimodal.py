@@ -3,11 +3,13 @@ with typed metadata (schemas.MEDIA).
 
 The decode kernels are REAL (r1 shipped metadata-only stubs): PNG and
 binary PPM/PGM images are decoded to pixel arrays (stdlib zlib +
-pure-Python scanline unfilter, `functions/mediacodec.py`), WAV PCM to
-sample arrays (stdlib ``wave``), YUV4MPEG2 video is demuxed to luma
-frame stacks, and the emitted features are actual per-pixel /
-per-sample / per-frame statistics. Payloads in a format the
-environment cannot decode (JPEG, MP4, arbitrary bytes) fall back to
+pure-Python scanline unfilter, `functions/mediacodec.py`), baseline
+grayscale JPEG via the repo's own T.81 codec (DCT + Annex-K Huffman,
+`functions/jpegcodec.py`), WAV PCM to sample arrays (stdlib
+``wave``), YUV4MPEG2 video is demuxed to luma frame stacks, and the
+emitted features are actual per-pixel / per-sample / per-frame
+statistics. Payloads in a format the environment cannot decode
+(progressive/color JPEG, MP4, arbitrary bytes) fall back to
 byte-level features and are labelled ``fmt='raw'`` — they never fake
 pixel statistics.
 
@@ -92,7 +94,7 @@ def _decode_one(payload: bytes | None) -> dict:
     out["n_bytes"] = len(payload)
     fmt = mc.sniff_format(payload)
     try:
-        if fmt in ("png", "ppm"):
+        if fmt in ("png", "ppm", "jpeg"):
             px = mc.decode_image(payload)
             luma = mc.luminance(px).ravel()
             out.update(
@@ -169,8 +171,19 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     px = mc.decode_image(payload)
                     small = mc.resize_nearest(px, width, height)
-                    enc = mc.encode_png if fmt == "png" else mc.encode_ppm
-                    rows.append((mid, fmt, width, height, enc(small)))
+                    if fmt == "jpeg":
+                        from aiports_data_warehouse_etl_spark.functions.jpegcodec import (  # noqa: E501
+                            encode_jpeg,
+                        )
+
+                        out = encode_jpeg(
+                            mc.luminance(small).astype("uint8")
+                        )
+                    elif fmt == "png":
+                        out = mc.encode_png(small)
+                    else:
+                        out = mc.encode_ppm(small)
+                    rows.append((mid, fmt, width, height, out))
                 except Exception:
                     rows.append((mid, None, None, None, None))
             yield pd.DataFrame(

@@ -3388,12 +3388,14 @@ def hll_mergeable_distinct(spark, sf_dir):
 @q("mm_decode_features", None)  # mapInPandas decode kernel — no SQL twin
 def mm_decode_features(spark, sf_dir):
     """Multimodal decode end-to-end with REAL codecs: synthesize
-    deterministic media payloads from doc_id (PNG images encoded with
-    the repo's pure-stdlib encoder, PCM16 WAV audio, raw text bytes as
-    the undecodable control group), then run the Arrow-batched
+    deterministic media payloads from doc_id (PNG images via the
+    pure-stdlib encoder, baseline JPEG via the repo's own T.81
+    DCT+Huffman codec, PCM16 WAV audio, raw text bytes as the
+    undecodable control group), then run the Arrow-batched
     mapInPandas decode+featurize pass — actual pixel/sample statistics
-    come back out (functions/mediacodec.py). Column pruning holds: only
-    (media_id, kind, payload) cross into Python, in both passes."""
+    come back out (functions/mediacodec.py, jpegcodec.py). Column
+    pruning holds: only (media_id, kind, payload) cross into Python,
+    in both passes."""
     from aiports_data_warehouse_etl_spark.operators.multimodal import (
         decode_and_featurize,
     )
@@ -3409,11 +3411,19 @@ def mm_decode_features(spark, sf_dir):
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                if did % 3 == 0:  # 8x8 gray PNG, pixels seeded by doc_id
+                if did % 4 == 0:  # 8x8 gray PNG, pixels seeded by doc_id
                     px = ((np.arange(64, dtype=np.int64) * (did + 7)) % 256
                           ).astype(np.uint8).reshape(8, 8, 1)
                     rows.append((did, "image", mc.encode_png(px)))
-                elif did % 3 == 1:  # 64-sample PCM16 ramp WAV
+                elif did % 4 == 1:  # 16x16 baseline JPEG (own T.81 codec)
+                    from aiports_data_warehouse_etl_spark.functions.jpegcodec import (  # noqa: E501
+                        encode_jpeg,
+                    )
+
+                    px = ((np.arange(256, dtype=np.int64) + did) % 256
+                          ).astype(np.uint8).reshape(16, 16)
+                    rows.append((did, "image", encode_jpeg(px, quality=90)))
+                elif did % 4 == 2:  # 64-sample PCM16 ramp WAV
                     sig = ((np.arange(64, dtype=np.int64) * (did % 500 + 1))
                            % 20000).astype(np.int16)
                     rows.append((did, "audio", mc.encode_wav(sig, 8000)))

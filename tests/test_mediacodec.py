@@ -158,3 +158,68 @@ def test_y4m_fps_fraction():
     dec, fn, fd = mc.decode_y4m(mc.encode_y4m(fr, 30000, 1001))
     assert (fn, fd) == (30000, 1001)
     assert dec.shape == (1, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (functions/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_psnr():
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    rng = np.random.default_rng(7)
+    grad = np.linspace(0, 255, 100)[None, :] * np.ones((75, 1))
+    img = np.clip(grad + rng.normal(0, 10, (75, 100)), 0, 255).astype(
+        np.uint8
+    )  # non-multiple-of-8 dims exercise edge-replicate padding
+    enc = J.encode_jpeg(img, quality=90)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == (75, 100, 1)
+    err = dec[:, :, 0].astype(float) - img.astype(float)
+    psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 35.0, psnr
+    # lossy but structured: the file must be smaller than raw pixels
+    assert len(enc) < img.size
+
+
+def test_jpeg_flat_image_is_lossless_and_tiny():
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    flat = np.full((16, 24), 128, np.uint8)
+    enc = J.encode_jpeg(flat, 90)
+    dec = J.decode_jpeg(enc)
+    assert np.array_equal(dec[:, :, 0], flat)
+    assert len(enc) < 400  # DC-only blocks collapse to EOBs
+
+
+def test_jpeg_quality_monotone():
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8).astype(np.uint8)
+    sizes = [len(J.encode_jpeg(img, q)) for q in (30, 60, 95)]
+    assert sizes == sorted(sizes), sizes
+
+
+def test_jpeg_sniff_and_dispatch():
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    img = (np.arange(64, dtype=np.uint8)).reshape(8, 8)
+    enc = J.encode_jpeg(img, 95)
+    assert mc.sniff_format(enc) == "jpeg"
+    via_dispatch = mc.decode_image(enc)
+    assert via_dispatch.shape == (8, 8, 1)
+
+
+def test_jpeg_rejects_unsupported():
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xffnot really")
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((4, 4, 3), np.uint8))  # color: use luminance()
+    # truncated entropy stream must raise, not fabricate pixels
+    good = J.encode_jpeg(np.arange(256, dtype=np.uint8).reshape(16, 16), 90)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: len(good) // 2])

@@ -103,6 +103,10 @@ def _real_media_rows():
         [np.full((4, 4), 10 * i, dtype=np.uint8) for i in range(10)]
     )
     y4m = mc.encode_y4m(vid, 5, 1)
+    # flat-128 16x16 baseline JPEG (own T.81 codec): exactly lossless
+    from aiports_data_warehouse_etl_spark.functions.jpegcodec import encode_jpeg
+
+    jpg = encode_jpeg(np.full((16, 16), 128, dtype=np.uint8), quality=90)
     return [
         (0, "image", png, "image/png", 4, 4, None, None),
         (1, "audio", wav, "audio/wav", None, None, 100, 8000),
@@ -112,6 +116,7 @@ def _real_media_rows():
         (5, "image", b"\x00\x01\x02\x03" * 8, "application/octet-stream",
          None, None, None, None),
         (6, "video", y4m, "video/x-yuv4mpeg", 4, 4, 2000, None),
+        (7, "image", jpg, "image/jpeg", 16, 16, None, None),
     ]
 
 
@@ -146,6 +151,10 @@ def test_decode_and_featurize_real_pixels(media):
     assert out[2].fmt == "raw"
     # null payload
     assert out[3].feature is None and out[3].n_bytes is None
+    # JPEG: flat 128 image decodes losslessly through the T.81 codec
+    jpg = out[7]
+    assert jpg.fmt == "jpeg" and (jpg.width, jpg.height) == (16, 16)
+    assert abs(jpg.sig_mean - 128.0) < 1e-9 and jpg.sig_std == 0.0
 
 
 def test_resize_images_real(media):
@@ -153,7 +162,7 @@ def test_resize_images_real(media):
 
     out = {r.media_id: r for r in resize_images(media, 2, 2).collect()}
     # only kind == image rows flow through
-    assert set(out) == {0, 3, 4, 5}
+    assert set(out) == {0, 3, 4, 5, 7}
     small = mc.decode_png(bytes(out[0].payload))
     assert small.shape == (2, 2, 1)
     # nearest-neighbour of the 4x4 gray: top-left keeps the 200 pixel
@@ -162,6 +171,11 @@ def test_resize_images_real(media):
     assert red.shape == (2, 2, 3) and red[:, :, 0].min() == 255
     # undecodable / null payloads yield honest null rows
     assert out[3].payload is None and out[5].payload is None
+    # JPEG resize re-encodes in the same format via the T.81 codec;
+    # the flat-128 source stays flat through resample + requantize
+    jsmall = mc.decode_image(bytes(out[7].payload))
+    assert out[7].fmt == "jpeg" and jsmall.shape == (2, 2, 1)
+    assert int(jsmall.max()) == 128 and int(jsmall.min()) == 128
 
 
 def test_video_frame_sampling(media):
