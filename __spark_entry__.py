@@ -62,8 +62,9 @@ _PRIORITY = [
     "text_scrub_pii", "text_tfidf_top_terms",
     # corpus-prep pipeline
     "pipeline_training_corpus", "pack_documents", "data_split_hash",
-    # round-2 additions: ACID table format, BPE, profiler
+    # round-2 additions: ACID table format, BPE, profiler, observe
     "tlog_acid_table", "bpe_vocab_learn", "profile_table_stats",
+    "observe_inflight_metrics",
 ]
 
 

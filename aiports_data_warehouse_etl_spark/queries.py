@@ -3055,6 +3055,59 @@ def profile_table_stats(spark, sf_dir):
 
 
 @q(
+    "observe_inflight_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null_cust
+    FROM orders
+    """,
+)
+def observe_inflight_metrics(spark, sf_dir):
+    """Audit metrics that RIDE the load job instead of re-scanning:
+    ``df.observe`` attaches accumulator-backed aggregates to whatever
+    action executes the DataFrame — here a `noop`-sink write stands in
+    for the curated-layer load — and the metrics come back on the
+    driver when the job finishes. The reference's validation pass
+    (V1-V6) is a second full read of the table it just wrote; at
+    100 TB an observation is the difference between auditing for free
+    and paying another complete scan. The oracle recomputes the same
+    four metrics with plain SQL, so the accumulator path itself is
+    hash-verified."""
+    from pyspark.sql import Observation
+
+    obs = Observation("load_metrics")
+    o = _t(spark, sf_dir, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int"))
+        .cast("long")
+        .alias("n_nonpositive"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (F.count(F.lit(1)) - F.count("o_custkey"))
+        .cast("long")
+        .alias("n_null_cust"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive"],
+                float(m["total_price"]),
+                m["n_null_cust"],
+            )
+        ],
+        "n_rows long, n_nonpositive long, total_price double,"
+        " n_null_cust long",
+    )
+
+
+@q(
     "full_outer_reconcile",
     """
     WITH o AS (

@@ -257,6 +257,34 @@ class TxLogTable:
                 return v
         raise TxConflict(f"append_batch_txn lost {max_retries} commit races")
 
+    def overwrite_batch_txn(
+        self, df: DataFrame, txn_app: str, txn_id: int
+    ) -> int | None:
+        """Idempotent read-modify-write for streaming view maintenance
+        (foreachBatch upsert of a continuous aggregate): the overwrite
+        commit carries the (app, batch-id) marker, so a replayed batch
+        neither double-applies nor clobbers — it's a NO-OP. Unlike
+        appends the operation does not commute, so a lost commit race
+        raises TxConflict for the caller's retry-from-read."""
+        if self.txn_seen(txn_app, txn_id):
+            return None
+        base = self._snapshot()
+        adds, schema = self._stage(df)
+        commit = {
+            "op": "overwrite",
+            "add": adds,
+            "remove": sorted(base["files"]),
+            "schema": schema,
+            "base_version": base["version"],
+            "txn_app": txn_app,
+            "txn_id": txn_id,
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            if self.txn_seen(txn_app, txn_id):
+                return None  # a concurrent attempt of the same batch won
+            raise TxConflict("overwrite_batch_txn: base snapshot moved")
+        return base["version"] + 1
+
     def write_stream(
         self,
         stream_df: DataFrame,

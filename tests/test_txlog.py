@@ -209,6 +209,69 @@ def test_stream_into_txlog_restart_no_duplicates(spark, tmp_path):
     assert t.txn_seen("loader", 0)
 
 
+def test_incremental_aggregate_txlog_exactly_once(spark, tmp_path, sf_small):
+    """Continuous aggregate maintained in a txlog table: final state
+    equals the batch ground truth, a restart appends only the delta,
+    and a replayed batch id is a committed-transaction no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        incremental_aggregate_txlog,
+    )
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tpath = str(tmp_path / "agg")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    q = incremental_aggregate_txlog(spark, src, tpath, ckpt)
+    q.awaitTermination(120)
+    t = TxLogTable(spark, tpath)
+
+    def as_dict(df):
+        return {
+            r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in df.collect()
+        }
+
+    truth1 = as_dict(
+        ev.filter("event_id % 2 = 0")
+        .groupBy("event_type")
+        .agg(
+            F2.count(F2.lit(1)).cast("long").alias("n_events"),
+            F2.sum("value").alias("sum_value"),
+        )
+    )
+    assert as_dict(t.read()) == truth1
+
+    # restart with the retained checkpoint: only the new half merges
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_aggregate_txlog(spark, src, tpath, ckpt)
+    q2.awaitTermination(120)
+    truth_all = as_dict(
+        ev.groupBy("event_type").agg(
+            F2.count(F2.lit(1)).cast("long").alias("n_events"),
+            F2.sum("value").alias("sum_value"),
+        )
+    )
+    assert as_dict(t.read()) == truth_all
+
+    # a replay of an already-committed batch id is a no-op — even with
+    # different (garbage) content, the txn marker wins
+    garbage = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_type": ["x"], "n_events": [999], "sum_value": [0.0]}
+        )
+    )
+    assert t.overwrite_batch_txn(garbage, "agg_maint", 0) is None
+    assert as_dict(t.read()) == truth_all
+
+
 def test_history_surfaces_lineage(spark, tbl):
     o = _orders(spark)
     tbl.append(o.limit(5))
