@@ -63,7 +63,8 @@ _PRIORITY = [
     # corpus-prep pipeline
     "pipeline_training_corpus", "pack_documents", "data_split_hash",
     # round-2 additions: ACID table format, BPE, profiler, observe
-    "tlog_acid_table", "bpe_vocab_learn", "profile_table_stats",
+    "tlog_acid_table", "bpe_vocab_learn", "bpe_token_count",
+    "dedup_canonical_text", "profile_table_stats",
     "observe_inflight_metrics",
 ]
 

@@ -125,6 +125,70 @@ def bpe_learn(
     return merges
 
 
+def bpe_apply_reference(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Tokenize ONE word with learned merges: repeatedly merge the
+    lowest-rank adjacent pair (the canonical BPE apply loop)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary.
+
+    The merge table (a few thousand entries at production vocab sizes)
+    rides to executors in the task closure — broadcast semantics, no
+    shuffle — and the apply loop runs per WORD inside an Arrow-batched
+    mapInPandas kernel with a per-batch word cache (Zipf makes the
+    cache hit rate high: each distinct word tokenizes once per batch).
+    Output: (id, n_words, n_chars, n_bpe_tokens).
+    """
+    import pandas as pd
+
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+
+    def kernel(batches):
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text.lower() if lowercase else text
+                words = [w for w in t.split() if w]
+                n_tok = 0
+                for w in words:
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = len(bpe_apply_reference(w, ranks))
+                        cache[w] = hit
+                    n_tok += hit
+                rows.append((int(did), len(words), len(text), n_tok))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_chars", "n_bpe_tokens"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} long, n_words long, n_chars long, n_bpe_tokens long",
+    )
+
+
 def bpe_learn_reference(
     texts: list[str],
     n_merges: int = 16,

@@ -8197,6 +8197,26 @@ def recursive_cte_bom(spark, sf_dir):
     return spark.sql(_RECURSIVE_BOM_SQL.format(part="rec_part"))
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir, n_merges=10, min_count=2):
+    """Learned-merge cache per (app, sf, params): bpe_vocab_learn and
+    bpe_token_count consume the SAME vocabulary — train once, reuse
+    (the driver-side merge list is a few hundred bytes)."""
+    from aiports_data_warehouse_etl_spark.operators.bpe import bpe_learn
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, min_count)
+    hit = _BPE_MERGE_CACHE.get(key)
+    if hit is None:
+        hit = bpe_learn(
+            _t(spark, sf_dir, "documents"), n_merges=n_merges,
+            min_count=min_count,
+        )
+        _BPE_MERGE_CACHE[key] = hit
+    return hit
+
+
 @q("bpe_vocab_learn", None)  # iterative argmax-per-round — no SQL twin
 def bpe_vocab_learn(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.py): the
@@ -8207,11 +8227,7 @@ def bpe_vocab_learn(spark, sf_dir):
     (tests/test_bpe.py) proves the merge sequence matches a
     single-node reference implementation exactly; output includes the
     corpus-token compression trajectory each merge buys."""
-    from aiports_data_warehouse_etl_spark.operators.bpe import bpe_learn
-
-    merges = bpe_learn(
-        _t(spark, sf_dir, "documents"), n_merges=10, min_count=2
-    )
+    merges = _bpe_merges(spark, sf_dir, n_merges=10, min_count=2)
     return spark.createDataFrame(
         [
             (
@@ -8227,6 +8243,89 @@ def bpe_vocab_learn(spark, sf_dir):
         "rank int, left string, right string, merged string,"
         " pair_count long, corpus_tokens long",
     )
+
+
+@q("bpe_token_count", None)  # learned-vocab tokenization — no SQL twin
+def bpe_token_count(spark, sf_dir):
+    """Token counting under the LEARNED BPE vocabulary (the regex
+    token counters elsewhere approximate this): learn 10 merges on the
+    corpus (operators/bpe.py), then apply them per document in an
+    Arrow-batched kernel — the merge table rides in the task closure
+    (broadcast semantics), a per-batch word cache exploits Zipf, and
+    no shuffle touches the corpus. Output is the per-source rollup of
+    words/chars/BPE-tokens plus the compression ratio the vocabulary
+    buys; invariant pinned in tests: summed per-doc BPE tokens equal
+    the trainer's final corpus_tokens trajectory entry exactly."""
+    from aiports_data_warehouse_etl_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir, n_merges=10, min_count=2)
+    counts = bpe_token_counts(docs, merges)
+    return (
+        counts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@q(
+    "dedup_canonical_text",
+    r"""
+    WITH canon AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g'))) AS ck
+      FROM documents
+    ),
+    keep AS (
+      SELECT ck, min(doc_id) AS keep_id, count(*) AS n_members
+      FROM canon GROUP BY ck
+    )
+    SELECT c.doc_id, c.source, CAST(k.n_members AS BIGINT) AS n_members
+    FROM canon c JOIN keep k ON c.ck = k.ck AND c.doc_id = k.keep_id
+    """,
+)
+def dedup_canonical_text(spark, sf_dir):
+    """Canonicalization dedup (the CCNet/C4 normalization pass):
+    lowercase, strip non-alphanumerics, collapse whitespace, hash —
+    catches trivially-reformatted copies that EXACT hashing misses and
+    near-dup shingling wastes candidate pairs on. One md5-keyed
+    shuffle, same 100 TB shape as exact dedup; keeps the min-id doc
+    per canonical class with its duplicate-class size."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower("text"), r"[^a-z0-9\s]", ""
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("ck"),
+    )
+    keep = canon.groupBy("ck").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return canon.join(
+        keep,
+        (canon.ck == keep.ck) & (canon.doc_id == keep.keep_id),
+    ).select("doc_id", "source", "n_members")
 
 
 @q("emb_logreg_train", None)  # iterative distributed training — no SQL twin

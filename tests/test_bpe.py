@@ -26,6 +26,20 @@ def test_merge_fold_handles_overlaps(spark):
     assert out[3] == ["x"]
 
 
+def test_bpe_apply_matches_trainer_totals(spark, sf_small):
+    """Applying the learned merges (priority-loop apply) reproduces the
+    trainer's corpus token totals exactly — the canonical train/apply
+    equivalence of BPE — and fewer merges mean more tokens."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    merges = bpe.bpe_learn(docs, n_merges=6, min_count=2)
+    counts = bpe.bpe_token_counts(docs, merges)
+    total = counts.agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
+    assert total == merges[-1]["corpus_tokens"]
+    fewer = bpe.bpe_token_counts(docs, merges[:2])
+    total_fewer = fewer.agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
+    assert total_fewer > total
+
+
 def test_bpe_matches_reference_implementation(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     texts = [r["text"] for r in docs.select("text").collect()]
