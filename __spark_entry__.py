@@ -49,6 +49,10 @@ _PRIORITY = [
     "evt_user_trend_slope", "catalog_tables", "mm_decode_features",
     "mm_video_frame_sample",
     "text_bigram_logprob",
+    # round-2 additions: ACID table format, BPE, profiler, observe
+    "tlog_acid_table", "bpe_vocab_learn", "bpe_token_count",
+    "dedup_canonical_text", "profile_table_stats",
+    "observe_inflight_metrics",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_connected_components",
@@ -62,10 +66,6 @@ _PRIORITY = [
     "text_scrub_pii", "text_tfidf_top_terms",
     # corpus-prep pipeline
     "pipeline_training_corpus", "pack_documents", "data_split_hash",
-    # round-2 additions: ACID table format, BPE, profiler, observe
-    "tlog_acid_table", "bpe_vocab_learn", "bpe_token_count",
-    "dedup_canonical_text", "profile_table_stats",
-    "observe_inflight_metrics",
 ]
 
 

@@ -365,10 +365,21 @@ class TxLogTable:
             raise TxConflict("delete_where: table advanced past base snapshot")
         return base["version"] + 1
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Bin-pack small files: rewrite every live file smaller than
         the target into ceil(total/target) files. Identical rows before
-        and after — pure layout surgery, same commit protocol."""
+        and after — pure layout surgery, same commit protocol.
+
+        ``sort_by`` additionally range-partitions + sorts the rewrite
+        on those columns, so the compacted files carry DISJOINT
+        min/max stats — the log-side `read(prune=...)` skip and
+        parquet's own row-group pruning both become effective on the
+        clustered key (the write_sorted_parquet idea applied to
+        maintenance instead of initial load)."""
         base = self._snapshot()
         small = sorted(
             rel for rel, st in base["files"].items()
@@ -380,7 +391,13 @@ class TxLogTable:
         n_out = max(1, -(-total // target_file_bytes))
         packed = self.spark.read.parquet(
             *[os.path.join(self.path, rel) for rel in small]
-        ).repartition(int(n_out))
+        )
+        if sort_by:
+            packed = packed.repartitionByRange(
+                int(n_out), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            packed = packed.repartition(int(n_out))
         adds, _ = self._stage(packed)
         commit = {
             "op": "compact",
@@ -415,7 +432,10 @@ class TxLogTable:
                 raise ValueError(f"txlog table {self.path} has no commits")
             empty_schema = T.StructType.fromJson(json.loads(snap["schema"]))
             return self.spark.createDataFrame([], empty_schema)
-        return self.spark.read.parquet(
+        # mergeSchema: snapshots may span appends written before and
+        # after a column was added — the union schema (missing columns
+        # null) is the additive-evolution contract
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, rel) for rel in sorted(files)]
         )
 

@@ -94,6 +94,45 @@ def test_compact_reduces_files_preserves_rows(spark, tbl):
     assert abs(chk - chk2) < 1e-6
 
 
+def test_schema_evolution_across_appends(spark, tbl):
+    """Appends written before and after a column was added read back
+    under the union schema, missing values null (additive evolution)."""
+    o = _orders(spark)
+    tbl.append(o.limit(10))
+    evolved = o.limit(5).withColumn("channel", F.lit("web"))
+    tbl.append(evolved)
+    got = tbl.read()
+    assert "channel" in got.columns
+    assert got.count() == 15
+    assert got.filter(F.col("channel").isNull()).count() == 10
+
+
+def test_sorted_compaction_clusters_stats(spark, tbl):
+    """compact(sort_by=...) leaves files with DISJOINT o_orderkey
+    ranges, so log-side pruning can answer a point lookup from one
+    file."""
+    o = _orders(spark)
+    tbl.append(o.repartition(4))  # key ranges smeared across files
+    tbl.append(o.repartition(4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000))
+    tbl.compact(target_file_bytes=40 * 1024, sort_by=["o_orderkey"])
+    snap = tbl._snapshot()
+    ranges = sorted(
+        (st["min"]["o_orderkey"], st["max"]["o_orderkey"])
+        for st in snap["files"].values()
+        if "o_orderkey" in st["min"]
+    )
+    assert len(ranges) >= 2, "expected multiple compacted files"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {ranges}"
+    # a point lookup now prunes to a single file
+    probed = tbl.read(prune={"o_orderkey": (1, 1)})
+    files = probed.select(
+        F.input_file_name().alias("f")).distinct().count()
+    assert files == 1
+    assert tbl.read().count() == 2 * o.count()
+
+
 def test_append_rebases_past_commit_race(spark, tbl):
     o = _orders(spark)
     tbl.append(o.limit(5))
