@@ -3055,6 +3055,73 @@ def profile_table_stats(spark, sf_dir):
 
 
 @q(
+    "sql_scripting_batch",
+    """
+    WITH c AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    p AS (
+      SELECT CAST(power(2, g) AS DOUBLE) AS cutoff
+      FROM generate_series(20, 40) t(g)
+    ),
+    q AS (
+      SELECT cutoff,
+             (SELECT CAST(count(*) AS BIGINT) FROM c WHERE rev > cutoff)
+               AS n_above
+      FROM p
+    ),
+    best AS (
+      SELECT min(cutoff) AS cutoff FROM q, tot WHERE q.n_above * 10 <= tot.n
+    )
+    SELECT b.cutoff AS cutoff, q.n_above AS n_above, tot.n AS n_custs
+    FROM best b JOIN q ON q.cutoff = b.cutoff CROSS JOIN tot
+    """,
+)
+def sql_scripting_batch(spark, sf_dir):
+    """ANSI SQL scripting frontend (Spark 4.1 BEGIN/DECLARE/WHILE):
+    procedural control flow driving REAL distributed queries — double
+    a revenue cutoff until at most 10% of customers exceed it, each
+    probe one aggregate over the cluster. This is the scripting twin
+    of the engine's driver-side loops (IRLS, BPE): the loop state is a
+    scalar variable, every iteration is a full Spark query, and the
+    oracle replays the same search closed-form (min power-of-two over
+    a generated series). Session-scoped: the scripting flag and the
+    temp view are cleaned up after."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sqs_orders")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DOUBLE DEFAULT 1048576.0;
+              DECLARE n_above BIGINT DEFAULT 0;
+              DECLARE n_total BIGINT DEFAULT 0;
+              SET n_total = (
+                SELECT count(*) FROM (
+                  SELECT o_custkey FROM sqs_orders GROUP BY o_custkey));
+              SET n_above = (
+                SELECT count(*) FROM (
+                  SELECT o_custkey, sum(o_totalprice) AS rev
+                  FROM sqs_orders GROUP BY o_custkey) WHERE rev > cutoff);
+              WHILE n_above * 10 > n_total DO
+                SET cutoff = cutoff * 2;
+                SET n_above = (
+                  SELECT count(*) FROM (
+                    SELECT o_custkey, sum(o_totalprice) AS rev
+                    FROM sqs_orders GROUP BY o_custkey) WHERE rev > cutoff);
+              END WHILE;
+              SELECT cutoff AS cutoff, n_above AS n_above,
+                     n_total AS n_custs;
+            END
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("sqs_orders")
+
+
+@q(
     "observe_inflight_metrics",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
