@@ -271,6 +271,69 @@ def stream_purchase_attribution(
     )
 
 
+def stream_unattributed_purchases(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_minutes: int = 10,
+):
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    attributed ones as soon as the matching click arrives, UNMATCHED
+    ones with a null click_id once the watermark proves no qualifying
+    click can still come. This is the semantics inner joins can't
+    give: 'purchases with no preceding click' is only decidable after
+    the event-time frontier passes the join window, and the engine
+    holds exactly that much state (watermark + interval bound) —
+    the 100 TB posture is identical to the inner attribution join.
+
+    Emission caveat (pinned in the test): outer-null results flush
+    when a LATER batch advances the watermark — with AvailableNow over
+    a static directory that means the flush happens on the next run
+    over new data, not at end-of-stream. The sink is parquet (durable,
+    checkpoint-recoverable) because that restart IS the contract —
+    the memory sink cannot resume a checkpoint."""
+    schema = spark.read.parquet(source_dir).schema
+    base = spark.readStream.schema(schema).parquet(source_dir)
+
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_aggregate_maintenance(
     spark: SparkSession,
     source_dir: str,

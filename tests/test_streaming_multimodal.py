@@ -667,3 +667,70 @@ def test_append_mode_watermark_drops_late_data(spark, tmp_path):
     q3 = stream_append_window_counts(spark, src, out, ckpt)
     q3.awaitTermination(120)
     assert emitted() == [(10, 2), (11, 1), (12, 1), (13, 1), (15, 1)]
+
+
+def test_stream_left_outer_join_flushes_unmatched(spark, sf_small, tmp_path):
+    """LEFT OUTER stream-stream join: matched purchases emit with their
+    click; unmatched ones emit with a NULL click once a later batch
+    advances the watermark past the join window — the flush happens on
+    the restart over new data, exactly the documented semantics."""
+    import datetime as dt
+
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        stream_unattributed_purchases,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "unattr_src")
+    ckpt = str(tmp_path / "unattr_ck")
+    events.write.parquet(src)
+
+    out = str(tmp_path / "unattr_out")
+    q = stream_unattributed_purchases(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    # sentinel batch far in the future advances BOTH sides' watermarks
+    far = dt.datetime(2031, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(10_000_001, 1, "purchase", far), (10_000_002, 1, "click", far)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    cols = spark.read.parquet(src).columns
+    for c in cols:
+        if c not in sentinel.columns:
+            sentinel = sentinel.withColumn(c, F.lit(None))
+    sentinel.select(*cols).write.mode("append").parquet(src)
+
+    q2 = stream_unattributed_purchases(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+        if r.purchase_id < 10_000_000
+    }
+
+    e = spark.read.parquet(src).filter("event_id < 10000000")
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") < F.col("pts")),
+            "left_outer",
+        ).collect()
+    }
+    assert got == batch
+    # the outer semantics actually exercised both arms
+    assert any(c is None for _, c in batch)
+    assert any(c is not None for _, c in batch)
