@@ -65,7 +65,8 @@ _PRIORITY = [
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "text_scrub_pii", "text_tfidf_top_terms",
     # corpus-prep pipeline
-    "pipeline_training_corpus", "pack_documents", "data_split_hash",
+    "pipeline_training_corpus", "pipeline_pretraining_full",
+    "pack_documents", "data_split_hash",
 ]
 
 

@@ -7704,6 +7704,105 @@ def pipeline_training_corpus(spark, sf_dir):
 
 
 @q(
+    "pipeline_pretraining_full",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS tk,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g'))) AS ck
+      FROM documents),
+    m AS (SELECT *, greatest(len(tk), 1) AS n FROM base),
+    q AS (
+      SELECT doc_id, source, tk, ck,
+             round(0.5 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n)
+                 + 0.2 * least((CAST(len(list_filter(tk,
+                       x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                     / n) * 5.0, 1.0),
+               6) AS quality
+      FROM m),
+    d AS (SELECT *, min(doc_id) OVER (PARTITION BY ck) AS canon FROM q),
+    kept AS (
+      SELECT * FROM d WHERE doc_id = canon AND quality >= 0.5),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS total FROM per_src),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / total), 12)
+                  AS DECIMAL(20, 12)) AS sq
+      FROM per_src, tot),
+    norm AS (SELECT sum(sq) AS sq_sum FROM p)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(CAST(p.sq AS DOUBLE) / CAST(n.sq_sum AS DOUBLE), 6)
+             AS weight
+    FROM p, norm n
+    """,
+)
+def pipeline_pretraining_full(spark, sf_dir):
+    """The FULL pretraining-data pipeline as one composed plan, every
+    stage an operator proven separately: CCNet-style canonicalization
+    dedup (normalize→hash, min-id representative), quality gate at
+    0.5, per-source token budgeting of the KEPT corpus, and the
+    temperature-balanced (α = 0.5) mixture weights over the surviving
+    sources — the number a sampler would consume directly. Catalyst
+    fuses normalize+score into the scan; the canonical-hash window,
+    the source rollup, and the two broadcast normalizer joins are the
+    only exchanges. The DuckDB oracle replays all four stages
+    verbatim, so the composition (not just the parts) is
+    hash-verified."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    canon_key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens_doc"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        canon_key.alias("ck"),
+    )
+    kept = (
+        scored.withColumn("canon", F.min("doc_id").over(W.partitionBy("ck")))
+        .filter((F.col("doc_id") == F.col("canon")) & (F.col("quality") >= 0.5))
+    )
+    per_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total"))
+    p = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double") / F.col("total")), 12)
+        .cast("decimal(20,12)")
+        .alias("sq"),
+    )
+    norm = p.agg(F.sum("sq").alias("sq_sum"))
+    return p.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("sq").cast("double") / F.col("sq_sum").cast("double"), 6
+        ).alias("weight"),
+    )
+
+
+@q(
     "id_gaps_islands",
     """
     WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
