@@ -7803,6 +7803,82 @@ def pipeline_pretraining_full(spark, sf_dir):
 
 
 @q(
+    "geo_haversine_nations",
+    """
+    WITH coords AS (
+      SELECT n_nationkey, n_name,
+             round(-60 + 120 * (CAST(CAST('0x' ||
+               substr(md5('lat' || n_name), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967295.0), 6) AS lat,
+             round(-180 + 360 * (CAST(CAST('0x' ||
+               substr(md5('lon' || n_name), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967295.0), 6) AS lon
+      FROM nation
+    )
+    SELECT a.n_name AS from_nation, b.n_name AS to_nation,
+           round(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(b.lat - a.lat) / 2), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - a.lon) / 2), 2))), 1) AS dist_km
+    FROM coords a JOIN coords b ON a.n_nationkey < b.n_nationkey
+    ORDER BY dist_km DESC, from_nation, to_nation
+    LIMIT 40
+    """,
+)
+def geo_haversine_nations(spark, sf_dir):
+    """Great-circle distances (the airports domain's native metric):
+    deterministic pseudo-coordinates per nation (md5-hash → lat/lon,
+    rounded to 1e-6 deg so both engines feed IDENTICAL doubles into
+    libm), then the haversine formula as native trig expressions and
+    the top-40 farthest pairs. Join is a small self-join oriented by
+    key (each pair once). Final distance rounds to 0.1 km — ~5 guard
+    digits over the last-ulp libm differences between engines (the
+    agg_corr rounding-discipline lesson applied up front). At scale
+    the same expression runs per-row on a fact table's coordinate
+    columns — pure codegen, no shuffle beyond the dim self-join."""
+    n = _t(spark, sf_dir, "nation")
+    u32 = F.lit(4294967295.0)
+
+    def coord(tag, lo, span):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("n_name"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        return F.round(F.lit(lo) + F.lit(span) * (h / u32), 6)
+
+    coords = n.select(
+        "n_nationkey",
+        "n_name",
+        coord("lat", -60.0, 120.0).alias("lat"),
+        coord("lon", -180.0, 360.0).alias("lon"),
+    )
+    a = coords.alias("a")
+    b = coords.alias("b")
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = rad(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = rad(F.col("b.lon") - F.col("a.lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(rad(F.col("a.lat")))
+        * F.cos(rad(F.col("b.lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("from_nation"),
+            F.col("b.n_name").alias("to_nation"),
+            F.round(
+                F.lit(2 * 6371.0088) * F.asin(F.sqrt(hav)), 1
+            ).alias("dist_km"),
+        )
+        .orderBy(F.desc("dist_km"), "from_nation", "to_nation")
+        .limit(40)
+    )
+
+
+@q(
     "id_gaps_islands",
     """
     WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
