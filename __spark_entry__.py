@@ -53,7 +53,8 @@ _PRIORITY = [
     "tlog_acid_table", "bpe_vocab_learn", "bpe_token_count",
     "dedup_canonical_text", "profile_table_stats",
     "observe_inflight_metrics", "sql_scripting_batch",
-    "geo_haversine_nations",
+    "geo_haversine_nations", "text_feature_hashing",
+    "emb_quantile_normalize",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_connected_components",

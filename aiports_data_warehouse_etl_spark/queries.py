@@ -7803,6 +7803,95 @@ def pipeline_pretraining_full(spark, sf_dir):
 
 
 @q(
+    "text_feature_hashing",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS idx,
+             CASE WHEN CAST('0x' || substr(md5('s' || tok), 1, 2) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tk WHERE tok <> '')
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM h GROUP BY doc_id, idx HAVING sum(sgn) <> 0
+    """,
+)
+def text_feature_hashing(spark, sf_dir):
+    """The hashing trick (Weinberger et al.): tokens map to a FIXED
+    16-bucket feature space via hash, with a second hash bit supplying
+    the sign that keeps collision noise zero-mean — the vectorizer
+    that needs NO vocabulary build, so it's one explode + one
+    (doc, bucket) aggregation at any corpus size (the unbounded-
+    vocabulary CountVectorizer alternative needs a distinct + a join).
+    Sparse output rows (zero buckets dropped); both engines hash the
+    identical md5 substrings, so bucket ids and signs agree bit-for-
+    bit."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    idx = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % 16
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("tok"))), 1, 2),
+               16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", idx.alias("idx"), sgn.alias("sgn"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+@q(
+    "emb_quantile_normalize",
+    """
+    WITH d AS (SELECT unnest(range(0, 8)) AS dim),
+    x AS (
+      SELECT e.vec_id, d.dim,
+             CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings e CROSS JOIN d)
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           round(percent_rank() OVER (PARTITION BY dim ORDER BY val), 6)
+             AS q
+    FROM x
+    """,
+)
+def emb_quantile_normalize(spark, sf_dir):
+    """Per-dimension quantile (rank) normalization — the
+    distribution-free feature transform (each dimension becomes its
+    empirical CDF value in [0,1], immune to outliers and scale).
+    Plan: posexplode the embedding, one window per DIMENSION partition
+    — at 100 TB that is 64 independent sorts each over corpus-size
+    rows, hash-partitioned by dim, no global sort and no driver
+    involvement; demo limits to the first 8 dims to keep the contract
+    result compact. percent_rank depends only on ordering, so engines
+    agree without any float-arithmetic guard."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    ).filter(F.col("dim") < 8)
+    w = W.partitionBy("dim").orderBy("val")
+    return x.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.percent_rank().over(w), 6).alias("q"),
+    )
+
+
+@q(
     "geo_haversine_nations",
     """
     WITH coords AS (

@@ -311,6 +311,73 @@ def test_incremental_aggregate_txlog_exactly_once(spark, tmp_path, sf_small):
     assert as_dict(t.read()) == truth_all
 
 
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: a seeded random sequence of append /
+    delete-where / overwrite / compact / vacuum ops must leave the
+    txlog table equal to a plain in-memory set model after EVERY op,
+    and time travel must reproduce each recorded historical state."""
+    import random
+
+    o_rows = [
+        (int(r["o_orderkey"]), float(r["o_totalprice"]))
+        for r in _orders(spark).limit(120).collect()
+    ]
+
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        t = TxLogTable(spark, str(tmp_path / f"m{seed}"), checkpoint_every=3)
+        model: dict[int, float] = {}
+        history: list[tuple[int, dict[int, float]]] = []
+
+        def df_of(rows):
+            return spark.createDataFrame(
+                [(k, v) for k, v in rows], "o_orderkey long, o_totalprice double"
+            )
+
+        def table_state():
+            return {
+                int(r["o_orderkey"]): float(r["o_totalprice"])
+                for r in t.read().collect()
+            }
+
+        for step in range(10):
+            op = rng.choice(
+                ["append", "append", "delete", "overwrite", "compact", "vacuum"]
+            )
+            if op == "append":
+                picks = rng.sample(o_rows, rng.randint(1, 20))
+                fresh = [(k + step * 1000000, v) for k, v in picks]
+                t.append(df_of(fresh))
+                model.update(dict(fresh))
+            elif op == "delete" and model:
+                cut = rng.choice(sorted(model))
+                t.delete_where(f"o_orderkey < {cut}")
+                model = {k: v for k, v in model.items() if not k < cut}
+            elif op == "overwrite":
+                picks = rng.sample(o_rows, rng.randint(1, 10))
+                t.overwrite(df_of(picks))
+                model = dict(picks)
+            elif op == "compact":
+                t.compact(target_file_bytes=1 << 30)
+            elif op == "vacuum":
+                t.vacuum(retain_versions=0)
+                # vacuum trims time-travel history; drop stale entries
+                history = [
+                    (v, s) for v, s in history if v == t.latest_version()
+                ]
+            if t.latest_version() >= 0:
+                assert table_state() == model, f"seed {seed} step {step} {op}"
+                history.append((t.latest_version(), dict(model)))
+
+        # time travel reproduces every retained recorded state
+        for version, state in history:
+            got = {
+                int(r["o_orderkey"]): float(r["o_totalprice"])
+                for r in t.read(version=version).collect()
+            }
+            assert got == state, f"time travel to v{version}"
+
+
 def test_history_surfaces_lineage(spark, tbl):
     o = _orders(spark)
     tbl.append(o.limit(5))
