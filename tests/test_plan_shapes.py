@@ -790,3 +790,20 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_operator(spark, sf_small):
+    """The three join-strategy hints each produce their physical
+    operator for the same logical join — the manual override lane when
+    AQE's stats-driven choice is wrong for a workload (e.g. a 'small'
+    dim that explodes after a filter at 100 TB)."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    c = spark.read.parquet(f"{sf_small}/customer.parquet")
+    for hint, node in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        p = plan(j)
+        assert node in p, f"hint {hint}: expected {node}\n{p[:1500]}"
