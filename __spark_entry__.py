@@ -61,7 +61,8 @@ _PRIORITY = [
     "dedup_cc_keep_best", "dedup_passages", "decontaminate",
     "dedup_incremental_index", "dedup_exact_substring",
     # similarity / embeddings
-    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    "sim_bruteforce_topk", "sim_lsh_topk", "sim_lsh_multiprobe",
+    "sim_ivf_topk", "sim_pq_topk",
     "emb_norm_stats", "emb_covariance_matrix", "emb_pca_projection",
     # text analysis
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",

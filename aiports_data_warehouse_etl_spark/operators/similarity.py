@@ -178,6 +178,64 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[tuple[int, int]] = DEFAULT_PLANES,
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al., VLDB'07): each query
+    probes its own bucket PLUS every bucket at Hamming distance 1 —
+    the candidates a near-boundary vector loses to one flipped bit
+    come back without adding tables or planes. Candidate volume grows
+    ×(n_planes+1) per query while the index stays identical, and
+    recall is a strict superset of the single-probe ranking (pinned in
+    tests). Plan shape unchanged: the probe list explodes query-side
+    (tiny) and the join is still ONE bucket equi-join — each candidate
+    lives in exactly one bucket, so no dedup is needed."""
+    n = len(planes)
+    base = _as_double(df, vec_col, id_col).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    q = base
+    if max_query_id is not None:
+        q = q.filter(F.col("id") < max_query_id)
+
+    def flip(b: Column, i: int) -> Column:
+        inv = F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        parts: list[Column] = []
+        if i > 0:
+            parts.append(F.substring(b, 1, i))
+        parts.append(inv)
+        if i < n - 1:
+            parts.append(F.substring(b, i + 2, n - i - 1))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    probes = F.array(F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(n)])
+    qx = q.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(probes).alias("probe"),
+    )
+    scored = base.join(
+        qx, (F.col("bucket") == F.col("probe")) & (F.col("id") != F.col("qid"))
+    ).select(
+        "qid",
+        F.col("id").alias("cand_id"),
+        F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cand_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def norm_stats_by_label(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -962,6 +962,51 @@ def sim_lsh_topk(spark, sf_dir):
     return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5, max_query_id=10)
 
 
+def _bucket_flip_sql(flip_idx: int) -> str:
+    """The _BUCKET_SQL expression with bit ``flip_idx`` inverted —
+    generates the Hamming-1 probe keys for the multiprobe oracle."""
+    parts = []
+    for t, (i, j) in enumerate(S.DEFAULT_PLANES):
+        if t == flip_idx:
+            parts.append(f"(CASE WHEN v[{i + 1}] > v[{j + 1}] THEN '0' ELSE '1' END)")
+        else:
+            parts.append(f"(CASE WHEN v[{i + 1}] > v[{j + 1}] THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+@q(
+    "sim_lsh_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    qs AS (
+      SELECT vec_id AS qid, v AS qv,
+             unnest([{_BUCKET_SQL},
+                     {_bucket_flip_sql(0)}, {_bucket_flip_sql(1)},
+                     {_bucket_flip_sql(2)}, {_bucket_flip_sql(3)}]) AS probe
+      FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, b.vec_id AS cand_id,
+             round({_COS_SQL.format(a="qv", b="v")}, 6) AS cos_sim
+      FROM qs JOIN b ON b.bucket = qs.probe AND b.vec_id <> qs.qid
+    )
+    SELECT qid, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH top-5 (each query probes its bucket + all
+    Hamming-1 neighbors — near-boundary recall back without more
+    tables or planes; operators/similarity.py). The oracle generates
+    the same 5 probe keys with bit-flipped CASE expressions, so the
+    probing policy itself is hash-verified."""
+    return S.lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, max_query_id=10
+    )
+
+
 @q(
     "emb_norm_stats",
     """

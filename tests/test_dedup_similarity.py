@@ -119,6 +119,34 @@ def test_lsh_recall_vs_bruteforce(spark, sf_small):
     assert recall > 0.05, f"LSH recall collapsed: {recall}"
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_small):
+    """Hamming-1 probing must produce a candidate SUPERSET of the
+    single-probe bucket ranking, so recall vs brute force can only go
+    up — and per-query similarity at each rank never drops."""
+    from aiports_data_warehouse_etl_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    exact = {
+        (r.qid, r.cand_id)
+        for r in brute_force_topk(emb, k=5, max_query_id=20).collect()
+    }
+    single_rows = lsh_bucket_topk(emb, k=5, max_query_id=20).collect()
+    multi_rows = lsh_multiprobe_topk(emb, k=5, max_query_id=20).collect()
+    single = {(r.qid, r.cand_id) for r in single_rows}
+    multi = {(r.qid, r.cand_id) for r in multi_rows}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+    # rank-wise: the multiprobe top-k at each (qid, rnk) is at least as
+    # similar as single-probe's (candidate superset ⇒ pointwise ≥)
+    s_best = {(r.qid, r.rnk): r.cos_sim for r in single_rows}
+    m_best = {(r.qid, r.rnk): r.cos_sim for r in multi_rows}
+    for key, sv in s_best.items():
+        assert m_best.get(key, float("-inf")) >= sv - 1e-9, key
+
+
 def test_embedding_neardup(vectors):
     pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(vectors, threshold=0.95).collect()}
     assert (0, 1) in pairs and (2, 3) in pairs and (0, 2) not in pairs
