@@ -54,7 +54,7 @@ _PRIORITY = [
     "dedup_canonical_text", "profile_table_stats",
     "observe_inflight_metrics", "sql_scripting_batch",
     "geo_haversine_nations", "text_feature_hashing",
-    "emb_quantile_normalize",
+    "emb_quantile_normalize", "skew_salted_window",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_connected_components",

@@ -7937,6 +7937,67 @@ def emb_quantile_normalize(spark, sf_dir):
 
 
 @q(
+    "skew_salted_window",
+    """
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(round(value, 2) AS DECIMAL(18, 2)) AS v
+      FROM events)
+    SELECT event_id, event_type,
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running
+    FROM x
+    """,
+)
+def skew_salted_window(spark, sf_dir):
+    """Running total over a SKEWED partition key, salted: event_type
+    has a handful of values, so the naive window puts a fifth of the
+    table in one partition — the classic single-partition window
+    killer at 100 TB. The two-phase plan buckets the ordering key
+    into ranges aligned with the sort (event_id DIV 1000), runs the
+    window inside each (type, bucket), computes per-bucket totals
+    (tiny), converts them to running offsets with a window over
+    BUCKETS (rows = bucket count, not row count), and adds offset to
+    the local prefix — identical results, parallelism = type ×
+    buckets. Values accumulate as DECIMAL(18,2) so the regrouped
+    additions are exact and order-free; the oracle runs the NAIVE
+    single-window formulation, proving the decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    B = 1000
+    x = ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        (F.col("event_id") / B).cast("long").alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("event_type", "bucket")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = x.withColumn("local_sum", F.sum("v").over(w_local))
+    totals = x.groupBy("event_type", "bucket").agg(
+        F.sum("v").alias("bucket_total")
+    )
+    w_bkt = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("bucket_total").over(w_bkt) - F.col("bucket_total")
+    ).select("event_type", "bucket", "offset")
+    return local.join(offsets, ["event_type", "bucket"]).select(
+        "event_id",
+        "event_type",
+        (F.col("local_sum") + F.col("offset")).cast("double").alias("running"),
+    )
+
+
+@q(
     "geo_haversine_nations",
     """
     WITH coords AS (
