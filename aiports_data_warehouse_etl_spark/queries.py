@@ -1076,6 +1076,70 @@ def evt_sessions_30m(spark, sf_dir):
 
 
 @q(
+    "evt_sessions_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+                  ELSE INTERVAL '40 minutes' END AS gap
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, ts, value, gap,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts,
+             lag(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_gap
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts >= prev_ts + prev_gap
+                  THEN 1 ELSE 0 END AS new_session
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def evt_sessions_dynamic_gap(spark, sf_dir):
+    """Session windows with a PER-EVENT gap (Spark's dynamic
+    session_window expression): clicks time out after 10 minutes,
+    everything else after 40 — the per-activity-class session policy
+    real product analytics use. The oracle is gaps-and-islands
+    carrying the PREVIOUS row's gap (an event extends the session by
+    ITS OWN timeout), which is exactly the engine's merge rule, so
+    the dynamic-gap semantics are value-hash-verified rather than
+    assumed. Same scale shape as fixed-gap sessions: one shuffle on
+    user_id, windows merge map-side."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "click", F.lit("10 minutes")
+    ).otherwise(F.lit("40 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
     "evt_dayparts",
     """
     WITH h AS (SELECT CAST(hour(ts) AS INTEGER) AS hour, value FROM events)

@@ -370,3 +370,34 @@ def test_cusum_prefix_min_identity_matches_recurrence(spark, sf_small):
         for r in QUERIES["evt_cusum_drift"].fn(spark, sf_small).collect()
     }
     assert got == {u: recurrence(vals) for u, vals in series.items()}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.randoms())
+def test_jpeg_decoder_total_on_garbage(payload, rnd):
+    """The JPEG decoder is TOTAL over byte strings: any input either
+    decodes or raises ValueError — never a crash, hang, or a foreign
+    exception leaking out of the mapInPandas kernel. Half the examples
+    get a valid SOI prefix so the marker parser (not just the magic
+    check) is exercised; some get a corrupted REAL jpeg, hitting the
+    entropy decoder."""
+    import numpy as np
+
+    from aiports_data_warehouse_etl_spark.functions import jpegcodec as J
+
+    variants = [
+        payload,
+        b"\xff\xd8\xff" + payload,
+    ]
+    good = J.encode_jpeg(
+        (np.arange(64, dtype=np.uint8)).reshape(8, 8), quality=80
+    )
+    if payload:
+        cut = rnd.randrange(2, len(good))
+        variants.append(good[:cut] + payload)
+    for data in variants:
+        try:
+            out = J.decode_jpeg(data)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass  # the one allowed failure mode
