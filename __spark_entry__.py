@@ -5,7 +5,7 @@
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each — including the iterative connected-components op (closed by
 a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL), and
-Z-order (generated shift/mask SQL). The 10 rows-only entries are
+Z-order (generated shift/mask SQL). The 11 rows-only entries are
 exactly the ops whose internals are engine-specific by design: the
 k-means IVF and PQ quantizers, HLL/t-digest sketches and the
 mergeable-HLL rollup, seeded Bernoulli sampling (its deterministic

@@ -1085,16 +1085,15 @@ def evt_sessions_30m(spark, sf_dir):
       FROM events
     ),
     l AS (
-      SELECT user_id, ts, value, gap,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_ts,
-             lag(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_gap
+      SELECT user_id, ts, value,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
       FROM g
     ),
     f AS (
       SELECT user_id, ts, value,
-             CASE WHEN prev_ts IS NULL OR ts >= prev_ts + prev_gap
+             CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
                   THEN 1 ELSE 0 END AS new_session
       FROM l
     ),
@@ -1114,12 +1113,15 @@ def evt_sessions_dynamic_gap(spark, sf_dir):
     """Session windows with a PER-EVENT gap (Spark's dynamic
     session_window expression): clicks time out after 10 minutes,
     everything else after 40 — the per-activity-class session policy
-    real product analytics use. The oracle is gaps-and-islands
-    carrying the PREVIOUS row's gap (an event extends the session by
-    ITS OWN timeout), which is exactly the engine's merge rule, so
-    the dynamic-gap semantics are value-hash-verified rather than
-    assumed. Same scale shape as fixed-gap sessions: one shuffle on
-    user_id, windows merge map-side."""
+    real product analytics use. The engine's merge rule is MAX
+    window-end: a 40-minute event keeps the session open even when a
+    later 10-minute click's own window has lapsed (caught by the
+    sf0.001 gate as a real one-row divergence). The oracle therefore
+    islands on a running max of (ts + gap) over all PRIOR events —
+    sound globally because every closed session's end lies below the
+    break that closed it — so the dynamic-gap semantics are value-
+    hash-verified rather than assumed. Same scale shape as fixed-gap
+    sessions: one shuffle on user_id, windows merge map-side."""
     ev = _t(spark, sf_dir, "events")
     gap = F.when(
         F.col("event_type") == "click", F.lit("10 minutes")
