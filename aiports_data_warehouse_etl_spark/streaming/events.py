@@ -67,6 +67,56 @@ def session_window_agg(
     )
 
 
+def stream_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    query_name: str = "s_sessions",
+    dynamic: bool = False,
+):
+    """Streaming session windows: same `session_window` expression as
+    the batch twin, so stream-vs-batch parity is the test. With
+    ``dynamic=True`` the gap is per-event (clicks 10 min, others 40 —
+    the policy of the batch `evt_sessions_dynamic_gap` contract
+    query), exercising the engine's max-window-end merge rule under
+    streaming state. Complete-mode memory sink: every trigger emits
+    the full session table, so an AvailableNow pass over a static
+    directory yields the final converged sessions without needing a
+    later batch to advance the watermark (the append-mode emission
+    caveat documented on the outer-join stream)."""
+    schema = spark.read.parquet(source_dir).schema
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    if dynamic:
+        gap_expr = F.when(
+            F.col("event_type") == "click", F.lit("10 minutes")
+        ).otherwise(F.lit("40 minutes"))
+    else:
+        gap_expr = gap
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap_expr).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_tumbling_counts(
     spark: SparkSession,
     source_dir: str,

@@ -734,3 +734,58 @@ def test_stream_left_outer_join_flushes_unmatched(spark, sf_small, tmp_path):
     # the outer semantics actually exercised both arms
     assert any(c is None for _, c in batch)
     assert any(c is not None for _, c in batch)
+
+
+def test_stream_session_windows_match_batch(spark, sf_small, tmp_path):
+    """Streaming session windows (fixed AND dynamic per-event gap)
+    converge to exactly the batch session_window aggregation."""
+    from aiports_data_warehouse_etl_spark.streaming.events import (
+        session_window_agg,
+        stream_session_counts,
+    )
+
+    events = read_testdata(spark, sf_small, "events")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    def rows(df):
+        return {
+            (r.user_id, r.session_start): (r.n_events, r.sum_value)
+            for r in df.collect()
+        }
+
+    # fixed 30-minute gap
+    q = stream_session_counts(
+        spark, src, str(tmp_path / "ck1"), gap="30 minutes",
+        query_name="sess_fixed",
+    )
+    q.awaitTermination(120)
+    batch = rows(session_window_agg(spark.read.parquet(src), "30 minutes"))
+    streamed = rows(spark.sql("SELECT * FROM sess_fixed"))
+    assert streamed == batch and len(batch) > 0
+
+    # dynamic per-event gap (clicks 10 min, others 40)
+    q2 = stream_session_counts(
+        spark, src, str(tmp_path / "ck2"), query_name="sess_dyn",
+        dynamic=True,
+    )
+    q2.awaitTermination(120)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("40 minutes")
+    )
+    batch_dyn = rows(
+        spark.read.parquet(src)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            "n_events", "sum_value",
+        )
+    )
+    streamed_dyn = rows(spark.sql("SELECT * FROM sess_dyn"))
+    assert streamed_dyn == batch_dyn
+    # dynamic gaps genuinely change the sessionization
+    assert streamed_dyn != streamed
