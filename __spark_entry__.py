@@ -55,6 +55,8 @@ _PRIORITY = [
     "observe_inflight_metrics", "sql_scripting_batch",
     "geo_haversine_nations", "text_feature_hashing",
     "emb_quantile_normalize", "skew_salted_window",
+    "evt_sessions_dynamic_gap", "pipeline_pretraining_full",
+    "sim_lsh_multiprobe",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_connected_components",
