@@ -4536,7 +4536,8 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     """
     WITH cost AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             min(round(l_extendedprice / l_quantity, 2)) AS unit_cost
+             min(floor(l_extendedprice / l_quantity * 100.0 + 0.5) / 100.0)
+               AS unit_cost
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -4557,9 +4558,12 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (full form; `argmin_join_cheapest_per_part` keeps
     the essence variant): region-scoped min-cost supplier per part via
     a correlated min over a derived cost table, decorrelated into a
-    partition-min window. Unit cost is min(round(price/qty, 2)) — the
-    per-row round makes the min order-independent and bit-exact across
-    engines. lineitem bridges part<->supplier (no partsupp table)."""
+    partition-min window. Unit cost is min over per-row
+    floor(price/qty·100 + ½)/100 — explicit half-up from exact IEEE
+    ops, because native round() on doubles disagrees across engines at
+    half boundaries (Java shortest-decimal HALF_UP vs C-style scaled
+    rounding; one sf0.1 row hit it). min of identical per-row values
+    is order-free. lineitem bridges part<->supplier (no partsupp)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -4578,9 +4582,18 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
         )
         .agg(
-            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias(
-                "unit_cost"
-            )
+            # floor-based half-up: round() on doubles diverges at half
+            # boundaries across engines (Java's shortest-decimal
+            # HALF_UP vs C-style scaled rounding — caught by the sf0.1
+            # audit sweep); floor(x*100+0.5)/100 runs the SAME exact
+            # IEEE ops on both sides
+            F.min(
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 100.0
+                    + 0.5
+                )
+                / 100.0
+            ).alias("unit_cost")
         )
     )
     w = Window.partitionBy("partkey")

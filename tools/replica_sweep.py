@@ -23,7 +23,19 @@ def main() -> None:
     only = set(sys.argv[2:])
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    spark = get_spark()
+    # mirror bench.py's heap: the local-mode default 1g driver is too
+    # small for sf0.1 audits (broadcast builds + caches OOM with
+    # "unread block data" / "not enough memory to broadcast" artifacts
+    # that are harness limits, not plan defects)
+    import os as _os
+
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.memory": _os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "32g"
+            )
+        }
+    )
     con = duckdb_con(sf_dir)
     t0 = time.time()
     results = {}
