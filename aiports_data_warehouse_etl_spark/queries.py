@@ -6332,6 +6332,31 @@ def agg_ordered_set_suite(spark, sf_dir):
     )
 
 
+_GROUP_BY_ALL_SQL = """
+    SELECT n_regionkey AS region, substr(n_name, 1, 1) AS initial,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(min(n_nationkey) AS BIGINT) AS first_key
+    FROM nation
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@q("ansi_group_by_all", _GROUP_BY_ALL_SQL)
+def ansi_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL dialect parity: ONE shared SQL text
+    runs verbatim at both engines (the DuckDB-pioneered shorthand that
+    Spark 4 adopted — every non-aggregate select item becomes a
+    grouping key, the whole select list the sort key). Same
+    dialect-portability proof pattern as ansi_sql_frontend: a user can
+    paste the identical query at either engine."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    try:
+        return spark.sql(_GROUP_BY_ALL_SQL)
+    finally:
+        spark.catalog.dropTempView("nation")
+
+
 _ANSI_SHARED_SQL = """
     WITH monthly AS (
       SELECT c.c_nationkey AS nationkey,
