@@ -807,3 +807,44 @@ def test_join_strategy_hints_control_physical_operator(spark, sf_small):
         j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         p = plan(j)
         assert node in p, f"hint {hint}: expected {node}\n{p[:1500]}"
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_small):
+    """Runtime semi-join reduction: with a selective filter on the
+    dimension side of a shuffle join, the optimizer injects a Bloom
+    filter built from the dim keys and probes it (`might_contain`) on
+    the fact side BEFORE the shuffle — at 100 TB this drops most fact
+    rows at the scan instead of shuffling them. Thresholds scaled so
+    the fixture qualifies."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        p = plan(j)
+        assert "bloom_filter_agg" in p, "no bloom build side injected"
+        assert "might_contain" in p, "no bloom probe on the fact side"
+        # probe sits on the lineitem (application) side scan subtree
+        probe_region = p.split("might_contain")[0]
+        assert "lineitem" in probe_region or "l_orderkey" in p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -385,3 +385,34 @@ def test_history_surfaces_lineage(spark, tbl):
     hist = tbl.history()
     assert [h["op"] for h in hist] == ["append", "overwrite"]
     assert hist[1]["removed"] >= 1
+
+
+def test_concurrent_appends_from_threads(spark, tmp_path):
+    """REAL concurrent writers: two threads blind-append interleaved
+    batches; optimistic commits rebase through the races, nothing is
+    lost, and the log stays a contiguous version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxLogTable(spark, str(tmp_path / "conc"))
+    o = _orders(spark)
+
+    def writer(offset: int) -> int:
+        n = 0
+        for i in range(4):
+            lo = offset + i * 10
+            n += t.append(
+                o.filter(f"o_orderkey >= {lo} AND o_orderkey < {lo + 10}")
+            ) >= 0
+        return n
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(writer, 0), ex.submit(writer, 200)]
+        assert [f.result() for f in futs] == [4, 4]
+
+    assert t.latest_version() == 7  # 8 commits, contiguous 0..7
+    expect = o.filter(
+        "(o_orderkey >= 0 AND o_orderkey < 40)"
+        " OR (o_orderkey >= 200 AND o_orderkey < 240)"
+    ).count()
+    assert t.read().count() == expect
+    assert [h["op"] for h in t.history()] == ["append"] * 8
