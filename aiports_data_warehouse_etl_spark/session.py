@@ -23,6 +23,13 @@ DEFAULT_CONF = {
     # Dim tables here are tiny (≤ tens of MB even at 100 TB fact scale);
     # a generous threshold keeps FK-lookup joins broadcast, shuffle-free.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime semi-join reduction: when a shuffle join's build side is
+    # selective, inject a Bloom filter and probe it on the fact side
+    # BEFORE the shuffle (off by default upstream). Default size
+    # thresholds keep it inert at test scale; at 100 TB it prunes most
+    # fact rows at the scan. Pinned by
+    # tests/test_plan_shapes.py::test_runtime_bloom_filter_join_reduction.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any pandas interchange (Pandas UDFs, toPandas in tests).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic wall-clock semantics across clusters.
