@@ -197,6 +197,56 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Audio decimation: decode WAV PCM, keep every ``factor``-th
+    frame, re-encode at rate/factor — the audio twin of
+    ``resize_images`` (decode → resample → same-format re-encode, all
+    executor-side in one mapInPandas). Plain stride decimation is the
+    honest primitive without a DSP library (no anti-alias filter —
+    callers picking large factors own the aliasing); undecodable
+    payloads yield null rows, never fabricated audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    samples, rate = mc.decode_wav(bytes(payload))
+                    dec = samples[::factor].astype("int16")
+                    out_rate = max(rate // factor, 1)
+                    rows.append(
+                        (
+                            mid,
+                            out_rate,
+                            int(dec.shape[0]),
+                            mc.encode_wav(dec, out_rate),
+                        )
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "payload"],
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, RESAMPLE_SCHEMA)
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

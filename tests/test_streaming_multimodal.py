@@ -789,3 +789,25 @@ def test_stream_session_windows_match_batch(spark, sf_small, tmp_path):
     assert streamed_dyn == batch_dyn
     # dynamic gaps genuinely change the sessionization
     assert streamed_dyn != streamed
+
+
+def test_downsample_audio_real_samples(media):
+    import numpy as np
+
+    from aiports_data_warehouse_etl_spark.functions import mediacodec as mc
+    from aiports_data_warehouse_etl_spark.operators.multimodal import (
+        downsample_audio,
+    )
+
+    out = {r.media_id: r for r in downsample_audio(media, factor=2).collect()}
+    # only the audio row flows through
+    assert set(out) == {1}
+    a = out[1]
+    assert a.sample_rate == 4000 and a.n_samples == 400
+    dec, rate = mc.decode_wav(bytes(a.payload))
+    assert rate == 4000 and dec.shape[0] == 400
+    # decimation == stride slice of the original signal
+    orig = np.concatenate(
+        [np.zeros(400, dtype=np.int16), np.full(400, 1000, dtype=np.int16)]
+    )
+    assert np.array_equal(dec.ravel(), orig[::2].astype(np.int32))

@@ -416,3 +416,18 @@ def test_concurrent_appends_from_threads(spark, tmp_path):
     ).count()
     assert t.read().count() == expect
     assert [h["op"] for h in t.history()] == ["append"] * 8
+
+
+def test_log_stats_match_actual_rows(spark, tbl):
+    """Metadata integrity: the per-file row counts recorded in the
+    commit log (parquet footers at commit time) must sum to the actual
+    readable row count at EVERY version — the invariant that makes
+    log-side count(*) answerable without touching data files."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey % 2 = 0").repartition(3))
+    tbl.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+    tbl.delete_where("o_orderkey < 300")
+    for v in range(tbl.latest_version() + 1):
+        snap = tbl._snapshot(v)
+        meta_rows = sum(st["rows"] for st in snap["files"].values())
+        assert meta_rows == tbl.read(version=v).count(), f"version {v}"
