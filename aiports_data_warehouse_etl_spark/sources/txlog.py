@@ -439,6 +439,17 @@ class TxLogTable:
             *[os.path.join(self.path, rel) for rel in sorted(files)]
         )
 
+    def count_rows(self, version: int | None = None) -> int:
+        """``count(*)`` answered from LOG METADATA alone — the sum of
+        the per-file row counts recorded at commit time. No Spark job,
+        no data file opened: O(live files) dict arithmetic, which is
+        how a query engine should serve bare counts on a 100 TB table
+        (the invariant `meta rows == actual rows` is test-pinned at
+        every version)."""
+        return sum(
+            st["rows"] for st in self._snapshot(version)["files"].values()
+        )
+
     def history(self) -> list[dict]:
         """Commit log, oldest first: version/op/file deltas — the
         lineage surface (reference S8) for the curated layer."""

@@ -431,3 +431,5 @@ def test_log_stats_match_actual_rows(spark, tbl):
         snap = tbl._snapshot(v)
         meta_rows = sum(st["rows"] for st in snap["files"].values())
         assert meta_rows == tbl.read(version=v).count(), f"version {v}"
+        # the public metadata-only count API serves the same number
+        assert tbl.count_rows(version=v) == meta_rows
