@@ -439,6 +439,54 @@ class TxLogTable:
             *[os.path.join(self.path, rel) for rel in sorted(files)]
         )
 
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """File-diff change feed: every row inserted or deleted between
+        two versions, tagged ``_change_type`` ('insert'/'delete') and
+        ``_commit_version``. Computed purely from the log's add/remove
+        sets — removed files remain readable until vacuum, so the
+        deleted rows themselves come back, not just their count.
+        Copy-on-write rewrites surface as (delete old file's rows,
+        insert rewritten file's rows) — net-exact, though carried rows
+        appear on both sides (the classic file-level CDC shape; a
+        row-level CDF would persist change records at write time).
+        Pure layout commits (compact) are skipped: they change no
+        rows and would otherwise be pure churn in the feed."""
+        frames = []
+        for v in range(from_version + 1, to_version + 1):
+            c = self._read_commit(v)
+            if c.get("op") == "compact":
+                continue
+            for kind, rels in (
+                ("insert", [a["path"] for a in c.get("add", [])]),
+                ("delete", list(c.get("remove", []))),
+            ):
+                paths = [
+                    os.path.join(self.path, rel)
+                    for rel in rels
+                    if os.path.exists(os.path.join(self.path, rel))
+                ]
+                if not paths:
+                    continue
+                frames.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*paths)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        if not frames:
+            snap = self._snapshot(to_version)
+            if snap["schema"] is None:
+                raise ValueError(f"txlog table {self.path} has no commits")
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            schema = schema.add("_change_type", T.StringType()).add(
+                "_commit_version", T.LongType()
+            )
+            return self.spark.createDataFrame([], schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def count_rows(self, version: int | None = None) -> int:
         """``count(*)`` answered from LOG METADATA alone — the sum of
         the per-file row counts recorded at commit time. No Spark job,

@@ -433,3 +433,42 @@ def test_log_stats_match_actual_rows(spark, tbl):
         assert meta_rows == tbl.read(version=v).count(), f"version {v}"
         # the public metadata-only count API serves the same number
         assert tbl.count_rows(version=v) == meta_rows
+
+
+def test_changes_feed_is_net_exact(spark, tbl):
+    """The file-diff change feed between two versions nets out to
+    exactly the table diff: applying (inserts minus deletes) to the
+    old snapshot reproduces the new one, across appends, a COW
+    delete, and a compact (which must NOT appear in the feed)."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100"))            # v0
+    tbl.append(o.filter("o_orderkey >= 100 AND o_orderkey < 160"))  # v1
+    tbl.delete_where("o_orderkey % 7 = 0")              # v2 (COW)
+    tbl.compact(target_file_bytes=1 << 30)              # v3 (layout only)
+
+    ch = tbl.changes(0, 3)
+
+    def keys(df):
+        return {r["o_orderkey"] for r in df.select("o_orderkey").collect()}
+
+    old = keys(tbl.read(version=0))
+    new = keys(tbl.read(version=3))
+    # replay the feed per key in version order; within one commit a
+    # COW-carried key has BOTH a delete (old file) and an insert
+    # (rewritten file) and survives — insert wins ties
+    last: dict[int, tuple[int, int]] = {}  # key -> (version, is_insert)
+    for r in ch.select(
+        "o_orderkey", "_change_type", "_commit_version"
+    ).collect():
+        k = r["o_orderkey"]
+        mark = (r["_commit_version"], 1 if r["_change_type"] == "insert" else 0)
+        if k not in last or mark > last[k]:
+            last[k] = mark
+    replayed = {k for k in old if k not in last}
+    replayed |= {k for k, (_, ins_wins) in last.items() if ins_wins}
+    assert replayed == new
+    # compact contributed nothing
+    assert ch.filter("_commit_version = 4").count() == 0
+    versions = {r["_commit_version"] for r in
+                ch.select("_commit_version").distinct().collect()}
+    assert versions <= {1, 2}
