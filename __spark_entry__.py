@@ -50,7 +50,7 @@ _PRIORITY = [
     "mm_video_frame_sample",
     "text_bigram_logprob",
     # round-2 additions: ACID table format, BPE, profiler, observe
-    "tlog_acid_table", "bpe_vocab_learn", "bpe_token_count",
+    "tlog_acid_table", "tlog_change_feed", "bpe_vocab_learn", "bpe_token_count",
     "dedup_canonical_text", "profile_table_stats",
     "observe_inflight_metrics", "sql_scripting_batch",
     "geo_haversine_nations", "text_feature_hashing",

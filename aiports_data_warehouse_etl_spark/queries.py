@@ -3286,6 +3286,62 @@ def observe_inflight_metrics(spark, sf_dir):
 
 
 @q(
+    "tlog_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 200),
+    delta AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 200 AND o_orderkey < 300),
+    survivors AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      WHERE o_orderkey % 3 <> 0)
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+           o_orderkey, round(o_totalprice, 2) AS total_price FROM delta
+    UNION ALL
+    SELECT 'insert', 2, o_orderkey, round(o_totalprice, 2) FROM survivors
+    UNION ALL
+    SELECT 'delete', 2, o_orderkey, round(o_totalprice, 2) FROM base
+    UNION ALL
+    SELECT 'delete', 2, o_orderkey, round(o_totalprice, 2) FROM delta
+    """,
+)
+def tlog_change_feed(spark, sf_dir):
+    """The txlog change feed as a CONTRACT query: with single-file
+    appends (layout pinned so the file diff is exactly predictable),
+    two appends then a copy-on-write delete produce a feed the oracle
+    derives from plain SQL — v1 inserts the delta batch, v2 removes
+    both files (all prior rows as deletes) and re-inserts the
+    survivors. This hash-verifies the CDC read path end to end:
+    commit attribution, delete visibility from dereferenced files,
+    and COW carry-through."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlogcf_")
+    try:
+        t = TxLogTable(spark, root + "/t")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        t.append(o.filter("o_orderkey < 200").coalesce(1))
+        t.append(
+            o.filter("o_orderkey >= 200 AND o_orderkey < 300").coalesce(1)
+        )
+        t.delete_where("o_orderkey % 3 = 0")
+        out = t.changes(0, 2).select(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "full_outer_reconcile",
     """
     WITH o AS (
