@@ -460,11 +460,17 @@ class TxLogTable:
                 ("insert", [a["path"] for a in c.get("add", [])]),
                 ("delete", list(c.get("remove", []))),
             ):
-                paths = [
-                    os.path.join(self.path, rel)
-                    for rel in rels
-                    if os.path.exists(os.path.join(self.path, rel))
-                ]
+                paths = [os.path.join(self.path, rel) for rel in rels]
+                gone = [p for p in paths if not os.path.exists(p)]
+                if gone:
+                    # an incomplete feed must be LOUD, never a silent
+                    # hole: vacuum already reclaimed these files
+                    raise ValueError(
+                        f"changes({from_version}, {to_version}): commit "
+                        f"{v}'s files were vacuumed ({len(gone)} missing, "
+                        f"e.g. {os.path.basename(gone[0])}) — the feed "
+                        "cannot be reconstructed past the retention window"
+                    )
                 if not paths:
                     continue
                 frames.append(

@@ -472,3 +472,14 @@ def test_changes_feed_is_net_exact(spark, tbl):
     versions = {r["_commit_version"] for r in
                 ch.select("_commit_version").distinct().collect()}
     assert versions <= {1, 2}
+
+
+def test_changes_after_vacuum_is_loud(spark, tbl):
+    """A vacuumed retention window must make the change feed RAISE,
+    never return a silently incomplete feed."""
+    o = _orders(spark)
+    tbl.append(o.limit(20))
+    tbl.overwrite(o.limit(5))
+    tbl.vacuum(retain_versions=0)  # reclaims v0's overwritten files
+    with pytest.raises(ValueError, match="vacuumed"):
+        tbl.changes(0, 1).count()
