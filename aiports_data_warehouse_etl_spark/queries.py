@@ -1142,6 +1142,44 @@ def evt_sessions_dynamic_gap(spark, sf_dir):
 
 
 @q(
+    "win_range_time_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           round(sum(value) OVER w, 2) AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_time_frame(spark, sf_dir):
+    """TIME-interval RANGE frame: per user, the trailing one-hour
+    event count and value sum at every event — the frame is defined by
+    EVENT TIME, not row offsets, so bursts widen it and quiet periods
+    shrink it to the current row (the value-range twin is
+    win_range_frame). The frame clause is the IDENTICAL SQL text at
+    both engines. Scale shape: one shuffle on user_id; within a
+    partition the frame is a sliding pointer over the sorted run, no
+    re-scan per row."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_range_tf")
+    try:
+        return spark.sql(
+            """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+                   round(sum(value) OVER w, 2) AS sum_trailing_1h
+            FROM __ev_range_tf
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                           AND CURRENT ROW)
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("__ev_range_tf")
+
+
+@q(
     "evt_dayparts",
     """
     WITH h AS (SELECT CAST(hour(ts) AS INTEGER) AS hour, value FROM events)
