@@ -911,6 +911,69 @@ _COS_SQL = (
 )
 
 
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " 'sum')"
+)
+
+
+@q(
+    "emb_vector_ops",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 50)
+    SELECT id_a, id_b,
+           round({_DOT_SQL.format(a="va", b="vb")}, 6) AS dot,
+           round({_COS_SQL.format(a="va", b="vb")}, 6) AS cos_sim,
+           round(sqrt(list_aggregate(list_transform(list_zip(va, vb),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 6) AS l2_dist,
+           round(sqrt(list_aggregate(list_transform(list_zip(va, vb),
+                 p -> (p[1] + p[2]) * (p[1] + p[2])), 'sum')), 6) AS sum_norm
+    FROM pairs
+    """,
+)
+def emb_vector_ops(spark, sf_dir):
+    """Vector arithmetic as NATIVE higher-order functions — dot,
+    cosine, L2 distance, and the norm of the elementwise sum for
+    consecutive embedding pairs. Every kernel is zip_with/aggregate
+    inside codegen (the fixed left-to-right fold makes the float sums
+    bit-identical to DuckDB's list_aggregate), no Python and no UDF —
+    the building blocks the similarity operators compose, exposed and
+    hash-verified directly."""
+    from aiports_data_warehouse_etl_spark.operators.similarity import (
+        dot as vdot,
+        l2_norm,
+        vector_cosine,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("vec_id") < 50).alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    vsum = F.zip_with("va", "vb", lambda x, y: x + y)
+    vdiff = F.zip_with("va", "vb", lambda x, y: x - y)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(vdot(F.col("va"), F.col("vb")), 6).alias("dot"),
+        F.round(vector_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        F.round(l2_norm(vdiff), 6).alias("l2_dist"),
+        F.round(l2_norm(vsum), 6).alias("sum_norm"),
+    )
+
+
 @q(
     "sim_bruteforce_topk",
     f"""
