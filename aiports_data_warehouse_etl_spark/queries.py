@@ -1330,15 +1330,17 @@ def pivot_event_types(spark, sf_dir):
              CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(vx) AS DOUBLE) AS sx,
              CAST(sum(vx * vx) AS DOUBLE) AS sxx,
-             round(min(value), 2) AS min_value,
-             round(max(value), 2) AS max_value,
-             round(quantile_cont(value, 0.5), 6) AS median_value
+             round(min(value), 2) + 0.0 AS min_value,
+             round(max(value), 2) + 0.0 AS max_value,
+             round(quantile_cont(value, 0.5), 6) + 0.0 AS median_value
       FROM z GROUP BY event_type
     )
     SELECT event_type,
-           round(sx / n / 100.0, 6) AS avg_value,
-           round(sqrt((sxx - sx * sx / n) / (n - 1) / 10000.0), 6) AS std_value,
-           round((sxx - sx * sx / n) / (n - 1) / 10000.0, 6) AS var_value,
+           round(sx / n / 100.0, 6) + 0.0 AS avg_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1) / 10000.0), 6) + 0.0
+             AS std_value,
+           round((sxx - sx * sx / n) / (n - 1) / 10000.0, 6) + 0.0
+             AS var_value,
            min_value, max_value, median_value
     FROM s
     """,
@@ -1365,17 +1367,19 @@ def agg_stats_suite(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(dec("vx")).cast("double").alias("sx"),
         F.sum(dec("vx") * dec("vx")).cast("double").alias("sxx"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        (F.round(F.min("value"), 2) + F.lit(0.0)).alias("min_value"),
+        (F.round(F.max("value"), 2) + F.lit(0.0)).alias("max_value"),
+        (F.round(F.percentile("value", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "median_value"
+        ),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var = (sxx - sx * sx / n) / (n - F.lit(1.0)) / F.lit(10000.0)
     return s.select(
         "event_type",
-        F.round(sx / n / F.lit(100.0), 6).alias("avg_value"),
-        F.round(F.sqrt(var), 6).alias("std_value"),
-        F.round(var, 6).alias("var_value"),
+        (F.round(sx / n / F.lit(100.0), 6) + F.lit(0.0)).alias("avg_value"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_value"),
+        (F.round(var, 6) + F.lit(0.0)).alias("var_value"),
         "min_value",
         "max_value",
         "median_value",
@@ -1408,8 +1412,9 @@ def agg_stats_suite(spark, sf_dir):
     SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
            round((n * sxy - sx * sy)
                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                 6) AS qty_price_corr,
-           round((sdt - sd * st / n) / (n - 1) / 100000000.0, 6) AS disc_tax_cov
+                 6) + 0.0 AS qty_price_corr,
+           round((sdt - sd * st / n) / (n - 1) / 100000000.0, 6) + 0.0
+             AS disc_tax_cov
     FROM s
     """,
 )
@@ -1426,8 +1431,12 @@ def agg_corr(spark, sf_dir):
     evaluated in double with an identical operation order on both
     engines — bit-identical inputs through identical IEEE754 ops.
     corr is scale-invariant so the *100 factors cancel; covar is
-    un-scaled by 1e8. Scale shape: single map-side-combined hash
-    aggregate on l_returnflag, shuffle carries 10 numbers per group."""
+    un-scaled by 1e8. A final `+ 0.0` on each rounded output
+    normalizes IEEE negative zero (Spark's round can emit 0.0 where
+    DuckDB emits -0.0 for a tiny negative; the driver hashes the
+    bits, so -0.0 != 0.0 there). Scale shape: single
+    map-side-combined hash aggregate on l_returnflag, shuffle
+    carries 10 numbers per group."""
     li = _t(spark, sf_dir, "lineitem")
     z = li.select(
         "l_returnflag",
@@ -1453,14 +1462,18 @@ def agg_corr(spark, sf_dir):
     sd, st, sdt = F.col("sd"), F.col("st"), F.col("sdt")
     return s.select(
         "l_returnflag",
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("qty_price_corr"),
-        F.round((sdt - sd * st / n) / (n - F.lit(1.0)) / F.lit(1e8), 6).alias(
-            "disc_tax_cov"
-        ),
+        (
+            F.round((sdt - sd * st / n) / (n - F.lit(1.0)) / F.lit(1e8), 6)
+            + F.lit(0.0)
+        ).alias("disc_tax_cov"),
     )
 
 
@@ -5939,9 +5952,9 @@ def graph_pagerank_parts(spark, sf_dir):
       FROM x GROUP BY user_id
     )
     SELECT user_id,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS intercept
+                 6) + 0.0 AS intercept
     FROM s
     WHERE n >= 2 AND (n * sxx - sx * sx) > 0
     """,
@@ -5978,8 +5991,10 @@ def evt_user_trend_slope(spark, sf_dir):
         s.filter((n >= 2) & ((n * sxx - sx * sx) > 0))
         .select(
             "user_id",
-            F.round(slope, 6).alias("slope"),
-            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+            (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias(
+                "intercept"
+            ),
         )
     )
 
@@ -6648,10 +6663,10 @@ _OLS_B2 = (
              CAST(user_id % 10 AS DOUBLE) AS x2
       FROM events)
     SELECT event_type,
-           round({_OLS_B1}, 6) AS beta1,
-           round({_OLS_B2}, 6) AS beta2,
+           round({_OLS_B1}, 6) + 0.0 AS beta1,
+           round({_OLS_B2}, 6) + 0.0 AS beta2,
            round(avg(y) - ({_OLS_B1}) * avg(x1) - ({_OLS_B2}) * avg(x2), 6)
-             AS intercept
+             + 0.0 AS intercept
     FROM x GROUP BY event_type
     HAVING {_OLS_DET} > 1e-9
     """,
@@ -6685,10 +6700,13 @@ def ols_two_feature_by_group(spark, sf_dir):
     return (
         x.groupBy("event_type")
         .agg(
-            F.round(b1, 6).alias("beta1"),
-            F.round(b2, 6).alias("beta2"),
-            F.round(
-                F.avg("y") - b1 * F.avg("x1") - b2 * F.avg("x2"), 6
+            (F.round(b1, 6) + F.lit(0.0)).alias("beta1"),
+            (F.round(b2, 6) + F.lit(0.0)).alias("beta2"),
+            (
+                F.round(
+                    F.avg("y") - b1 * F.avg("x1") - b2 * F.avg("x2"), 6
+                )
+                + F.lit(0.0)
             ).alias("intercept"),
             det.alias("_det"),
         )

@@ -4,7 +4,7 @@ sorted by name, rows sorted by all columns)."""
 
 from __future__ import annotations
 
-import math
+import struct
 
 import duckdb
 import pandas as pd
@@ -33,12 +33,12 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately bug-compatible with the driver's canonicalizer: NO
+    # list->tuple conversion (an ArrayType output column must crash here
+    # exactly like it crashes the driver — r2's mm_decode_features bug),
+    # and float equality downstream is bit-level (the driver hashes the
+    # formatted bits, so -0.0 != 0.0 and any last-ulp drift must flag).
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
-            )
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
@@ -73,9 +73,7 @@ def _neq(x, y) -> bool:
     if x_na or y_na:
         return x_na != y_na
     if isinstance(x, float) and isinstance(y, float):
-        # driver hashes exact values; we allow only true equality here,
-        # flagging anything that could break the hash
-        return x != y
-    if hasattr(x, "timestamp") and hasattr(y, "timestamp"):
-        return x != y
+        # Bit-level compare: the driver formats/hashes the value bits, so
+        # -0.0 vs 0.0 (IEEE ==) is a driver mismatch and must flag here.
+        return struct.pack("<d", x) != struct.pack("<d", y)
     return x != y
