@@ -3786,17 +3786,59 @@ def hll_mergeable_distinct(spark, sf_dir):
     return per_source.unionByName(overall)
 
 
-@q("mm_decode_features", None)  # mapInPandas decode kernel — no SQL twin
+def _mm_decode_oracle_sql() -> str:
+    """DuckDB oracle for mm_decode_features: every synthesized payload
+    is a pure function of a small doc_id residue class, so the decode
+    output joins `documents` against the 317-row class lookup
+    generated (and independently re-verified with plain-Python math)
+    by tools/gen_mm_expected.py."""
+    from aiports_data_warehouse_etl_spark.functions.mm_expected import ROWS
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    values = ",\n      ".join(
+        "(" + ", ".join(lit(x) for x in r) + ")" for r in ROWS
+    )
+    return f"""
+    WITH exp(grp, cls, kind, fmt, n_bytes, width, height, n_samples,
+             sample_rate, sig_mean_r, sig_std_r, feature_csv) AS (
+      VALUES {values}
+    )
+    SELECT d.doc_id AS media_id, e.kind, e.fmt,
+           CAST(e.n_bytes AS BIGINT) AS n_bytes,
+           CAST(e.width AS INTEGER) AS width,
+           CAST(e.height AS INTEGER) AS height,
+           CAST(e.n_samples AS BIGINT) AS n_samples,
+           CAST(e.sample_rate AS INTEGER) AS sample_rate,
+           CAST(e.sig_mean_r AS DOUBLE) AS sig_mean,
+           CAST(e.sig_std_r AS DOUBLE) AS sig_std,
+           CAST(e.feature_csv AS VARCHAR) AS feature_csv
+    FROM documents d
+    JOIN exp e ON e.grp = d.doc_id % 4
+      AND e.cls = CASE WHEN d.doc_id % 4 = 2 THEN d.doc_id % 500
+                       ELSE d.doc_id % 256 END
+    """
+
+
+@q("mm_decode_features", _mm_decode_oracle_sql())
 def mm_decode_features(spark, sf_dir):
     """Multimodal decode end-to-end with REAL codecs: synthesize
     deterministic media payloads from doc_id (PNG images via the
     pure-stdlib encoder, baseline JPEG via the repo's own T.81
-    DCT+Huffman codec, PCM16 WAV audio, raw text bytes as the
-    undecodable control group), then run the Arrow-batched
-    mapInPandas decode+featurize pass — actual pixel/sample statistics
-    come back out (functions/mediacodec.py, jpegcodec.py). Column
-    pruning holds: only (media_id, kind, payload) cross into Python,
-    in both passes."""
+    DCT+Huffman codec, PCM16 WAV audio, and an undecodable raw-byte
+    control group), then run the Arrow-batched mapInPandas
+    decode+featurize pass — actual pixel/sample statistics come back
+    out (functions/mediacodec.py, jpegcodec.py). Column pruning
+    holds: only (media_id, kind, payload) cross into Python, in both
+    passes. The output serializes the 8-bin feature histogram as a
+    fixed-format CSV string (a bit-hashing consumer can't canonicalize
+    an ArrayType column — the r2 driver-crash lesson); the oracle is
+    the residue-class lookup from tools/gen_mm_expected.py."""
     from aiports_data_warehouse_etl_spark.operators.multimodal import (
         decode_and_featurize,
     )
@@ -3810,7 +3852,7 @@ def mm_decode_features(spark, sf_dir):
 
         for pdf in batches:
             rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did in pdf["doc_id"]:
                 did = int(did)
                 if did % 4 == 0:  # 8x8 gray PNG, pixels seeded by doc_id
                     px = ((np.arange(64, dtype=np.int64) * (did + 7)) % 256
@@ -3828,15 +3870,40 @@ def mm_decode_features(spark, sf_dir):
                     sig = ((np.arange(64, dtype=np.int64) * (did % 500 + 1))
                            % 20000).astype(np.int16)
                     rows.append((did, "audio", mc.encode_wav(sig, 8000)))
-                else:  # raw text bytes: honest undecodable control
-                    rows.append((did, "video", text.encode("utf-8")))
+                else:  # deterministic raw bytes: honest undecodable control
+                    raw = b"\x00" + bytes(
+                        ((np.arange(96, dtype=np.int64) * (did % 256 + 11))
+                         % 256).astype(np.uint8).tolist()
+                    )
+                    rows.append((did, "video", raw))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         encode_media,
         "media_id long, kind string, payload binary",
     )
-    return decode_and_featurize(media)
+    dec = decode_and_featurize(media)
+    return dec.select(
+        "media_id",
+        "kind",
+        "fmt",
+        "n_bytes",
+        "width",
+        "height",
+        "n_samples",
+        "sample_rate",
+        "sig_mean",
+        "sig_std",
+        F.when(
+            F.col("feature").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda x: F.format_string("%.6f", x)
+                ),
+            ),
+        ).alias("feature_csv"),
+    )
 
 
 @q(
@@ -8933,7 +9000,148 @@ def _bpe_merges(spark, sf_dir, n_merges=10, min_count=2):
     return hit
 
 
-@q("bpe_vocab_learn", None)  # iterative argmax-per-round — no SQL twin
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """Shared CTE chain for the BPE oracles: the full learning loop
+    expressed in ANSI SQL, one unrolled round per merge. Words are
+    held as bracket-delimited symbol strings (``\\x1f sym \\x1f`` per
+    symbol — the corpus contains no control characters), because SQL
+    ``replace()`` scans left-to-right and continues AFTER each
+    replacement: exactly the greedy adjacent-pair merge fold the Spark
+    trainer applies (operators/bpe.py:_merge_pair_expr), with the
+    brackets preventing cross-symbol false matches. Each round:
+    split → zip adjacent pairs → weighted count → argmax with the
+    trainer's (count DESC, left, right) tie-break → one replace()."""
+    parts = [
+        """
+    words AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+               AS s, freq
+      FROM words
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+    p{r} AS (
+      SELECT (u.p)[1] AS l, (u.p)[2] AS rr, sum(freq) AS cnt
+      FROM (
+        SELECT freq, list_transform(string_split(s, chr(31)||chr(31)),
+                                    x -> trim(x, chr(31))) AS toks
+        FROM s{r}
+      ) t, UNNEST(list_zip(t.toks, t.toks[2:])) AS u(p)
+      WHERE (u.p)[2] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT l, rr, cnt FROM p{r} ORDER BY cnt DESC, l, rr LIMIT 1
+    ),
+    s{r + 1} AS MATERIALIZED (
+      SELECT replace(s, chr(31)||b.l||chr(31)||chr(31)||b.rr||chr(31),
+                     chr(31)||b.l||b.rr||chr(31)) AS s, freq
+      FROM s{r}, b{r} b
+    )"""
+        )
+    return parts
+
+
+def _bpe_learn_oracle_sql(n_merges: int = 10) -> str:
+    """The merge-table output of the unrolled SQL BPE chain."""
+    parts = _bpe_chain_parts(n_merges)
+    for r in range(n_merges):
+        parts.append(
+            f"""
+    m{r} AS (
+      SELECT {r} AS rank, b.l AS "left", b.rr AS "right",
+             b.l || b.rr AS merged, b.cnt AS pair_count,
+             (SELECT sum(freq * ((length(s)
+                - length(replace(s, chr(31), ''))) // 2))
+              FROM s{r + 1}) AS corpus_tokens
+      FROM b{r} b
+    )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, "left", "right", merged,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(corpus_tokens AS BIGINT) AS corpus_tokens
+    FROM ({final})
+    """
+    )
+
+
+def _bpe_token_count_oracle_sql(n_merges: int = 10) -> str:
+    """Per-source token-count rollup under the SAME learned merges:
+    re-derives the merge table via the shared chain, then tokenizes
+    every DISTINCT word once (the 10 merges applied as nested
+    replace() in rank order — sequential application equals the
+    kernel's lowest-rank-first loop for learned merge tables, pinned
+    by the cross-check against bpe_vocab_learn's trainer) and joins
+    the per-word token counts back to document word occurrences."""
+    parts = _bpe_chain_parts(n_merges)
+    apply_expr = "u.s"
+    for r in range(n_merges):
+        apply_expr = (
+            f"replace({apply_expr},"
+            f" chr(31)||b{r}.l||chr(31)||chr(31)||b{r}.rr||chr(31),"
+            f" chr(31)||b{r}.l||b{r}.rr||chr(31))"
+        )
+    b_tables = ", ".join(f"b{r}" for r in range(n_merges))
+    parts.append(
+        f"""
+    dw AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    uniq AS (
+      SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+               AS s
+      FROM (SELECT DISTINCT w FROM dw) u0
+    ),
+    toks AS MATERIALIZED (
+      SELECT w, (length(s2) - length(replace(s2, chr(31), ''))) // 2
+                  AS n_tok
+      FROM (SELECT u.w, {apply_expr} AS s2 FROM uniq u, {b_tables}) q
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source, length(d.text) AS n_chars,
+             count(t.w) AS n_words,
+             coalesce(sum(t.n_tok), 0) AS n_bpe
+      FROM documents d
+      LEFT JOIN dw ON dw.doc_id = d.doc_id
+      LEFT JOIN toks t ON t.w = dw.w
+      GROUP BY d.doc_id, d.source, length(d.text)
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+    SELECT source,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe) * 10000 + 0.5)
+             / 10000 AS chars_per_token
+    FROM per_doc GROUP BY source
+    """
+    )
+
+
+@q("bpe_vocab_learn", _bpe_learn_oracle_sql())
 def bpe_vocab_learn(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.py): the
     corpus collapses to a (word, freq) table in one shuffle, then each
@@ -8961,7 +9169,7 @@ def bpe_vocab_learn(spark, sf_dir):
     )
 
 
-@q("bpe_token_count", None)  # learned-vocab tokenization — no SQL twin
+@q("bpe_token_count", _bpe_token_count_oracle_sql())
 def bpe_token_count(spark, sf_dir):
     """Token counting under the LEARNED BPE vocabulary (the regex
     token counters elsewhere approximate this): learn 10 merges on the
@@ -8986,8 +9194,18 @@ def bpe_token_count(spark, sf_dir):
             F.sum("n_words").cast("long").alias("n_words"),
             F.sum("n_chars").cast("long").alias("n_chars"),
             F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-            F.round(
-                F.sum("n_chars") / F.sum("n_bpe_tokens"), 4
+            # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): the two
+            # engines' round() diverge at half boundaries on DOUBLE
+            # (Java shortest-decimal HALF_UP vs C-style scaling); this
+            # form is the same IEEE ops on the same double both sides
+            (
+                F.floor(
+                    F.sum("n_chars")
+                    / F.sum("n_bpe_tokens")
+                    * F.lit(10000)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000)
             ).alias("chars_per_token"),
         )
     )
@@ -9092,7 +9310,57 @@ def emb_logreg_train(spark, sf_dir):
     return spark.createDataFrame(rows, "term string, value double")
 
 
-@q("mm_video_frame_sample", None)  # mapInPandas Y4M demux — no SQL twin
+def _mm_video_oracle_sql() -> str:
+    """DuckDB oracle for mm_video_frame_sample. The synthesized Y4M
+    payloads roundtrip losslessly (mono Y4M is uncompressed), so every
+    sampled frame's luma statistics are a pure function of
+    ``(doc_id + frame_idx + 1) % 256`` — independently re-derived here
+    with plain-Python integer math (pixels ``(s*k) % 256``, population
+    mean/std over the 16 pixels), never by calling the codec. Frame
+    cadence: fps 4 (even doc_id) → 250 ms/frame, sample step 2;
+    fps 8 → 125 ms/frame, step 4; docs with doc_id % 3 == 0 carry an
+    undecodable container and must surface as the 0/500/1000 ms
+    metadata-only fallback grid with NULL stats."""
+    import math as _math
+
+    rows = []
+    for k in range(256):
+        vals = [(s * k) % 256 for s in range(16)]
+        m0 = sum(vals) / 16
+        sd = _math.sqrt(sum((v - m0) ** 2 for v in vals) / 16)
+        rows.append(f"({k}, '{round(m0, 6)!r}', '{round(sd, 6)!r}')")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH fs(cls, mean_r, std_r) AS (
+      VALUES {values}
+    ),
+    dec AS (
+      SELECT doc_id AS did,
+             4 + doc_id % 5 AS n_frames,
+             CASE WHEN doc_id % 2 = 0 THEN 250 ELSE 125 END AS mspf,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS step
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    grid AS (
+      SELECT did, mspf, CAST(i.idx AS INTEGER) AS frame_idx
+      FROM dec, UNNEST(range(0, n_frames, step)) AS i(idx)
+    )
+    SELECT g.did AS media_id, g.frame_idx,
+           CAST(g.frame_idx * g.mspf AS BIGINT) AS frame_offset_ms,
+           CAST(s.mean_r AS DOUBLE) AS mean_luma,
+           CAST(s.std_r AS DOUBLE) AS std_luma
+    FROM grid g JOIN fs s ON s.cls = (g.did + g.frame_idx + 1) % 256
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(o.off AS BIGINT) AS frame_offset_ms,
+           CAST(NULL AS DOUBLE) AS mean_luma,
+           CAST(NULL AS DOUBLE) AS std_luma
+    FROM documents, UNNEST(range(0, 1500, 500)) AS o(off)
+    WHERE doc_id % 3 = 0
+    """
+
+
+@q("mm_video_frame_sample", _mm_video_oracle_sql())
 def mm_video_frame_sample(spark, sf_dir):
     """Video frame sampling with a REAL demuxer: synthesize per-doc
     YUV4MPEG2 payloads (the ffmpeg/x264 uncompressed interchange
