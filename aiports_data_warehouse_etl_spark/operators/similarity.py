@@ -457,11 +457,16 @@ def pq_topk(
         )
     )
     # corpus streams; the CANDIDATE set (small by construction) is the
-    # broadcast side — only matching vectors survive the scan
+    # broadcast side — only matching vectors survive the scan. The
+    # explicit self-filter backstops the scan's -inf mask: an Arrow
+    # batch holding fewer than n_cand rows can still emit the self row
+    # as a candidate (it is -inf but survives a short local top cut),
+    # and it would re-rank at cosine 1.0 as its own top-1 neighbour
     exact = (
         base.select(F.col("id").alias("cand_id"), "v")
         .join(F.broadcast(cand), "cand_id")
         .join(qv, "qid")
+        .filter(F.col("cand_id") != F.col("qid"))
         .select(
             "qid",
             "cand_id",

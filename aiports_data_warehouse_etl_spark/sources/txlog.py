@@ -74,19 +74,26 @@ def _file_stats(abs_path: str) -> dict:
     md = pq.ParquetFile(abs_path).metadata
     mins: dict = {}
     maxs: dict = {}
+    # a column may only carry file-level stats if EVERY row group has
+    # usable min/max for it — a partial range under-covers the data
+    # and read(prune=...) would silently skip a file with matching
+    # rows (the same "cannot skip safely" rule as _stats_may_match)
+    bad: set[str] = set()
     for rg in range(md.num_row_groups):
         grp = md.row_group(rg)
         for ci in range(grp.num_columns):
             col = grp.column(ci)
+            name = col.path_in_schema
             st = col.statistics
             if st is None or not st.has_min_max:
+                bad.add(name)
                 continue
-            name = col.path_in_schema
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    bad.add(name)
                     continue
             if not isinstance(lo, (int, float, str)):
                 lo, hi = str(lo), str(hi)
@@ -94,6 +101,9 @@ def _file_stats(abs_path: str) -> dict:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     return {"rows": md.num_rows, "bytes": os.path.getsize(abs_path),
             "min": mins, "max": maxs}
 
@@ -338,7 +348,12 @@ class TxLogTable:
         paths = {
             os.path.join(self.path, rel): rel for rel in base["files"]
         }
-        df = self.spark.read.parquet(*sorted(paths))
+        # mergeSchema mirrors read(): a rewrite after additive schema
+        # evolution must carry the union schema, not silently infer the
+        # oldest file's and drop the new column from surviving rows
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *sorted(paths)
+        )
         hit_rows = (
             df.filter(F.expr(predicate))
             .select(F.input_file_name().alias("f"))
@@ -350,9 +365,15 @@ class TxLogTable:
         )
         if not hit_rel:
             return base["version"]
-        survivors = self.spark.read.parquet(
-            *[os.path.join(self.path, rel) for rel in hit_rel]
-        ).filter(~F.expr(predicate))
+        # SQL DELETE semantics: remove only rows where the predicate is
+        # TRUE — rows where it evaluates NULL (e.g. `col = 5` on a NULL
+        # col) must SURVIVE, so the keep-filter is NOT(pred) OR ISNULL
+        pred = F.expr(predicate)
+        survivors = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, rel) for rel in hit_rel])
+            .filter(~pred | pred.isNull())
+        )
         adds, _ = self._stage(survivors)
         commit = {
             "op": "delete",
@@ -389,7 +410,7 @@ class TxLogTable:
             return base["version"]
         total = sum(base["files"][rel]["bytes"] for rel in small)
         n_out = max(1, -(-total // target_file_bytes))
-        packed = self.spark.read.parquet(
+        packed = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, rel) for rel in small]
         )
         if sort_by:
@@ -521,11 +542,21 @@ class TxLogTable:
             )
         return out
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 0, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Delete data files referenced by NO version ≥ (latest -
         retain_versions). With the default every non-current file goes —
         time travel window shrinks accordingly; callers pick retention.
-        Returns the deleted relative paths."""
+        Returns the deleted relative paths.
+
+        ``grace_seconds`` is the concurrent-writer guard (Delta's
+        retention-window idea): a file a parallel writer has _stage()d
+        but not yet committed is unreferenced by ANY version, and
+        deleting it would let that writer's commit land referencing a
+        vanished file — a corrupt table. Unreferenced files younger
+        (by mtime) than the grace window are therefore skipped; only
+        set 0 when no concurrent writers can exist."""
         floor = max(self.latest_version() - retain_versions, 0)
         keep: set[str] = set()
         for v in range(floor, self.latest_version() + 1):
@@ -534,13 +565,22 @@ class TxLogTable:
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return deleted
+        now = time.time()
         for sub in sorted(os.listdir(data_root)):
             subdir = os.path.join(data_root, sub)
             for name in sorted(os.listdir(subdir)):
                 rel = os.path.join("data", sub, name)
-                if rel not in keep and name.endswith(".parquet"):
-                    os.remove(os.path.join(subdir, name))
-                    deleted.append(rel)
+                if rel in keep or not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(subdir, name)
+                try:
+                    age = now - os.path.getmtime(abs_path)
+                except OSError:
+                    continue  # already gone (parallel vacuum)
+                if age < grace_seconds:
+                    continue
+                os.remove(abs_path)
+                deleted.append(rel)
             if not os.listdir(subdir):
                 os.rmdir(subdir)
         return deleted

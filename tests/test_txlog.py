@@ -203,7 +203,7 @@ def test_vacuum_removes_only_unreferenced(spark, tbl):
     tbl.append(o)
     tbl.overwrite(o.limit(10))
     expect = tbl.read().count()
-    deleted = tbl.vacuum(retain_versions=0)
+    deleted = tbl.vacuum(retain_versions=0, grace_seconds=0)
     assert deleted, "the overwritten files should be vacuumed"
     assert tbl.read().count() == expect
     for rel in deleted:
@@ -360,7 +360,7 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             elif op == "compact":
                 t.compact(target_file_bytes=1 << 30)
             elif op == "vacuum":
-                t.vacuum(retain_versions=0)
+                t.vacuum(retain_versions=0, grace_seconds=0)
                 # vacuum trims time-travel history; drop stale entries
                 history = [
                     (v, s) for v, s in history if v == t.latest_version()
@@ -480,6 +480,77 @@ def test_changes_after_vacuum_is_loud(spark, tbl):
     o = _orders(spark)
     tbl.append(o.limit(20))
     tbl.overwrite(o.limit(5))
-    tbl.vacuum(retain_versions=0)  # reclaims v0's overwritten files
+    tbl.vacuum(retain_versions=0, grace_seconds=0)  # reclaims v0's overwritten files
     with pytest.raises(ValueError, match="vacuumed"):
         tbl.changes(0, 1).count()
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tbl):
+    """SQL DELETE semantics: only predicate-TRUE rows go; rows where
+    the predicate evaluates NULL (NULL in the column) must survive a
+    copy-on-write rewrite (ADVICE r2: filter(~pred) also dropped
+    NULL-pred rows from every rewritten file)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 10)],
+        "id int, qty int",
+    ).coalesce(1)
+    tbl.append(df)
+    tbl.delete_where("qty = 10")
+    got = {r.id for r in tbl.read().collect()}
+    assert got == {2, 3, 4}, "NULL-qty rows 2 and 4 must survive"
+
+
+def test_delete_where_preserves_evolved_schema(spark, tbl):
+    """A copy-on-write rewrite after additive schema evolution must
+    carry the union schema — without mergeSchema the rewrite can
+    infer the pre-evolution schema and silently drop the new column
+    from surviving rows."""
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1)
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(3, "c", 7.5), (4, "d", 2.5)], "id int, s string, score double"
+        ).coalesce(1)
+    )
+    tbl.delete_where("id = 3")
+    got = tbl.read()
+    assert "score" in got.columns
+    rows = {r.id: r.score for r in got.collect()}
+    assert rows == {1: None, 2: None, 4: 2.5}
+
+
+def test_vacuum_grace_skips_young_unreferenced_files(spark, tbl):
+    """The concurrent-writer guard: an unreferenced file younger than
+    the grace window (e.g. staged by an in-flight writer between
+    _stage() and _try_commit()) must NOT be vacuumed."""
+    o = _orders(spark)
+    tbl.append(o.limit(20))
+    tbl.overwrite(o.limit(5))  # v0's files now unreferenced but young
+    assert tbl.vacuum(retain_versions=0) == []
+    deleted = tbl.vacuum(retain_versions=0, grace_seconds=0)
+    assert deleted, "zero grace reclaims the unreferenced files"
+
+
+def test_file_stats_partial_rowgroup_stats_are_dropped(spark, tmp_path):
+    """If any row group lacks usable min/max for a column, the file
+    must carry NO stats for that column — a partial range under-covers
+    and read(prune=...) would skip files with matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import _file_stats
+
+    t = pa.table({"k": [1, 2, 3, 4], "s": ["a", "b", "c", "d"]})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, p, write_statistics=False, row_group_size=2)
+    st = _file_stats(p)
+    assert st["rows"] == 4
+    assert st["min"] == {} and st["max"] == {}
+
+    # sanity: with stats present the ranges come through
+    p2 = str(tmp_path / "stats.parquet")
+    pq.write_table(t, p2, write_statistics=True, row_group_size=2)
+    st2 = _file_stats(p2)
+    assert st2["min"]["k"] == 1 and st2["max"]["k"] == 4
