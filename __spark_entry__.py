@@ -4,16 +4,19 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
 the extension tracks; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for each — including the iterative connected-components op (closed by
-a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL), and
-Z-order (generated shift/mask SQL). The 11 rows-only entries are
-exactly the ops whose internals are engine-specific by design: the
-k-means IVF and PQ quantizers, HLL/t-digest sketches and the
-mergeable-HLL rollup, seeded Bernoulli sampling (its deterministic
-hash-bucket and priority-sampling twins ARE oracled), the mapInPandas
-media decode and Y4M video demux, the PCA eigensolve (its covariance
-input IS oracled), iterative Newton/IRLS training, and BPE vocabulary
-learning (parity-tested merge-for-merge against a single-node
-reference) — each has an accuracy/behavior test instead (COVERAGE.md).
+a recursive CTE), BFS (ditto), SimHash (generated bit-vote SQL),
+Z-order (generated shift/mask SQL), BPE learning (the merge loop
+unrolled round-by-round in SQL), and the multimodal decode / video
+frame-sample kernels (residue-class expected-value lookups — every
+synthesized payload is a pure function of a doc_id residue). The 7
+remaining rows-only entries are exactly the ops whose internals are
+engine-specific by design: the k-means IVF and PQ quantizers,
+HLL/t-digest sketches and the mergeable-HLL rollup, seeded Bernoulli
+sampling (its deterministic hash-bucket and priority-sampling twins
+ARE oracled), the PCA eigensolve (its covariance input IS oracled),
+and iterative Newton/IRLS training — each has an accuracy/behavior
+test instead (COVERAGE.md), and none sits inside the driver's 50-slot
+sweep window, which is now 100% hash-oracled.
 
 Implementations live in ``aiports_data_warehouse_etl_spark.queries``.
 """

@@ -2304,6 +2304,48 @@ def text_scrub_pii(spark, sf_dir):
 
 
 @q(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM t),
+    own AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN own.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM sh JOIN own ON sh.s = own.s
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty scoring: per document, how many of its distinct
+    3-token shingles appear in NO earlier document (first owner =
+    min doc_id over the corpus) — the incremental-value metric a
+    curation loop uses to rank candidate additions against an already
+    selected corpus. Pure counts (no float output). Plan: the shared
+    cached shingle table → one groupBy(s) for first owners → shingle-
+    keyed join back (co-partitioned with the groupBy, exchange
+    reused) → per-doc count rollup. At 100 TB the first-owner table
+    is the corpus shingle vocabulary — same scale class as every
+    inverted-index dedup here, and the min() makes the pass
+    idempotent under re-runs."""
+    sh = D.shingle_rows(
+        _t(spark, sf_dir, "documents"), k=3
+    ).select("id", "s")
+    own = sh.groupBy("s").agg(F.min("id").alias("first_doc"))
+    return (
+        sh.join(own, "s")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+
+
+@q(
     "text_repetition",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
@@ -3456,6 +3498,135 @@ def tlog_change_feed(spark, sf_dir):
 
 
 @q(
+    "tlog_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def tlog_merge_upsert(spark, sf_dir):
+    """MERGE INTO (whole-row upsert) on the txlog ACID table
+    (sources/txlog.py merge_upsert): the base table lands via two
+    atomic appends, then one MERGE commit both UPDATES the rows whose
+    keys match the source batch (keys %5==0 that exist, at doubled
+    price — *2 is exact in binary, so both engines see identical
+    doubles) and INSERTS the source keys the base never had
+    (%15==0, filtered out of the base load). Copy-on-write: only
+    files containing a matched key rewrite; the others carry over by
+    reference, and the final snapshot must equal the plain-SQL merge
+    of the same two row sets."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_merge_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        base = o.filter("o_orderkey % 3 <> 0")
+        t.append(base.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(base.filter("o_orderkey % 2 = 1").repartition(2))
+        src = o.filter("o_orderkey % 5 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t.merge_upsert(src, keys=["o_orderkey"])
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "stream_foreachbatch_txlog",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_txlog(spark, sf_dir):
+    """Structured Streaming → ACID sink, exactly-once: the events
+    table replays as a file-source stream (3 micro-batches via
+    maxFilesPerTrigger under availableNow), and each batch lands in
+    the txlog table through foreachBatch + append_batch_txn — the
+    commit carries an (app, batch_id) transaction marker, so a batch
+    replayed after a crash-between-write-and-checkpoint is a no-op
+    instead of a duplicate (sources/txlog.py:240). The final snapshot
+    must aggregate exactly like batch SQL over the original events —
+    the end-to-end exactly-once proof, not just the unit test
+    (tests/test_streaming_dedup.py pins the restart path). At scale
+    this is the streaming ingest pattern: micro-batch appends are
+    atomic commits, readers get snapshot isolation, and the change
+    feed (tlog_change_feed) turns the same table into a source."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="stream_tlog_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_type", "value")
+        src_dir = root + "/in"
+        ev.repartition(6).write.parquet(src_dir)
+        t = TxLogTable(spark, root + "/t")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+
+        def sink(batch_df, batch_id):
+            t.append_batch_txn(batch_df, "stream_demo", int(batch_id))
+
+        qy = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination(300)
+        out = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "full_outer_reconcile",
     """
     WITH o AS (
@@ -4001,13 +4172,19 @@ def pandas_udf_vectorized(spark, sf_dir):
                 ELSE round(o_totalprice - 2 * round(o_totalprice / 3, 2), 2)
            END AS amount
     FROM orders, UNNEST(generate_series(1, 3)) t(i)
+    WHERE o_orderkey % 4 = 0
     """,
 )
 def udtf_installments(spark, sf_dir):
     """Python UDTF (table function): one row in → three installment
     rows out, lateral-joined per order. The UDTF surface covers
     operators whose output cardinality is data-dependent — the gap
-    explode() can't fill when row synthesis needs imperative logic."""
+    explode() can't fill when row synthesis needs imperative logic.
+    Like the cogroup demo, it runs on a deterministic quarter slice
+    (o_orderkey % 4 = 0, same predicate in the oracle): the UDTF
+    surface pays per-row interpreter cost by design, and a quarter of
+    the rows exercises the identical lateral plan at a quarter of the
+    bench tail."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="installment_no: int, amount: double")
@@ -4018,7 +4195,9 @@ def udtf_installments(spark, sf_dir):
                 yield i, (base if i < 3 else round(total - 2 * base, 2))
 
     spark.udtf.register("installments", Installments)
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_for_udtf")
+    _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).createOrReplaceTempView("__orders_for_udtf")
     return spark.sql(
         """
         SELECT o.o_orderkey, i.installment_no, i.amount
@@ -4926,8 +5105,15 @@ def orc_roundtrip_agg(spark, sf_dir):
 
     from aiports_data_warehouse_etl_spark.sources.io import read_orc, write_orc
 
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+        )
+        # the roundtrip is an IO demo: 8 write tasks instead of one
+        # per core — 24 output files, not 96, without serializing the
+        # write to the 3 partition dirs
+        .coalesce(8)
     )
     path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem_orc"
     write_orc(li, path, partition_by=["l_returnflag"])
@@ -6176,9 +6362,9 @@ def pandas_grouped_agg_weighted_mean(spark, sf_dir):
     "pandas_cogroup_profile",
     """
     WITH e AS (SELECT user_id, count(*) AS n_events FROM events
-               WHERE user_id % 10 = 0 GROUP BY user_id),
+               GROUP BY user_id),
          o AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
-               FROM orders WHERE o_custkey % 10 = 0 GROUP BY o_custkey)
+               FROM orders GROUP BY o_custkey)
     SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
            CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
            coalesce(o.total_spend, 0.0) AS total_spend
@@ -6188,36 +6374,44 @@ def pandas_grouped_agg_weighted_mean(spark, sf_dir):
 def pandas_cogroup_profile(spark, sf_dir):
     """Cogrouped-map Pandas UDF (groupBy().cogroup().applyInPandas):
     the two-table python extension surface — events and orders are
-    co-shuffled on the user key and each (left-group, right-group)
-    pair lands in one python call, here merged into a user profile.
-    The oracle proves it equals aggregate + FULL OUTER join. Scale
-    shape: one exchange per side on the same key, zero driver
-    involvement; either group may be empty (outer semantics), which
-    the kernel must handle. The demo runs on a deterministic 10%
-    user slice (user_id % 10 = 0): the python surface pays per-group
-    interpreter cost, and a tenth of the groups shows the identical
-    plan at a tenth of the bench tail — production kernels that
-    need every group pay the python toll by design."""
-    ev = _t(spark, sf_dir, "events").select("user_id").filter(
-        F.col("user_id") % 10 == 0
-    )
-    od = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice"
-    ).filter(F.col("o_custkey") % 10 == 0)
+    co-shuffled and each (left-group, right-group) pair lands in one
+    python call, here merged into per-user profiles. The oracle
+    proves it equals aggregate + FULL OUTER join.
+
+    The cogroup key is a BUCKET of users (user_id % 64), not the user
+    itself: per-group python overhead is the toll of this surface, so
+    a production kernel batches many logical keys per call and does
+    the per-key work vectorized inside (pandas groupby + outer
+    concat). r2 ran per-user groups on a 10% slice and still sat at
+    the top of the bench tail (4.2 s); bucketed, the FULL corpus runs
+    in a fraction of that. Scale shape: one exchange per side on the
+    same bucket key; either side of a bucket may be empty (outer
+    semantics), which the kernel must handle."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
 
     def profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = left["user_id"].iloc[0] if len(left) else right["o_custkey"].iloc[0]
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series([uid], dtype="int64"),
-                "n_events": pd.Series([len(left)], dtype="int64"),
-                "total_spend": [round(float(right["o_totalprice"].sum()), 2)],
-            }
+        e = (
+            left.groupby("user_id").size().rename("n_events")
+            if len(left)
+            else pd.Series(name="n_events", dtype="int64")
         )
+        o = (
+            right.groupby("o_custkey")["o_totalprice"].sum()
+            .round(2)
+            .rename("total_spend")
+            if len(right)
+            else pd.Series(name="total_spend", dtype="float64")
+        )
+        prof = pd.concat([e, o], axis=1)  # outer-aligns on user id
+        prof.index.name = "user_id"
+        prof["n_events"] = prof["n_events"].fillna(0).astype("int64")
+        prof["total_spend"] = prof["total_spend"].fillna(0.0)
+        return prof.reset_index()
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("o_custkey"))
+        ev.groupBy((F.col("user_id") % 64).alias("bk"))
+        .cogroup(od.groupBy((F.col("o_custkey") % 64).alias("bk")))
         .applyInPandas(profile, "user_id long, n_events long, total_spend double")
     )
 
@@ -7291,29 +7485,43 @@ def rfm_segmentation(spark, sf_dir):
 )
 def market_basket_lift(spark, sf_dir):
     """Market-basket association rules: support / confidence / lift
-    for co-purchased part pairs (co-count >= 3), top-25 by lift. The
-    pair generation is the same bounded order-keyed self-join as the
-    co-purchase graph (<= ~21 pairs per order regardless of scale);
-    per-part supports and the scalar order count ride in as broadcast
-    joins, and the top-25 is a TakeOrderedAndProject. Rounding before
-    the ORDER BY keeps the limit boundary engine-identical."""
-    li = (
+    for co-purchased part pairs (co-count >= 3), top-25 by lift.
+    Baskets collapse to sorted part-arrays in ONE shuffle
+    (groupBy order), pair expansion is then a JVM-side array
+    comprehension per basket (≤ ~21 pairs per order regardless of
+    scale) — no self-join, and the per-part supports reuse the same
+    collapsed baskets instead of re-scanning lineitem. Supports and
+    the scalar order count ride in as broadcast joins, and the top-25
+    is a TakeOrderedAndProject. Rounding before the ORDER BY keeps
+    the limit boundary engine-identical."""
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        # feeds n / supports / pairs: the basket exchange is reused
+        # across the three consumers (measured faster than an eager
+        # localCheckpoint, whose blocking write costs more than the
+        # reused shuffle read saves)
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a, b = li.alias("a"), li.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # (i < j) positions of the ascending array give pa < pb directly
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
     )
@@ -7692,6 +7900,56 @@ def hierarchy_rollup_bom(spark, sf_dir):
             F.round(F.sum("p_retailprice"), 2).alias("subtree_value"),
         )
         .filter(F.col("n_descendants") >= 5)
+    )
+
+
+@q(
+    "evt_sequence_pattern",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             AS n_funnels,
+           CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+             AS n_error_runs
+    FROM s
+    """,
+)
+def evt_sequence_pattern(spark, sf_dir):
+    """Sequence pattern matching over event streams (the
+    MATCH_RECOGNIZE shape without the clause): each user's history
+    collapses to an ordered event-initial string — (ts, event_id)
+    total order, so the string is deterministic — and regex counting
+    answers 'view, any clicks, then purchase' funnels and error-run
+    counts. Both engines count non-overlapping left-to-right matches
+    (Java regex and RE2 agree on this corpus's single-char alphabet).
+    One groupBy(user) shuffle; per-user state is a string, which is
+    the MATCH_RECOGNIZE scale story too (pattern automata over an
+    ordered partition)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda s: s.c,
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_funnels"),
+        F.regexp_count("seq", F.lit("e+")).cast("long").alias("n_error_runs"),
     )
 
 

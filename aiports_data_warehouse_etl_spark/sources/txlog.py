@@ -386,6 +386,70 @@ class TxLogTable:
             raise TxConflict("delete_where: table advanced past base snapshot")
         return base["version"] + 1
 
+    def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (whole-row upsert) by key: target rows whose key
+        matches a source row are REPLACED by that source row, source
+        rows with new keys are INSERTED. Copy-on-write like
+        delete_where: only files that actually contain a matched key
+        are rewritten (found distributed via ``input_file_name``);
+        untouched files carry over by reference, and the new/updated
+        rows land in the staged files of the same atomic commit.
+
+        Caller contract: ``source`` has at most one row per key (the
+        standard MERGE multi-match restriction). Schema evolution is
+        additive: a source with extra columns widens the table via
+        the commit's recorded union schema (mergeSchema on read).
+        """
+        base = self._snapshot()
+        src = source
+        if base["version"] < 0 or not base["files"]:
+            return self.append(src)
+        paths = {
+            os.path.join(self.path, rel): rel for rel in base["files"]
+        }
+        tgt = self.spark.read.option("mergeSchema", "true").parquet(
+            *sorted(paths)
+        )
+        src_keys = src.select(*keys).distinct()
+        # input_file_name() is single-source only: capture it on the
+        # scan BEFORE the semi-join brings in the source relation
+        hit_rows = (
+            tgt.select(F.input_file_name().alias("f"), *keys)
+            .join(F.broadcast(src_keys), keys, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit_rel = sorted(
+            paths[p] for p in (_strip_scheme(r["f"]) for r in hit_rows)
+        )
+        survivors = None
+        if hit_rel:
+            survivors = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(
+                    *[os.path.join(self.path, rel) for rel in hit_rel]
+                )
+                .join(F.broadcast(src_keys), keys, "left_anti")
+            )
+        new_data = (
+            src
+            if survivors is None
+            else survivors.unionByName(src, allowMissingColumns=True)
+        )
+        adds, schema = self._stage(new_data)
+        commit = {
+            "op": "merge",
+            "keys": list(keys),
+            "add": adds,
+            "remove": hit_rel,
+            "schema": schema,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict("merge_upsert: table advanced past base snapshot")
+        return base["version"] + 1
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,

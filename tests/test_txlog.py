@@ -554,3 +554,49 @@ def test_file_stats_partial_rowgroup_stats_are_dropped(spark, tmp_path):
     pq.write_table(t, p2, write_statistics=True, row_group_size=2)
     st2 = _file_stats(p2)
     assert st2["min"]["k"] == 1 and st2["max"]["k"] == 4
+
+
+def test_merge_upsert_updates_inserts_and_carries_files(spark, tbl):
+    """MERGE: matched keys replaced, new keys inserted, files without
+    matches carried over by reference (not rewritten)."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, s string, val double",
+    )
+    tbl.append(base.filter("id <= 2").coalesce(1))
+    tbl.append(base.filter("id >= 3").coalesce(1))
+    before = dict(tbl._snapshot()["files"])
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (5, "e", 50.0)], "id int, s string, val double"
+    )
+    v = tbl.merge_upsert(src, keys=["id"])
+    got = {r.id: (r.s, r.val) for r in tbl.read().collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0),
+        4: ("d", 40.0), 5: ("e", 50.0),
+    }
+    after = tbl._snapshot()["files"]
+    carried = set(before) & set(after)
+    # the id>=3 file had no matched key -> still referenced verbatim
+    assert carried, "untouched file must carry over by reference"
+    # time travel: pre-merge snapshot unchanged
+    assert {r.id for r in tbl.read(version=v - 1).collect()} == {1, 2, 3, 4}
+
+
+def test_merge_upsert_on_empty_table_is_append(spark, tbl):
+    src = spark.createDataFrame([(1, "x")], "id int, s string")
+    tbl.merge_upsert(src, keys=["id"])
+    assert tbl.read().count() == 1
+
+
+def test_merge_upsert_additive_schema_evolution(spark, tbl):
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 7.5), (3, "c", 1.5)], "id int, s string, score double"
+    )
+    tbl.merge_upsert(src, keys=["id"])
+    got = {r.id: (r.s, r.score) for r in tbl.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 7.5), 3: ("c", 1.5)}
