@@ -47,16 +47,20 @@ _PRIORITY = [
     "a1_max_next_id", "a2_single_pass_checks", "a4_distinct_pairs",
     "a5_distinct_ordered_limit", "u1_union_append", "m1_delta_merge",
     "g1_dim_date", "g2_dim_time", "v1_validation_report",
-    # round-1 verdict-flagged entries (prove the fixes)
-    "agg_corr", "agg_stats_suite", "corr_scalar_subquery",
+    # r2 verdict-flagged entries (prove the fixes every round): the
+    # 5 formerly-red rows now all carry real cross-engine oracles
+    "agg_corr", "agg_stats_suite",
     "evt_user_trend_slope", "catalog_tables", "mm_decode_features",
     "mm_video_frame_sample",
     "text_bigram_logprob",
-    # round-2 additions: ACID table format, BPE, profiler, observe
+    # round-3 additions: txlog MERGE, streaming exactly-once sink,
+    # novelty scoring, sequence-pattern matching
+    "tlog_merge_upsert", "stream_foreachbatch_txlog",
+    "text_ngram_novelty", "evt_sequence_pattern",
+    # round-2 additions: ACID table format, BPE, profiler
     "tlog_acid_table", "tlog_change_feed", "bpe_vocab_learn", "bpe_token_count",
     "dedup_canonical_text", "profile_table_stats",
-    "observe_inflight_metrics", "sql_scripting_batch",
-    "geo_haversine_nations", "text_feature_hashing",
+    "text_feature_hashing",
     "emb_quantile_normalize", "skew_salted_window",
     "evt_sessions_dynamic_gap", "pipeline_pretraining_full",
     "sim_lsh_multiprobe",

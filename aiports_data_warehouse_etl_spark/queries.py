@@ -3502,11 +3502,11 @@ def tlog_change_feed(spark, sf_dir):
     """
     WITH base AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice
-      FROM orders WHERE o_orderkey % 3 <> 0
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
     ),
     src AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
-      FROM orders WHERE o_orderkey % 5 = 0
+      FROM orders WHERE o_orderkey % 20 = 0
     ),
     merged AS (
       SELECT * FROM src
@@ -3523,14 +3523,15 @@ def tlog_change_feed(spark, sf_dir):
 def tlog_merge_upsert(spark, sf_dir):
     """MERGE INTO (whole-row upsert) on the txlog ACID table
     (sources/txlog.py merge_upsert): the base table lands via two
-    atomic appends, then one MERGE commit both UPDATES the rows whose
-    keys match the source batch (keys %5==0 that exist, at doubled
-    price — *2 is exact in binary, so both engines see identical
-    doubles) and INSERTS the source keys the base never had
-    (%15==0, filtered out of the base load). Copy-on-write: only
-    files containing a matched key rewrite; the others carry over by
-    reference, and the final snapshot must equal the plain-SQL merge
-    of the same two row sets."""
+    atomic appends split on key residue mod 4, then one MERGE commit
+    both UPDATES the rows whose keys match the source batch (keys
+    %20==0 that exist, at doubled price — *2 is exact in binary, so
+    both engines see identical doubles) and INSERTS the source keys
+    the base never had (%60==0, filtered out of the base load). The
+    source keys are all ≡0 (mod 4), so the ≡2 (mod 4) append's files
+    carry over BY REFERENCE — copy-on-write rewrites only the files
+    that contain a matched key — and the final snapshot must equal
+    the plain-SQL merge of the same two row sets."""
     import shutil
     import tempfile
 
@@ -3542,10 +3543,10 @@ def tlog_merge_upsert(spark, sf_dir):
         o = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
-        base = o.filter("o_orderkey % 3 <> 0")
-        t.append(base.filter("o_orderkey % 2 = 0").repartition(2))
-        t.append(base.filter("o_orderkey % 2 = 1").repartition(2))
-        src = o.filter("o_orderkey % 5 = 0").withColumn(
+        base = o.filter("o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0")
+        t.append(base.filter("o_orderkey % 4 = 0").repartition(2))
+        t.append(base.filter("o_orderkey % 4 = 2").repartition(2))
+        src = o.filter("o_orderkey % 20 = 0").withColumn(
             "o_totalprice", F.col("o_totalprice") * 2
         )
         t.merge_upsert(src, keys=["o_orderkey"])
@@ -3573,7 +3574,7 @@ def tlog_merge_upsert(spark, sf_dir):
 )
 def stream_foreachbatch_txlog(spark, sf_dir):
     """Structured Streaming → ACID sink, exactly-once: the events
-    table replays as a file-source stream (3 micro-batches via
+    table replays as a file-source stream (2 micro-batches via
     maxFilesPerTrigger under availableNow), and each batch lands in
     the txlog table through foreachBatch + append_batch_txn — the
     commit carries an (app, batch_id) transaction marker, so a batch
@@ -3594,7 +3595,7 @@ def stream_foreachbatch_txlog(spark, sf_dir):
     try:
         ev = _t(spark, sf_dir, "events").select("event_type", "value")
         src_dir = root + "/in"
-        ev.repartition(6).write.parquet(src_dir)
+        ev.repartition(4).write.parquet(src_dir)
         t = TxLogTable(spark, root + "/t")
         stream = (
             spark.readStream.schema(ev.schema)
