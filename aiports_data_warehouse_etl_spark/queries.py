@@ -651,7 +651,7 @@ def win_top3_per_customer(spark, sf_dir):
     """
     SELECT event_id, user_id,
            round(value - lag(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+             PARTITION BY user_id ORDER BY ts, event_id), 2) + 0.0 AS delta
     FROM events
     """,
 )
@@ -662,7 +662,9 @@ def win_lag_event_delta(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        (F.round(F.col("value") - F.lag("value").over(w), 2) + F.lit(0.0)).alias(
+            "delta"
+        ),
     )
 
 
@@ -4121,7 +4123,8 @@ def evt_sliding_1h_15m(spark, sf_dir):
     """
     SELECT event_id,
            round((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6)
+             + 0.0 AS z
     FROM events
     """,
 )
@@ -4137,7 +4140,7 @@ def pandas_zscore_per_group(spark, sf_dir):
         m = pdf["value"].mean()
         s = pdf["value"].std(ddof=1)
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "z": ((pdf["value"] - m) / s).round(6)}
+            {"event_id": pdf["event_id"], "z": ((pdf["value"] - m) / s).round(6) + 0.0}
         )
 
     return e.groupBy("event_type").applyInPandas(zscore, "event_id long, z double")
@@ -5778,7 +5781,7 @@ _EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_TAPS)]
                   + {' + '.join(f'coalesce(v{k}, 0) * {_EWMA_W[k]!r}' for k in range(1, _EWMA_TAPS))})
                  / ({_EWMA_W[0]!r}
                   + {' + '.join(f'CASE WHEN v{k} IS NOT NULL THEN {_EWMA_W[k]!r} ELSE 0 END' for k in range(1, _EWMA_TAPS))}),
-                 6) AS ewma
+                 6) + 0.0 AS ewma
     FROM t
     """,
 )
@@ -5805,7 +5808,9 @@ def evt_ewma_value(spark, sf_dir):
             F.lit(0.0)
         )
     return e.select(
-        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+        "event_id",
+        "user_id",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("ewma"),
     )
 
 
@@ -8728,10 +8733,10 @@ def id_gaps_islands(spark, sf_dir):
              round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY substr(CAST(o_orderdate AS STRING), 1, 7))
     SELECT month, revenue,
-           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) + 0.0
              AS delta,
            round((revenue / lag(revenue) OVER (ORDER BY month) - 1) * 100,
-                 4) AS pct_growth
+                 4) + 0.0 AS pct_growth
     FROM m
     """,
 )
@@ -8757,8 +8762,10 @@ def revenue_mom_growth(spark, sf_dir):
     return m.select(
         "month",
         "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("delta"),
-        F.round((F.col("revenue") / prev - 1) * 100, 4).alias("pct_growth"),
+        (F.round(F.col("revenue") - prev, 2) + F.lit(0.0)).alias("delta"),
+        (F.round((F.col("revenue") / prev - 1) * 100, 4) + F.lit(0.0)).alias(
+            "pct_growth"
+        ),
     )
 
 
