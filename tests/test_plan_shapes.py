@@ -848,3 +848,29 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_market_basket_pairs_have_no_shuffle_join(spark, sf_small):
+    """r3 rewrite: pair generation is a JVM array comprehension per
+    basket (Generate/explode), never a lineitem self-join — the plan
+    must contain no shuffle join at all."""
+    p = plan(QUERIES["market_basket_lift"].fn(spark, sf_small))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Generate" in p  # the explode-based pair expansion
+
+
+def test_simhash_pairs_have_no_postjoin_dedup(spark, sf_small):
+    """r3 rewrite: a pair sharing several signature blocks is emitted
+    only from the first shared block (a filter on the joined row), so
+    the old post-join distinct() — a HashAggregate keyed on the pair
+    — must be gone, and the only exchange left is the block-key
+    shuffle feeding the self-join."""
+    from aiports_data_warehouse_etl_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from aiports_data_warehouse_etl_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_small, "documents")
+    p = plan(simhash_pairs(docs))
+    assert "keys=[id_a" not in p and "keys=[id_b" not in p
+    assert p.count("HashAggregate") == 0
