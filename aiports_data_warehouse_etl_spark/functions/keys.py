@@ -40,9 +40,10 @@ def with_row_id(
 
 def with_scalable_row_id(
     df: DataFrame,
-    order_by: list[str],
+    order_by: list[Column | str],
     name: str,
     start: int = 0,
+    total_name: str | None = None,
 ) -> DataFrame:
     """Dense 0-based row id at fact scale: no single-partition window.
 
@@ -68,6 +69,12 @@ def with_scalable_row_id(
     silently renumbering — the correct failure mode for key
     assignment; use a reliable checkpoint dir if re-runs are cheaper
     than determinism risk.
+
+    ``total_name``: optionally also attach the TOTAL row count as a
+    literal long column of that name — it falls out of the offsets
+    pass for free, and global rank-family functions (ntile,
+    percent_rank, cume_dist) need it (see
+    ``queries.win_ntile_percent_rank``).
     """
     stamped = (
         df.repartitionByRange(*order_by)
@@ -80,15 +87,19 @@ def with_scalable_row_id(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets.append((row["__pid"], running))
         running += row["count"]
+    total = running - int(start)
     spark = df.sparkSession
     if not offsets:  # empty input: keep schema, zero rows
-        return df.withColumn(name, F.lit(0).cast("long")).limit(0)
+        out = df.withColumn(name, F.lit(0).cast("long")).limit(0)
+        if total_name is not None:
+            out = out.withColumn(total_name, F.lit(0).cast("long"))
+        return out
     # VALUES literal keeps the offset table JVM-side (createDataFrame
     # would round-trip it through a PythonRDD scan node)
     values = ", ".join(f"({int(p)}, {int(o)}L)" for p, o in offsets)
     off_df = spark.sql(f"SELECT * FROM VALUES {values} AS t(__pid, __off)")
     w = Window.partitionBy("__pid").orderBy(*order_by)
-    return (
+    out = (
         stamped.join(F.broadcast(off_df), "__pid")
         .withColumn(
             name,
@@ -96,6 +107,102 @@ def with_scalable_row_id(
         )
         .drop("__pid", "__off")
     )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.lit(total).cast("long"))
+    return out
+
+
+def with_scalable_prefix_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    name: str,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over a total ordering, at
+    fact scale: no single-partition window (the classic 100 TB
+    scale-killer — ``Window.orderBy(...)`` with no partition spec
+    funnels the whole table through ONE task's sort).
+
+    Same two-pass decomposition as ``with_scalable_row_id``:
+
+    1. range-repartition on the ordering key (distributed sort),
+       stamp partition ids, ``localCheckpoint`` to pin the layout;
+    2. ONE row per partition of sum partials (bounded driver collect)
+       → exclusive cumulative offsets;
+    3. broadcast the tiny offset table back and add a
+       *within-partition* running sum — every partition windows only
+       its own rows, so the sort work is already done and no task
+       sees more than one partition's worth of data.
+
+    Result is bit-identical to
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` for
+    any total ordering (ties in a partial ordering would make either
+    form nondeterministic — pass a key-complete ordering).
+    """
+    stamped = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    partials = (
+        stamped.groupBy("__pid").agg(F.sum(value_col).alias("__s")).collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(partials, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += int(row["__s"] or 0)
+    spark = df.sparkSession
+    if not offsets:  # empty input: keep schema, zero rows
+        return df.withColumn(name, F.lit(0).cast("long")).limit(0)
+    values = ", ".join(f"({int(p)}, {int(o)}L)" for p, o in offsets)
+    off_df = spark.sql(f"SELECT * FROM VALUES {values} AS t(__pid, __off)")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stamped.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            name,
+            (F.sum(value_col).over(w) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def with_scalable_ntile(
+    df: DataFrame,
+    order_by: list[Column | str],
+    k: int,
+    name: str,
+) -> DataFrame:
+    """``ntile(k)`` over a total order without the single-partition
+    global window. ntile reduces to (row position, total count):
+
+      first (n % k) buckets get ceil(n/k) rows, the rest floor(n/k)
+
+    — the ANSI definition Spark and DuckDB both implement — so the
+    two-pass range-partitioned row id (``with_scalable_row_id``) plus
+    closed-form arithmetic is bit-identical to
+    ``ntile(k) OVER (ORDER BY ...)`` for any key-complete ordering,
+    and survives 100 TB where ``Window.orderBy`` funnels every row
+    through one task. Pass ``Column`` orderings (e.g. ``desc()``)
+    freely — they flow through repartitionByRange / sort / window
+    unchanged.
+    """
+    out = with_scalable_row_id(df, order_by, "__nt_r0", total_name="__nt_n")
+    r = F.col("__nt_r0") + 1  # 1-based position
+    n = F.col("__nt_n")
+    q, rem = F.floor(n / k), n % k
+    big = (q + 1) * rem  # rows living in the first `rem` larger buckets
+    tile = (
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("long")
+    )
+    return out.withColumn(name, tile).drop("__nt_r0", "__nt_n")
 
 
 def first_seen_id(
