@@ -481,6 +481,21 @@ def simhash_signatures(
             sig = sig + F.when(
                 cnt * 2 > F.col("nt"), F.lit(1 << i)
             ).otherwise(F.lit(0)).cast("long")
+    # A doc with >= 2^20 distinct tokens would overflow its 20-bit
+    # vote lane into the next lane and silently corrupt the signature
+    # — fail LOUDLY instead (ADVICE r3). `nt` is already in hand, so
+    # the guard is one branch per doc, not a separate pass.
+    sig = F.when(F.col("nt") < F.lit(1 << 20), sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash vote-lane overflow: document "),
+                F.col("id").cast("string"),
+                F.lit(" has >= 2^20 distinct tokens (nt="),
+                F.col("nt").cast("string"),
+                F.lit("); split the document or widen the lanes"),
+            )
+        ).cast("long")
+    )
     return votes.select("id", sig.alias("sig"))
 
 

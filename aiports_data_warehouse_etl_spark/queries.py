@@ -3656,7 +3656,16 @@ def stream_foreachbatch_txlog(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        qy.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout WITHOUT
+        # raising — ignoring it would aggregate a silently partial
+        # txlog snapshot (ADVICE r3)
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise TimeoutError(
+                "stream_foreachbatch_txlog: availableNow stream did not "
+                "terminate within 300s — refusing to read a partial "
+                "snapshot"
+            )
         out = (
             t.read()
             .groupBy("event_type")

@@ -402,6 +402,24 @@ class TxLogTable:
         """
         base = self._snapshot()
         src = source
+        # Enforce the MERGE multi-match contract loudly (ADVICE r3):
+        # duplicate source keys would silently insert duplicate rows
+        # where Delta/standard MERGE raises. One short-circuiting job
+        # (limit(1) after the HAVING-style filter), source-sized only.
+        dup = (
+            src.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                "merge_upsert: source has multiple rows for key "
+                f"{key_vals} — MERGE requires at most one source row "
+                "per key (pre-aggregate or dedupe the source)"
+            )
         if base["version"] < 0 or not base["files"]:
             return self.append(src)
         paths = {

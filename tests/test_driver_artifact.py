@@ -62,19 +62,20 @@ def test_driver_artifact_covers_registry():
     )
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="canary against the LATEST driver artifact: red while that "
-    "artifact predates this round's fixes (r2 recorded the 5 rows "
-    "fixed in r3); expected to pass from CORRECTNESS_r03 on",
-)
 def test_driver_artifact_rows_are_green():
+    """HARD gate since CORRECTNESS_r03 went 50/50 green: any red row
+    in the latest driver artifact fails the suite. (The xfail marker
+    that muted this while r2's artifact had known-red rows is gone —
+    ADVICE r4 — so a future red artifact is loud again.)"""
     art = _latest_artifact()
     if art is None:
         pytest.skip("no driver CORRECTNESS artifact yet")
     n, data = art
-    if n < 2:
-        pytest.skip("r1 artifact predates the deterministic-aggregate fixes")
+    if n < 3:
+        pytest.skip(
+            "artifact predates r3 (r1 partial; r2 recorded the 5 rows "
+            "fixed in r3) — gate applies from CORRECTNESS_r03 on"
+        )
     bad = {}
     for name, row in data.items():
         if name not in QUERIES or not isinstance(row, dict):
@@ -86,3 +87,50 @@ def test_driver_artifact_rows_are_green():
         elif QUERIES[name].oracle is not None and not row.get("hash_match"):
             bad[name] = "hash mismatch"
     assert not bad, f"driver CORRECTNESS_r{n:02d} red rows: {bad}"
+
+
+def test_sweep_window_invariants():
+    """The driver sweeps the first _SWEEP_BUDGET queries() entries, so
+    pin the rotation contract (VERDICT r3 #2/#6): pinned lists are
+    duplicate-free and resolve to real registry entries; every §2
+    contract query sits inside the window; and every rotated-in slot
+    is ORACLED (the sweep window must stay 100% hash-checked —
+    rows-only entries never rotate in)."""
+    import __spark_entry__ as e
+
+    assert len(e._CONTRACT) == len(set(e._CONTRACT))
+    assert len(e._FORCE_THIS_ROUND) == len(set(e._FORCE_THIS_ROUND))
+    unknown = [
+        n for n in e._CONTRACT + e._FORCE_THIS_ROUND if n not in QUERIES
+    ]
+    assert unknown == [], f"pinned names not in registry: {unknown}"
+
+    window = list(e.queries())[: e._SWEEP_BUDGET]
+    missing = [n for n in e._CONTRACT if n not in window]
+    assert missing == [], f"contract queries outside sweep window: {missing}"
+
+    pinned = set(e._CONTRACT) | set(e._FORCE_THIS_ROUND)
+    unoracled = [
+        n for n in window
+        if n not in pinned and QUERIES[n].oracle is None
+    ]
+    assert unoracled == [], f"rows-only entries rotated into window: {unoracled}"
+
+
+def test_sweep_window_rotates_to_unswept():
+    """Rotation actually rotates: given the recorded artifacts, the
+    window must contain a meaningful slice of never-driver-swept
+    oracled queries (the whole point of VERDICT r3 #2) — unless
+    nearly everything has been swept already."""
+    import __spark_entry__ as e
+
+    hist = e._sweep_history()
+    oracled = {n for n, s in QUERIES.items() if s.oracle is not None}
+    unswept = oracled - set(hist)
+    if len(unswept) < 25:
+        pytest.skip("registry nearly fully driver-certified")
+    window = list(e.queries())[: e._SWEEP_BUDGET]
+    fresh = [n for n in window if n in unswept]
+    assert len(fresh) >= 25, (
+        f"only {len(fresh)} never-swept queries in the sweep window"
+    )

@@ -600,3 +600,18 @@ def test_merge_upsert_additive_schema_evolution(spark, tbl):
     tbl.merge_upsert(src, keys=["id"])
     got = {r.id: (r.s, r.score) for r in tbl.read().collect()}
     assert got == {1: ("a", None), 2: ("B", 7.5), 3: ("c", 1.5)}
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, tbl):
+    """MERGE multi-match contract (ADVICE r4): duplicate keys in the
+    source raise instead of silently inserting duplicate rows."""
+    import pytest
+
+    tbl.append(spark.createDataFrame([(1, "a")], "id int, s string"))
+    dup_src = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "id int, s string"
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        tbl.merge_upsert(dup_src, keys=["id"])
+    # table unchanged
+    assert tbl.read().count() == 1

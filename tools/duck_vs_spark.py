@@ -54,7 +54,10 @@ def main() -> None:
     rows = []
     for name in top:
         spec = QUERIES[name]
-        s = best_of(lambda: spec.fn(spark, sf_dir).count())
+        # collect(), not count(): DuckDB's side runs fetchall(), and
+        # count() would let Spark prune columns / skip materializing
+        # output rows — biasing the ratio Spark-ward (ADVICE r3)
+        s = best_of(lambda: spec.fn(spark, sf_dir).collect())
         spark.catalog.clearCache()
         d = best_of(lambda: con.execute(spec.oracle).fetchall())
         rows.append((name, s, d))
