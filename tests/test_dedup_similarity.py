@@ -380,13 +380,13 @@ def test_pca_projection_variance_matches_eigenvalue(spark, sf_small):
 
 
 def test_simhash_vote_lane_overflow_is_loud(spark):
-    """A document with >= 2^20 distinct tokens would overflow the
-    packed 20-bit vote lanes and silently corrupt its signature — the
+    """A document with >= 2^15 distinct tokens would overflow the
+    packed 15-bit vote lanes and silently corrupt its signature — the
     guard must raise instead (ADVICE r4)."""
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
-    n = 1 << 20
+    n = 1 << 15
     text = " ".join(f"t{i}" for i in range(n))
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     with pytest.raises(SparkRuntimeException, match="vote-lane overflow"):
