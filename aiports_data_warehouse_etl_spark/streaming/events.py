@@ -239,6 +239,97 @@ def user_activity_state_stream(
     )
 
 
+def user_stats_restartable_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+):
+    """Checkpoint-RESTARTABLE per-user running stats: the same
+    arbitrary-stateful accumulator as ``user_activity_state_stream``
+    (applyInPandasWithState, RocksDB state store) but with a durable
+    foreachBatch parquet sink — the memory sink refuses to recover
+    from an existing checkpoint, so the twin above cannot exercise the
+    restart path. Each microbatch appends its per-key UPDATE rows
+    (user_id, n_events, total_value, batch_id); the latest row per
+    key is the current state, and a restarted query resumes from the
+    checkpointed RocksDB snapshot + source offsets — new data only,
+    no reprocessing, state intact (VERDICT r3 #8: pinned by
+    tests/test_streaming_multimodal.py at ~100k keys).
+
+    Scale note: state is keyed and partitioned by user_id; RocksDB
+    keeps it off-heap and snapshot-uploads changelogs to the
+    checkpoint, so restart cost is bounded by state size, not by
+    history length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_load_stream(
     spark: SparkSession,
     curated_delta_dir: str,
