@@ -1,0 +1,139 @@
+"""Generate a deterministic ~10x (sf1) rehearsal dataset in /tmp/sf1
+for the dedup / ANN / graph scale rehearsal (VERDICT r3 #5).
+
+/root/testdata is read-only and tops out at sf0.1, so the rehearsal
+tables are synthesized here — distribution-matched to sf0.1, not naive
+10x replication, because replication would be adversarial for dedup
+(every doc near-dups its 9 clones → quadratic candidate blowup that no
+real corpus exhibits):
+
+- documents (50k): word-salad with the sf0.1 length distribution
+  (10..100 tokens, mean ~54) over a 10x-ENLARGED vocabulary (310
+  words — real corpora grow vocab with size, which keeps per-shingle
+  bucket sizes roughly scale-invariant), same lang/source mixes, and
+  exact duplicates planted at the sf0.1 rate (~1 in 600). All
+  deterministic Lehmer-hash arithmetic, no RNG.
+- embeddings (20k): 10 copies of each sf0.1 vector with a per-copy
+  deterministic perturbation (copies are near- but not exact
+  neighbors — the ANN probe structure stays realistic).
+- lineitem (6M): 10 key-shifted copies of sf0.1 — for the graph
+  family this is 10 disjoint copies of the co-order graph: node and
+  edge counts scale 10x, which is exactly what the shuffle
+  measurement needs.
+- nation: copied verbatim (dimension).
+
+Run: python tools/gen_sf1.py   (writes /tmp/sf1/*.parquet, ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sf1"
+M = 2147483647
+
+N_DOCS = 50_000
+N_VECS = 20_000
+COPIES = 10
+
+
+def lehmer(expr: str) -> str:
+    """3-step MINSTD mix of an integer SQL expression (uniform even
+    for small/structured inputs — see queries._STRAT_HASH)."""
+    return (
+        f"((({expr}) % {M} * 48271 % {M}) * 48271 % {M}) * 48271 % {M}"
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "32g")}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    # ---- documents ----------------------------------------------------
+    base_vocab = [
+        r[0]
+        for r in spark.read.parquet(f"{SRC}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .distinct()
+        .orderBy("w")
+        .collect()
+    ]
+    vocab = [f"{w}{sfx}" if sfx else w
+             for w in base_vocab for sfx in ["", *map(str, range(1, 10))]]
+    vocab_lit = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    langs = "array('en','en','en','en','zh','de','fr','es','en','fr')"
+    # exact-dup planting: ~1/600 docs reuses the previous doc's text
+    base_id = "(doc_id - (CASE WHEN doc_id % 600 = 1 THEN 1 ELSE 0 END))"
+    n_tok = f"(10 + {lehmer(base_id + ' * 7 + 13')} % 91)"
+    word = lehmer(f"{base_id} * 100003 + j * 16807 + 7")
+    docs = (
+        spark.range(N_DOCS)
+        .withColumnRenamed("id", "doc_id")
+        .selectExpr(
+            "doc_id",
+            f"array_join(transform(sequence(1, {n_tok}), "
+            f"j -> element_at({vocab_lit}, "
+            f"CAST(1 + {word} % {len(vocab)} AS INT))), ' ') AS text",
+            f"element_at({langs}, "
+            f"CAST(1 + {lehmer('doc_id * 31 + 5')} % 10 AS INT)) AS lang",
+            f"concat('src', CAST(doc_id % 20 AS STRING)) AS source",
+        )
+        .selectExpr("doc_id", "text", "lang", "source",
+                    "CAST(length(text) AS BIGINT) AS n_chars")
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/documents.parquet"
+    )
+
+    # ---- embeddings ---------------------------------------------------
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb = (
+        base.crossJoin(
+            spark.range(COPIES).withColumnRenamed("id", "copy")
+        )
+        .selectExpr(
+            "vec_id + copy * 2000 AS vec_id",
+            "transform(embedding, (x, i) -> CAST(x + copy * 0.001 * "
+            "((i % 7) - 3) AS FLOAT)) AS embedding",
+            "label",
+        )
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+
+    # ---- lineitem + nation -------------------------------------------
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    li10 = (
+        li.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("copy") * F.lit(shift)
+        )
+        .drop("copy")
+    )
+    li10.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
+    )
+    spark.read.parquet(f"{SRC}/nation.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/nation.parquet")
+
+    for t in ("documents", "embeddings", "lineitem"):
+        print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())
+
+
+if __name__ == "__main__":
+    main()
