@@ -9961,3 +9961,73 @@ def cluster_top_terms(spark, sf_dir):
         .filter((F.col("rnk") <= 3) & (F.col("score") > 0))
         .select("label", "term", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@q(
+    "agg_listagg_within_group",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg_within_group(spark, sf_dir):
+    """ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) — Spark 4's native
+    ordered string aggregation (SPARK-42746), the standard
+    report-formatting surface (DuckDB twin: string_agg with ORDER BY).
+    Deterministic because the within-group order is total. Runs on the
+    25-row nation/region dims; at fact scale the ordered concat is a
+    per-group sort — bound group sizes (or switch to
+    collect_list + array_sort + array_join, identical output) before
+    pointing it at 1e9-row groups."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+    )
+
+
+@q(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """EXACT percentiles — percentile_cont (linear interpolation) and
+    percentile_disc (an actual data value) WITHIN GROUP, the ANSI
+    ordered-set aggregates (vs the approx_sketches mergeable
+    estimates). Exact percentile is a per-group sort: fine for
+    bounded group counts; at 100 TB switch to percentile_approx or a
+    two-pass range-partitioned selection — the approx twin IS the
+    scale path, this is the audit-grade exact surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            2,
+        ).alias("median_price"),
+        F.round(
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            2,
+        ).alias("p90_price"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            2,
+        ).alias("p90_disc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
