@@ -9999,35 +9999,57 @@ def agg_listagg_within_group(spark, sf_dir):
 @q(
     "agg_exact_percentiles",
     """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem)
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-           round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_disc,
+           round(quantile_cont(cents, 0.5) / 100, 2) AS median_price,
+           round(quantile_disc(cents, 0.9) / 100.0, 2) AS p90_disc,
+           round(quantile_disc(cents, 0.1) / 100.0, 2) AS p10_disc,
            CAST(count(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
+    FROM c GROUP BY l_returnflag
     """,
 )
 def agg_exact_percentiles(spark, sf_dir):
     """EXACT percentiles — percentile_cont (linear interpolation) and
     percentile_disc (an actual data value) WITHIN GROUP, the ANSI
     ordered-set aggregates (vs the approx_sketches mergeable
-    estimates). Exact percentile is a per-group sort: fine for
-    bounded group counts; at 100 TB switch to percentile_approx or a
-    two-pass range-partitioned selection — the approx twin IS the
-    scale path, this is the audit-grade exact surface."""
-    li = _t(spark, sf_dir, "lineitem")
+    estimates). Cross-engine determinism: interpolation over DOUBLES
+    differs by 1 ulp between engines (a+(b-a)*f vs (1-f)*a+f*b) and
+    flips round() at .xx5 boundaries, so the median interpolates over
+    integer CENTS — midpoint of two integers is exact in IEEE — and
+    the tail percentiles use percentile_disc, which returns a real
+    data value with no interpolation at all. Exact percentile is a
+    per-group sort: fine for bounded group counts; at 100 TB switch
+    to percentile_approx or a two-pass range-partitioned selection —
+    the approx twin IS the scale path, this is the audit-grade exact
+    surface."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+            / 100,
             2,
         ).alias("median_price"),
-        F.round(
-            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
-            2,
-        ).alias("p90_price"),
-        F.round(
-            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
-            2,
-        ).alias("p90_disc"),
+        (
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            / F.lit(100.0)
+        ).alias("__p90"),
+        (
+            F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY cents)")
+            / F.lit(100.0)
+        ).alias("__p10"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "l_returnflag",
+        "median_price",
+        F.round("__p90", 2).alias("p90_disc"),
+        F.round("__p10", 2).alias("p10_disc"),
+        "n",
     )
