@@ -45,12 +45,15 @@ N_VECS = 20_000
 COPIES = 10
 
 
-def lehmer(expr: str) -> str:
-    """3-step MINSTD mix of an integer SQL expression (uniform even
-    for small/structured inputs — see queries._STRAT_HASH)."""
-    return (
-        f"((({expr}) % {M} * 48271 % {M}) * 48271 % {M}) * 48271 % {M}"
-    )
+def h64(expr: str) -> str:
+    """Non-linear 64-bit hash of a SQL expression. NOT the Lehmer
+    multiply — that is linear (h(x+d) = h(x)+h(d) mod M), so hashing
+    consecutive positions j, j+1 produced an arithmetic progression
+    and the first cut of this generator emitted only ~930 distinct
+    3-shingles across the whole corpus (every doc near-dup'd every
+    other). xxhash64 mixes properly; the generator only needs
+    within-Spark determinism, not cross-engine arithmetic."""
+    return f"abs(xxhash64({expr}))"
 
 
 def main() -> None:
@@ -74,10 +77,20 @@ def main() -> None:
              for w in base_vocab for sfx in ["", *map(str, range(1, 10))]]
     vocab_lit = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
     langs = "array('en','en','en','en','zh','de','fr','es','en','fr')"
-    # exact-dup planting: ~1/600 docs reuses the previous doc's text
-    base_id = "(doc_id - (CASE WHEN doc_id % 600 = 1 THEN 1 ELSE 0 END))"
-    n_tok = f"(10 + {lehmer(base_id + ' * 7 + 13')} % 91)"
-    word = lehmer(f"{base_id} * 100003 + j * 16807 + 7")
+    # planting: ~1/600 docs is an EXACT dup of its predecessor; ~1/200
+    # is a NEAR dup of doc_id-2 (same length/word stream with ~10% of
+    # positions mutated) so the near-dup operators have real structure
+    # to find at a realistic, scale-invariant rate
+    base_id = (
+        "(doc_id - (CASE WHEN doc_id % 600 = 1 THEN 1 "
+        "WHEN doc_id % 200 = 2 THEN 2 ELSE 0 END))"
+    )
+    n_tok = f"(10 + {h64(base_id + ' * 7 + 13')} % 91)"
+    mutate = f"(doc_id % 200 = 2 AND {h64('doc_id * 13 + j')} % 10 = 0)"
+    word = (
+        f"(CASE WHEN {mutate} THEN {h64('doc_id * 999983 + j')} "
+        f"ELSE {h64(base_id + ' * 100003 + j')} END)"
+    )
     docs = (
         spark.range(N_DOCS)
         .withColumnRenamed("id", "doc_id")
@@ -87,7 +100,7 @@ def main() -> None:
             f"j -> element_at({vocab_lit}, "
             f"CAST(1 + {word} % {len(vocab)} AS INT))), ' ') AS text",
             f"element_at({langs}, "
-            f"CAST(1 + {lehmer('doc_id * 31 + 5')} % 10 AS INT)) AS lang",
+            f"CAST(1 + {h64('doc_id * 31 + 5')} % 10 AS INT)) AS lang",
             f"concat('src', CAST(doc_id % 20 AS STRING)) AS source",
         )
         .selectExpr("doc_id", "text", "lang", "source",

@@ -46,7 +46,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    results: dict[str, dict] = {}
+    out: dict = {"results": {}, "telemetry": {}}
+
+    def flush() -> None:  # crash-safe: partial results survive
+        with open("/tmp/BENCH_sf1.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+
     for name in FAMILIES:
         row: dict = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
@@ -61,30 +66,29 @@ def main() -> None:
             row["ratio"] = round(
                 row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 1
             )
-        results[name] = row
+        out["results"][name] = row
+        flush()
         print(name, json.dumps(row), flush=True)
 
     # candidate-pair telemetry for the bucketed dedup operators
     from aiports_data_warehouse_etl_spark.operators import dedup as D
 
-    telemetry: dict[str, dict] = {}
     for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         n_docs = docs.count()
-        minhash_cand = D.lsh_candidate_pairs(docs, threshold=0.5).count()
+        minhash_cand = D.lsh_candidate_pairs(docs).count()
         simhash_out = D.simhash_pairs(docs, max_hamming=3).count()
-        telemetry[label] = {
+        shingles = D.shingle_rows(docs)
+        out["telemetry"][label] = {
             "n_docs": n_docs,
+            "distinct_shingles": shingles.select("s").distinct().count(),
             "minhash_candidate_pairs": minhash_cand,
             "minhash_pairs_per_doc": round(minhash_cand / n_docs, 2),
             "simhash_verified_pairs": simhash_out,
             "simhash_pairs_per_doc": round(simhash_out / n_docs, 2),
         }
-        print(label, json.dumps(telemetry[label]), flush=True)
-
-    out = {"results": results, "telemetry": telemetry}
-    with open("/tmp/BENCH_sf1.json", "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        flush()
+        print(label, json.dumps(out["telemetry"][label]), flush=True)
     print("wrote /tmp/BENCH_sf1.json")
 
 
