@@ -10053,3 +10053,219 @@ def agg_exact_percentiles(spark, sf_dir):
         F.round("__p10", 2).alias("p10_disc"),
         "n",
     )
+
+
+@q(
+    "ts_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             sum(value) AS hourly_value
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, hour_start, hourly_value,
+             avg(hourly_value) OVER w AS mu,
+             stddev_samp(hourly_value) OVER w AS sigma,
+             count(*) OVER w AS n_window
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(hour_start AS STRING) AS hour_start,
+           round(hourly_value, 2) AS hourly_value,
+           round((hourly_value - mu) / sigma, 4) + 0.0 AS zscore
+    FROM s
+    WHERE n_window >= 12 AND sigma > 0
+      AND abs((hourly_value - mu) / sigma) > 2.5
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on the hourly event-value
+    series: each hour scored against the TRAILING 24-hour window
+    (exclusive of itself — no self-contamination), flagged when
+    |z| > 2.5 with at least half a day of history. The standard
+    monitoring primitive; windows are partitioned by event_type so
+    the plan scales with series count, and the pre-aggregation
+    reduces the fact to |hours|x|types| rows before any window
+    runs — the window input is bounded regardless of raw event
+    volume."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.sum("value").alias("hourly_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    s = h.select(
+        "event_type",
+        "hour_start",
+        "hourly_value",
+        F.avg("hourly_value").over(w).alias("mu"),
+        F.stddev_samp("hourly_value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("hourly_value") - F.col("mu")) / F.col("sigma")
+    return (
+        s.filter(
+            (F.col("n_window") >= 12) & (F.col("sigma") > 0)
+            & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_type",
+            F.col("hour_start").cast("string").alias("hour_start"),
+            F.round("hourly_value", 2).alias("hourly_value"),
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+        )
+    )
+
+
+@q(
+    "evt_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT CAST(f.cohort_week AS STRING) AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
+             AS weeks_since,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, datediff('week', f.cohort_week, a.active_week)
+    """,
+)
+def evt_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    counted in every later week they were active — the classic
+    retention triangle. Two keyed aggregations + one user-keyed join;
+    the join input is |users| x |weeks-active| (already distinct), so
+    the plan scales with user count, never raw events. DuckDB's
+    datediff('week') counts week-boundary crossings, which equals
+    the truncated-week difference / 7 days — both sides compute on
+    date_trunc'd values so the semantics line up exactly."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    j = first_seen.join(activity, "user_id")
+    weeks_since = (
+        F.datediff(
+            F.col("active_week").cast("date"),
+            F.col("cohort_week").cast("date"),
+        )
+        / 7
+    ).cast("long")
+    return (
+        j.select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            weeks_since.alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@q(
+    "emb_matryoshka_truncate",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20),
+    full_rank AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_COS_SQL.format(a='q.qv', b='CAST(e.embedding AS DOUBLE[])')} DESC,
+                        e.vec_id) AS rnk
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    trunc_rank AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_COS_SQL.format(a='list_slice(q.qv, 1, 16)', b='list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16)')} DESC,
+                        e.vec_id) AS rnk
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+    SELECT f.qid,
+           CAST(count(*) FILTER (WHERE t.rnk <= 10) AS BIGINT) AS recall_hits
+    FROM full_rank f
+    JOIN trunc_rank t ON f.qid = t.qid AND f.vec_id = t.vec_id
+    WHERE f.rnk <= 10
+    GROUP BY f.qid
+    """,
+)
+def emb_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-embedding evaluation: for 20 probe vectors, how many
+    of the full-dimension cosine top-10 survive when both sides are
+    truncated to the first 16 dims — the measurement that decides
+    whether a cheaper prefix index is good enough to serve recall
+    (truncate -> coarse search -> full-dim re-rank is the standard
+    two-stage ANN deployment). Both rankings are brute-force with a
+    broadcast 20-row probe side (declared-exact yardstick, same
+    pattern as sim_bruteforce_topk); tie-broken on vec_id so the
+    DuckDB twin is bit-exact."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return dot / (na * nb)
+
+    pairs = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
+    trunc = lambda c: F.slice(c, 1, 16)  # noqa: E731
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        cos(F.col("qv"), F.col("v")).alias("cos_full"),
+        cos(trunc(F.col("qv")), trunc(F.col("v"))).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc("cos_full"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.desc("cos_trunc"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wt).alias("rnk_trunc"),
+    )
+    return (
+        ranked.filter(F.col("rnk_full") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.count(F.when(F.col("rnk_trunc") <= 10, 1))
+            .cast("long")
+            .alias("recall_hits")
+        )
+    )
