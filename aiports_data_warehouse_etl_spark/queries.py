@@ -3360,6 +3360,68 @@ def tlog_acid_table(spark, sf_dir):
 
 
 @q(
+    "tlog_clustered_prune",
+    """
+    SELECT CAST(substr(CAST(l_shipdate AS STRING), 1, 7) AS STRING) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-06-01'
+    GROUP BY substr(CAST(l_shipdate AS STRING), 1, 7)
+    """,
+)
+def tlog_clustered_prune(spark, sf_dir):
+    """Write-time range clustering on the transaction-log table
+    (liquid-clustering story, sources/txlog.py): lineitem lands via
+    ``append(cluster_by=["l_shipdate"])`` — range-partitioned + sorted
+    so each staged file carries tight, near-disjoint ship-date footer
+    stats in the LOG — and the 3-month query reads via
+    ``read(prune={"l_shipdate": ...})``, which drops non-intersecting
+    files before Spark opens them: hive-partition-level skipping
+    without a frozen directory scheme (file-skip ratio pinned in
+    tests/test_txlog.py::test_clustered_append_prunes_files). The
+    aggregate must match plain SQL over the full table — pruning is
+    pure IO avoidance, never a semantics change."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_cl_")
+    try:
+        t = TxLogTable(spark, root + "/li_t")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice"
+        )
+        t.append(li, cluster_by=["l_shipdate"], cluster_partitions=16)
+        lo = datetime.date(1995, 3, 1)
+        hi = datetime.date(1995, 6, 1)
+        # footer stats for DATE columns are recorded as ISO strings
+        # (lexicographic == chronological); prune with the same type
+        out = (
+            t.read(prune={"l_shipdate": (lo.isoformat(), hi.isoformat())})
+            .filter(
+                (F.col("l_shipdate") >= F.lit(lo))
+                & (F.col("l_shipdate") < F.lit(hi))
+            )
+            .groupBy(
+                F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias(
+                    "ship_month"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -239,10 +239,36 @@ class TxLogTable:
 
     # -- write operations ----------------------------------------------
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> int:
         """Blind append: stages once, then rebases onto whatever the
         latest version is until the commit lands (appends always
-        commute)."""
+        commute).
+
+        ``cluster_by`` range-partitions + sorts the batch on those
+        columns BEFORE staging, so each staged file carries tight,
+        near-disjoint min/max footer stats on the clustered key —
+        ``read(prune=...)`` then skips whole files exactly the way
+        hive-style partition pruning would, without the
+        directory-layout rigidity (and ``compact(sort_by=...)`` can
+        re-cluster incrementally later — the liquid-clustering
+        story: clustering is a property of FILES + LOG STATS, not of
+        a frozen directory scheme)."""
+        if cluster_by:
+            # explicit partition count: AQE happily coalesces a tiny
+            # range shuffle into ONE partition, which collapses the
+            # clustering into a single file and defeats pruning
+            args = ([cluster_partitions] if cluster_partitions else []) + list(
+                cluster_by
+            )
+            df = df.repartitionByRange(*args).sortWithinPartitions(
+                *cluster_by
+            )
         adds, schema = self._stage(df)
         for _ in range(max_retries):
             v = self.latest_version() + 1

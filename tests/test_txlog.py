@@ -670,3 +670,38 @@ def test_vacuum_reaps_abandoned_staging(spark, tbl):
     assert sorted(deleted) == sorted(a["path"] for a in adds)
     assert not os.path.exists(tbl._marker_path(token))
     assert tbl.read().count() == 1
+
+
+def test_clustered_append_prunes_files(spark, tbl, sf_small):
+    """append(cluster_by=...) + read(prune=...) is the
+    liquid-clustering contract: range-clustered files carry
+    near-disjoint stats, so a narrow range read SKIPS most files
+    (here: >= half), while an unclustered copy of the same data skips
+    none-to-few — and the surviving rows are identical either way."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        TxLogTable,
+        _stats_may_match,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    tbl.append(li, cluster_by=["l_shipdate"], cluster_partitions=8)
+    prune = {"l_shipdate": ("1995-03-01", "1995-06-01")}
+    files = tbl._snapshot()["files"]
+    kept = [r for r, st in files.items() if _stats_may_match(st, prune)]
+    assert len(files) >= 4
+    assert len(kept) <= len(files) // 2, (
+        f"clustered table kept {len(kept)}/{len(files)} files for a "
+        "3-month slice — clustering is not producing disjoint stats"
+    )
+    # row-level result identical to an unpruned filter
+    lo, hi = "1995-03-01", "1995-06-01"
+    pruned = tbl.read(prune=prune).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    full = tbl.read().filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    assert pruned.count() == full.count()
+    assert pruned.exceptAll(full).count() == 0
