@@ -3422,6 +3422,63 @@ def tlog_clustered_prune(spark, sf_dir):
 
 
 @q(
+    "tlog_delete_dv",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 OR o_totalprice > 400000)
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_delete_dv(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors
+    (sources/txlog.py:delete_where_dv): the delete commits only the
+    (file, row position) addresses of the removed rows — O(deleted
+    rows) instead of copy-on-write's O(bytes of touched files), the
+    right trade at 100 TB when a small delete scatters across
+    thousands of multi-GB files. The data file set is UNCHANGED by
+    the delete (asserted), readers anti-join the DV on the _metadata
+    row address, count_rows stays metadata-exact, and compaction
+    later applies + drops DVs (lifecycle pinned in
+    tests/test_txlog.py::test_deletion_vector_*). The post-delete
+    aggregate must equal plain SQL with the delete folded into the
+    WHERE clause."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_dv_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))
+        files_before = set(t._snapshot()["files"])
+        t.delete_where_dv("o_orderkey % 7 = 0 OR o_totalprice > 400000")
+        snap = t._snapshot()
+        assert set(snap["files"]) == files_before, (
+            "DV delete must not rewrite data files"
+        )
+        assert t.count_rows() == t.read().count()
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

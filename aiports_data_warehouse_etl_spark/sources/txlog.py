@@ -146,14 +146,15 @@ class TxLogTable:
         """
         head = self.latest_version() if version is None else version
         if head < 0:
-            return {"version": -1, "schema": None, "files": {}}
+            return {"version": -1, "schema": None, "files": {}, "dvs": {}}
         start = 0
-        state: dict = {"schema": None, "files": {}}
+        state: dict = {"schema": None, "files": {}, "dvs": {}}
         for v in range(head, -1, -1):
             cp = _checkpoint_path(self.path, v)
             if os.path.exists(cp):
                 with open(cp) as fh:
                     state = json.load(fh)
+                state.setdefault("dvs", {})  # pre-DV checkpoints
                 start = v + 1
                 break
         for v in range(start, head + 1):
@@ -162,8 +163,17 @@ class TxLogTable:
                 state["schema"] = commit["schema"]
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
+                # a removed (rewritten/compacted) file takes its
+                # deletion vectors with it — the rewrite already
+                # applied them
+                state["dvs"].pop(rel, None)
             for add in commit.get("add", []):
                 state["files"][add["path"]] = add["stats"]
+            if commit.get("op") == "delete_dv":
+                for data_rel, n in commit["dv_targets"].items():
+                    state["dvs"].setdefault(data_rel, []).append(
+                        {"file": commit["dv_file"], "rows": int(n)}
+                    )
         return {"version": head, **state}
 
     def _try_commit(self, version: int, commit: dict) -> bool:
@@ -185,7 +195,11 @@ class TxLogTable:
             os.close(fd)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
-            cp = {"schema": snap["schema"], "files": snap["files"]}
+            cp = {
+                "schema": snap["schema"],
+                "files": snap["files"],
+                "dvs": snap["dvs"],
+            }
             tmp = _checkpoint_path(self.path, version) + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 json.dump(cp, fh, sort_keys=True)
@@ -193,8 +207,11 @@ class TxLogTable:
         # commit landed: the staged files are now log-referenced, so
         # their intent markers are done (best-effort — vacuum also
         # reaps markers whose token appears in the log)
-        for add in commit.get("add", []):
-            token = add["path"].split(os.sep)[1]
+        staged = [add["path"] for add in commit.get("add", [])]
+        if commit.get("dv_file"):
+            staged.append(commit["dv_file"])
+        for rel in staged:
+            token = rel.split(os.sep)[1]
             try:
                 os.remove(self._marker_path(token))
             except OSError:
@@ -388,6 +405,107 @@ class TxLogTable:
             raise TxConflict("overwrite: table advanced past base snapshot")
         return base["version"] + 1
 
+    # -- deletion vectors ----------------------------------------------
+
+    _REL_EXTRACT = r"(data/[^/]+/[^/]+)$"
+
+    def _read_with_dvs(
+        self,
+        rel_files: list[str],
+        dvs: dict,
+        keep_lineage: bool = False,
+    ) -> DataFrame:
+        """Read the given data files with their deletion vectors
+        applied (anti-join on (file, row position) — AQE broadcasts
+        the DV side when it is small, the common case). With
+        ``keep_lineage`` the ``__file_rel`` / ``__row_index`` columns
+        survive for callers that need row addresses (the DV writer
+        itself, COW hit detection). Lineage comes from the
+        ``_metadata`` hidden columns, captured ON THE SCAN before any
+        join (input_file_name() is single-source only)."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, rel) for rel in sorted(rel_files)]
+        )
+        relevant = sorted(
+            {
+                e["file"]
+                for rel in rel_files
+                for e in dvs.get(rel, [])
+            }
+        )
+        if not relevant and not keep_lineage:
+            return df
+        data_cols = df.columns
+        df = df.select(
+            *data_cols,
+            F.regexp_extract(
+                F.col("_metadata.file_path"), self._REL_EXTRACT, 1
+            ).alias("__file_rel"),
+            F.col("_metadata.row_index").alias("__row_index"),
+        )
+        if relevant:
+            dv = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, r) for r in relevant]
+                )
+                .select(
+                    F.col("file_rel").alias("__file_rel"),
+                    F.col("row_index").alias("__row_index"),
+                )
+                .distinct()
+            )
+            df = df.join(dv, ["__file_rel", "__row_index"], "left_anti")
+        return df if keep_lineage else df.select(*data_cols)
+
+    def delete_where_dv(self, predicate: str) -> int:
+        """MERGE-ON-READ delete: instead of rewriting every file that
+        contains a matching row (``delete_where``'s copy-on-write),
+        record the (file, row position) addresses of the deleted rows
+        in a DELETION VECTOR file and commit only that — O(deleted
+        rows) write cost instead of O(bytes of touched files). At
+        100 TB a delete of 1000 rows scattered across 1000 multi-GB
+        files costs kilobytes, not terabytes. Readers anti-join the
+        DV on the ``_metadata`` row address (``_read_with_dvs``);
+        ``compact`` physically applies and drops DVs (the standard
+        merge-on-read maintenance contract); ``count_rows`` subtracts
+        DV cardinalities so metadata counts stay exact. Same SQL
+        DELETE NULL semantics as ``delete_where``: only
+        predicate-TRUE rows are deleted."""
+        base = self._snapshot()
+        if base["version"] < 0 or not base["files"]:
+            return base["version"]
+        live = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
+        )
+        hits = (
+            live.filter(F.expr(predicate))
+            .select(
+                F.col("__file_rel").alias("file_rel"),
+                F.col("__row_index").alias("row_index"),
+            )
+        )
+        per_file = {
+            r["file_rel"]: r["n"]
+            for r in hits.groupBy("file_rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return base["version"]
+        adds, _ = self._stage(hits.coalesce(1))
+        dv_rel = adds[0]["path"]
+        commit = {
+            "op": "delete_dv",
+            "dv_file": dv_rel,
+            "dv_targets": {k: int(v) for k, v in sorted(per_file.items())},
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "delete_where_dv: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
     def delete_where(self, predicate: str) -> int:
         """Copy-on-write delete: ONLY files that actually contain a
         matching row are rewritten (found distributed, via
@@ -396,23 +514,17 @@ class TxLogTable:
         base = self._snapshot()
         if base["version"] < 0 or not base["files"]:
             return base["version"]
-        paths = {
-            os.path.join(self.path, rel): rel for rel in base["files"]
-        }
-        # mergeSchema mirrors read(): a rewrite after additive schema
-        # evolution must carry the union schema, not silently infer the
-        # oldest file's and drop the new column from surviving rows
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *sorted(paths)
-        )
-        hit_rows = (
-            df.filter(F.expr(predicate))
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
+        # DV-aware lineage scan: rows already deleted by a deletion
+        # vector must neither count as hits nor survive into rewrites
+        df = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
         )
         hit_rel = sorted(
-            paths[p] for p in (_strip_scheme(r["f"]) for r in hit_rows)
+            r["__file_rel"]
+            for r in df.filter(F.expr(predicate))
+            .select("__file_rel")
+            .distinct()
+            .collect()
         )
         if not hit_rel:
             return base["version"]
@@ -420,10 +532,13 @@ class TxLogTable:
         # TRUE — rows where it evaluates NULL (e.g. `col = 5` on a NULL
         # col) must SURVIVE, so the keep-filter is NOT(pred) OR ISNULL
         pred = F.expr(predicate)
+        data_cols = [
+            c for c in df.columns if c not in ("__file_rel", "__row_index")
+        ]
         survivors = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, rel) for rel in hit_rel])
+            self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
             .filter(~pred | pred.isNull())
+            .select(*data_cols)
         )
         adds, _ = self._stage(survivors)
         commit = {
@@ -473,32 +588,32 @@ class TxLogTable:
             )
         if base["version"] < 0 or not base["files"]:
             return self.append(src)
-        paths = {
-            os.path.join(self.path, rel): rel for rel in base["files"]
-        }
-        tgt = self.spark.read.option("mergeSchema", "true").parquet(
-            *sorted(paths)
+        # DV-aware lineage scan (rows deleted by a deletion vector are
+        # not merge targets and must not survive into rewrites); the
+        # lineage columns come from _metadata ON the scan, before the
+        # semi-join brings in the source relation
+        tgt = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
         )
         src_keys = src.select(*keys).distinct()
-        # input_file_name() is single-source only: capture it on the
-        # scan BEFORE the semi-join brings in the source relation
-        hit_rows = (
-            tgt.select(F.input_file_name().alias("f"), *keys)
+        hit_rel = sorted(
+            r["__file_rel"]
+            for r in tgt.select("__file_rel", *keys)
             .join(F.broadcast(src_keys), keys, "left_semi")
-            .select("f")
+            .select("__file_rel")
             .distinct()
             .collect()
         )
-        hit_rel = sorted(
-            paths[p] for p in (_strip_scheme(r["f"]) for r in hit_rows)
-        )
         survivors = None
         if hit_rel:
+            data_cols = [
+                c
+                for c in tgt.columns
+                if c not in ("__file_rel", "__row_index")
+            ]
             survivors = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(
-                    *[os.path.join(self.path, rel) for rel in hit_rel]
-                )
+                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                .select(*data_cols)
                 .join(F.broadcast(src_keys), keys, "left_anti")
             )
         new_data = (
@@ -535,17 +650,19 @@ class TxLogTable:
         clustered key (the write_sorted_parquet idea applied to
         maintenance instead of initial load)."""
         base = self._snapshot()
+        # rewrite candidates: small files (bin-packing) plus any file
+        # carrying a deletion vector — compaction is merge-on-read
+        # maintenance, physically applying DVs and dropping them from
+        # the log (their mapping dies with the removed file)
         small = sorted(
             rel for rel, st in base["files"].items()
-            if st["bytes"] < target_file_bytes
+            if st["bytes"] < target_file_bytes or rel in base["dvs"]
         )
-        if len(small) < 2:
+        if len(small) < 2 and not any(rel in base["dvs"] for rel in small):
             return base["version"]
         total = sum(base["files"][rel]["bytes"] for rel in small)
         n_out = max(1, -(-total // target_file_bytes))
-        packed = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, rel) for rel in small]
-        )
+        packed = self._read_with_dvs(small, base["dvs"])
         if sort_by:
             packed = packed.repartitionByRange(
                 int(n_out), *sort_by
@@ -588,10 +705,9 @@ class TxLogTable:
             return self.spark.createDataFrame([], empty_schema)
         # mergeSchema: snapshots may span appends written before and
         # after a column was added — the union schema (missing columns
-        # null) is the additive-evolution contract
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, rel) for rel in sorted(files)]
-        )
+        # null) is the additive-evolution contract. Deletion vectors
+        # (merge-on-read deletes) are applied inside _read_with_dvs.
+        return self._read_with_dvs(sorted(files), snap["dvs"])
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """File-diff change feed: every row inserted or deleted between
@@ -609,6 +725,51 @@ class TxLogTable:
         for v in range(from_version + 1, to_version + 1):
             c = self._read_commit(v)
             if c.get("op") == "compact":
+                continue
+            if c.get("op") == "delete_dv":
+                # merge-on-read delete: the deleted rows are the data
+                # rows the DV addresses — a semi-join on the row
+                # address reconstructs them exactly
+                dv_abs = os.path.join(self.path, c["dv_file"])
+                targets = sorted(c["dv_targets"])
+                gone = [
+                    p
+                    for p in [dv_abs]
+                    + [os.path.join(self.path, t) for t in targets]
+                    if not os.path.exists(p)
+                ]
+                if gone:
+                    raise ValueError(
+                        f"changes({from_version}, {to_version}): commit "
+                        f"{v}'s files were vacuumed ({len(gone)} missing) "
+                        "— the feed cannot be reconstructed past the "
+                        "retention window"
+                    )
+                data = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, t) for t in targets]
+                )
+                data_cols = data.columns
+                dv = self.spark.read.parquet(dv_abs).select(
+                    F.col("file_rel").alias("__file_rel"),
+                    F.col("row_index").alias("__row_index"),
+                )
+                deleted = (
+                    data.select(
+                        *data_cols,
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"),
+                            self._REL_EXTRACT,
+                            1,
+                        ).alias("__file_rel"),
+                        F.col("_metadata.row_index").alias("__row_index"),
+                    )
+                    .join(dv, ["__file_rel", "__row_index"], "left_semi")
+                    .select(*data_cols)
+                )
+                frames.append(
+                    deleted.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
                 continue
             for kind, rels in (
                 ("insert", [a["path"] for a in c.get("add", [])]),
@@ -653,10 +814,15 @@ class TxLogTable:
         no data file opened: O(live files) dict arithmetic, which is
         how a query engine should serve bare counts on a 100 TB table
         (the invariant `meta rows == actual rows` is test-pinned at
-        every version)."""
-        return sum(
-            st["rows"] for st in self._snapshot(version)["files"].values()
+        every version). Deletion-vector cardinalities (recorded at
+        commit time) are subtracted, so merge-on-read deletes keep
+        metadata counts exact."""
+        snap = self._snapshot(version)
+        total = sum(st["rows"] for st in snap["files"].values())
+        deleted = sum(
+            e["rows"] for entries in snap["dvs"].values() for e in entries
         )
+        return total - deleted
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version/op/file deltas — the
@@ -708,17 +874,25 @@ class TxLogTable:
         floor = max(self.latest_version() - retain_versions, 0)
         keep: set[str] = set()
         for v in range(floor, self.latest_version() + 1):
-            keep.update(self._snapshot(v)["files"])
+            snap = self._snapshot(v)
+            keep.update(snap["files"])
+            # deletion-vector files are live as long as any retained
+            # snapshot's read path needs them
+            keep.update(
+                e["file"] for entries in snap["dvs"].values() for e in entries
+            )
         now = time.time()
         # -- staging markers: reap committed/abandoned, honor live --
         in_flight: set[str] = set()
         staging_root = os.path.join(self.path, _STAGING_DIR)
         if os.path.isdir(staging_root):
-            committed_tokens = {
-                add["path"].split(os.sep)[1]
-                for v in range(0, self.latest_version() + 1)
-                for add in self._read_commit(v).get("add", [])
-            }
+            committed_tokens = set()
+            for v in range(0, self.latest_version() + 1):
+                c = self._read_commit(v)
+                for add in c.get("add", []):
+                    committed_tokens.add(add["path"].split(os.sep)[1])
+                if c.get("dv_file"):
+                    committed_tokens.add(c["dv_file"].split(os.sep)[1])
             for token in sorted(os.listdir(staging_root)):
                 marker = os.path.join(staging_root, token)
                 if token in committed_tokens:

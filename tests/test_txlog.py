@@ -705,3 +705,92 @@ def test_clustered_append_prunes_files(spark, tbl, sf_small):
     )
     assert pruned.count() == full.count()
     assert pruned.exceptAll(full).count() == 0
+
+
+def test_deletion_vector_delete_and_read(spark, tbl):
+    """Merge-on-read delete: delete_where_dv commits only a deletion
+    vector (no data file rewritten — the live file set is unchanged),
+    reads apply it exactly, count_rows stays metadata-exact, and SQL
+    NULL semantics hold (predicate-NULL rows survive)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "id int, s string, val double",
+    )
+    tbl.append(df.coalesce(2))
+    files_before = set(tbl._snapshot()["files"])
+    v = tbl.delete_where_dv("s = 'b' OR val > 35")
+    snap = tbl._snapshot()
+    assert set(snap["files"]) == files_before, "DV delete rewrote data files"
+    assert snap["dvs"], "no deletion vector recorded"
+    got = {r.id for r in tbl.read().collect()}
+    assert got == {1, 3}  # 2 and 4 deleted; NULL-predicate row 3 survives
+    assert tbl.count_rows() == 2
+    # time travel: pre-delete snapshot unaffected
+    assert tbl.read(version=v - 1).count() == 4
+
+
+def test_deletion_vector_stacks_and_cow_interop(spark, tbl):
+    """Stacked DVs and DV+copy-on-write interop: a second DV delete
+    only addresses still-live rows; a later COW delete_where applies
+    existing DVs when it rewrites (no resurrection)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id int, val double"
+    )
+    tbl.append(df.coalesce(2))
+    tbl.delete_where_dv("id % 5 = 0")          # deletes 0,5,10,15
+    tbl.delete_where_dv("id < 4")              # deletes 1,2,3 (0 already gone)
+    assert tbl.count_rows() == 13
+    assert {r.id for r in tbl.read().collect()} == (
+        set(range(20)) - {0, 5, 10, 15} - {1, 2, 3}
+    )
+    # COW delete rewrites files -> must apply DVs, not resurrect
+    tbl.delete_where("id >= 16")
+    got = {r.id for r in tbl.read().collect()}
+    assert got == {4, 6, 7, 8, 9, 11, 12, 13, 14}
+    assert tbl.count_rows() == len(got)
+
+
+def test_deletion_vector_compact_applies_and_drops(spark, tbl):
+    """compact() is the merge-on-read maintenance op: it physically
+    applies DVs into rewritten files and the DV mapping dies with the
+    removed files; the dropped DV file becomes vacuumable garbage."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, val double"
+    )
+    tbl.append(df.coalesce(2))
+    tbl.delete_where_dv("id = 7")
+    dv_files = {
+        e["file"]
+        for entries in tbl._snapshot()["dvs"].values()
+        for e in entries
+    }
+    assert dv_files
+    tbl.compact(target_file_bytes=1 << 30)
+    snap = tbl._snapshot()
+    assert snap["dvs"] == {}, "compaction must drop applied DVs"
+    assert {r.id for r in tbl.read().collect()} == set(range(10)) - {7}
+    deleted = tbl.vacuum(grace_seconds=0.0)
+    assert any(rel in dv_files for rel in deleted), (
+        "applied DV file should be vacuumable"
+    )
+
+
+def test_deletion_vector_change_feed_and_merge(spark, tbl):
+    """The change feed reconstructs DV-deleted rows exactly; a
+    merge_upsert after a DV delete neither resurrects deleted rows
+    nor rewrites them as survivors."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+    )
+    tbl.append(df.coalesce(1))
+    v0 = tbl.latest_version()
+    v1 = tbl.delete_where_dv("id = 2")
+    ch = tbl.changes(v0, v1)
+    rows = [(r.id, r.s, r._change_type) for r in ch.collect()]
+    assert rows == [(2, "b", "delete")]
+    src = spark.createDataFrame([(3, "C"), (9, "z")], "id int, s string")
+    tbl.merge_upsert(src, keys=["id"])
+    got = {r.id: r.s for r in tbl.read().collect()}
+    assert got == {1: "a", 3: "C", 9: "z"}
