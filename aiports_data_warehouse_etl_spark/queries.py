@@ -3479,6 +3479,82 @@ def tlog_delete_dv(spark, sf_dir):
 
 
 @q(
+    "stream_txlog_cdf_source",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_net,
+           round(sum(o_totalprice), 2) AS net_price
+    FROM orders
+    WHERE o_orderkey % 100 < 3 AND o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_txlog_cdf_source(spark, sf_dir):
+    """Streaming row-level CDC FROM the transaction log
+    (sources/txlog_stream.py): a custom Spark-4 Python Data Source
+    whose offsets are txlog commit versions. The table takes an
+    append and a deletion-vector delete; the stream drains the
+    change feed (availableNow), and folding the feed —
+    +row for inserts, −row for deletes — must reproduce the final
+    table state exactly (the materialized-view-maintenance
+    identity). This is the Load.py dataset-trigger analogue upgraded
+    from 'rescan the directory' to incremental row-level CDC with
+    replayable offsets."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    root = tempfile.mkdtemp(prefix="tlog_cdf_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # a ~3%% key band keeps the driver-side prefetch decode small
+        # at every fixture scale — the simple-reader path is for
+        # control-plane-sized feeds; firehose CDC would move to the
+        # partition-planning DataSourceStreamReader (same offsets)
+        t.append(o.filter("o_orderkey % 100 < 3").repartition(2))
+        t.delete_where_dv("o_orderkey % 9 = 0")
+        register_txlog_cdf(spark)
+        out_dir = root + "/cdf_out"
+        q = (
+            spark.readStream.format("txlog_cdf")
+            .option("path", t.path)
+            .option("versions_per_batch", 16)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_txlog_cdf_source: drain timed out")
+        feed = spark.read.parquet(out_dir)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        out = (
+            feed.groupBy("o_orderstatus")
+            .agg(
+                F.sum(sign).cast("long").alias("n_net"),
+                F.round(
+                    F.sum(sign * F.col("o_totalprice")), 2
+                ).alias("net_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

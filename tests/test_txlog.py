@@ -794,3 +794,59 @@ def test_deletion_vector_change_feed_and_merge(spark, tbl):
     tbl.merge_upsert(src, keys=["id"])
     got = {r.id: r.s for r in tbl.read().collect()}
     assert got == {1: "a", 3: "C", 9: "z"}
+
+
+def test_txlog_change_feed_streaming_source(spark, tbl, tmp_path):
+    """The txlog_cdf streaming source (Python Data Source API) drains
+    the commit log as row-level CDC: inserts from appends, deletes
+    from a deletion-vector commit, offsets = versions — and the
+    drained feed equals the batch changes() result exactly."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1)
+    )
+    tbl.append(
+        spark.createDataFrame([(3, "c")], "id int, s string").coalesce(1)
+    )
+    tbl.delete_where_dv("id = 2")
+
+    register_txlog_cdf(spark)
+    out_dir = str(tmp_path / "cdf_out")
+
+    def drain() -> None:
+        # availableNow with a SimpleDataSourceStreamReader drains the
+        # driver-prefetched batch; repeated runs on the SAME
+        # checkpoint resume from the committed offset — which also
+        # pins the offset-recovery contract (durable foreachBatch
+        # sink: the memory sink cannot recover from a checkpoint)
+        q = (
+            spark.readStream.format("txlog_cdf")
+            .option("path", tbl.path)
+            .option("versions_per_batch", 2)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", str(tmp_path / "cdf_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    drain()
+    streamed = {
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in tbl.changes(-1, tbl.latest_version()).collect()
+    }
+    assert streamed == batch
+    assert (2, "b", "delete", 2) in streamed
+    assert len(streamed) == 4  # 3 inserts + 1 delete
