@@ -49,6 +49,10 @@ class TxConflict(RuntimeError):
     past the snapshot the operation was computed from."""
 
 
+class ConstraintViolation(ValueError):
+    """A write would insert rows that fail a CHECK constraint."""
+
+
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"  # in-flight writer intent markers (see _stage)
 _VERSION_WIDTH = 20
@@ -146,21 +150,37 @@ class TxLogTable:
         """
         head = self.latest_version() if version is None else version
         if head < 0:
-            return {"version": -1, "schema": None, "files": {}, "dvs": {}}
+            return {
+                "version": -1,
+                "schema": None,
+                "files": {},
+                "dvs": {},
+                "constraints": {},
+            }
         start = 0
-        state: dict = {"schema": None, "files": {}, "dvs": {}}
+        state: dict = {
+            "schema": None,
+            "files": {},
+            "dvs": {},
+            "constraints": {},
+        }
         for v in range(head, -1, -1):
             cp = _checkpoint_path(self.path, v)
             if os.path.exists(cp):
                 with open(cp) as fh:
                     state = json.load(fh)
                 state.setdefault("dvs", {})  # pre-DV checkpoints
+                state.setdefault("constraints", {})
                 start = v + 1
                 break
         for v in range(start, head + 1):
             commit = self._read_commit(v)
             if commit.get("schema"):
                 state["schema"] = commit["schema"]
+            if commit.get("op") == "set_constraint":
+                state["constraints"][commit["name"]] = commit["check"]
+            elif commit.get("op") == "drop_constraint":
+                state["constraints"].pop(commit["name"], None)
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
                 # a removed (rewritten/compacted) file takes its
@@ -199,6 +219,7 @@ class TxLogTable:
                 "schema": snap["schema"],
                 "files": snap["files"],
                 "dvs": snap["dvs"],
+                "constraints": snap["constraints"],
             }
             tmp = _checkpoint_path(self.path, version) + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
@@ -276,6 +297,7 @@ class TxLogTable:
         re-cluster incrementally later — the liquid-clustering
         story: clustering is a property of FILES + LOG STATS, not of
         a frozen directory scheme)."""
+        self._validate_constraints(df)
         if cluster_by:
             # explicit partition count: AQE happily coalesces a tiny
             # range shuffle into ONE partition, which collapses the
@@ -293,6 +315,70 @@ class TxLogTable:
                                     "schema": schema}):
                 return v
         raise TxConflict(f"append lost {max_retries} commit races")
+
+    # -- CHECK constraints ---------------------------------------------
+
+    def _validate_constraints(
+        self, df: DataFrame, checks: dict[str, str] | None = None
+    ) -> None:
+        """Reject incoming rows that FAIL any registered CHECK — ANSI
+        semantics: a predicate that evaluates NULL passes; only
+        boolean FALSE violates. ONE aggregation pass regardless of
+        constraint count (conditional counts — same single-scan
+        discipline as operators/validation.py)."""
+        if checks is None:
+            checks = self._snapshot()["constraints"]
+        if not checks:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1).otherwise(0)
+                ).alias(name)
+                for name, sql in sorted(checks.items())
+            ]
+        ).collect()[0]
+        bad = {
+            name: int(counts[name] or 0)
+            for name in checks
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{name} ({n} rows violate: {checks[name]!r})"
+                for name, n in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"write rejected by CHECK constraints: {detail}"
+            )
+
+    def add_check(self, name: str, check_sql: str) -> int:
+        """Register a table-level CHECK constraint (a boolean SQL
+        expression over the row). The EXISTING table must satisfy it
+        (one validation scan — refuse to register a lie); every
+        subsequent row-adding write (append / streaming append /
+        overwrite / MERGE source) is validated in one extra
+        aggregation before staging, so bad data is rejected BEFORE it
+        ever becomes a committed file — the warehouse-grade
+        write-time contract the reference's post-hoc validation
+        queries (V1–V6) cannot give."""
+        base = self._snapshot()
+        if base["version"] >= 0 and base["files"]:
+            self._validate_constraints(self.read(), {name: check_sql})
+        v = base["version"] + 1
+        if not self._try_commit(
+            v, {"op": "set_constraint", "name": name, "check": check_sql}
+        ):
+            raise TxConflict("add_check: table advanced past base snapshot")
+        return v
+
+    def drop_check(self, name: str) -> int:
+        v = self.latest_version() + 1
+        if not self._try_commit(
+            v, {"op": "drop_constraint", "name": name}
+        ):
+            raise TxConflict("drop_check: commit race lost")
+        return v
 
     def txn_seen(self, txn_app: str, txn_id: int) -> bool:
         """True when an (app, id) transaction marker is already in the
@@ -319,6 +405,7 @@ class TxLogTable:
         offsets ensure while the checkpoint is retained."""
         if self.txn_seen(txn_app, txn_id):
             return None
+        self._validate_constraints(df)
         adds, schema = self._stage(df)
         for _ in range(max_retries):
             if self.txn_seen(txn_app, txn_id):
@@ -347,6 +434,7 @@ class TxLogTable:
         if self.txn_seen(txn_app, txn_id):
             return None
         base = self._snapshot()
+        self._validate_constraints(df, base["constraints"])
         adds, schema = self._stage(df)
         commit = {
             "op": "overwrite",
@@ -393,6 +481,7 @@ class TxLogTable:
         commit — the caller asked for 'the table becomes exactly df',
         which is undefined if the base moved."""
         base = self._snapshot()
+        self._validate_constraints(df, base["constraints"])
         adds, schema = self._stage(df)
         commit = {
             "op": "overwrite",
@@ -586,6 +675,7 @@ class TxLogTable:
                 f"{key_vals} — MERGE requires at most one source row "
                 "per key (pre-aggregate or dedupe the source)"
             )
+        self._validate_constraints(src, base["constraints"])
         if base["version"] < 0 or not base["files"]:
             return self.append(src)
         # DV-aware lineage scan (rows deleted by a deletion vector are

@@ -850,3 +850,57 @@ def test_txlog_change_feed_streaming_source(spark, tbl, tmp_path):
     assert streamed == batch
     assert (2, "b", "delete", 2) in streamed
     assert len(streamed) == 4  # 3 inserts + 1 delete
+
+
+def test_check_constraint_rejects_bad_append(spark, tbl):
+    """Write-time CHECK constraints: a registered check rejects a
+    violating append atomically (no partial data lands), passes a
+    clean one, honors ANSI NULL-passes semantics, and is enforced on
+    MERGE sources; drop_check lifts it. Validation is one extra
+    aggregation regardless of check count."""
+    import pytest
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    tbl.append(
+        spark.createDataFrame([(1, 10.0)], "id int, val double")
+    )
+    tbl.add_check("val_positive", "val > 0")
+    tbl.add_check("id_not_null", "id IS NOT NULL")
+    with pytest.raises(ConstraintViolation, match="val_positive"):
+        tbl.append(
+            spark.createDataFrame([(2, -5.0)], "id int, val double")
+        )
+    assert tbl.read().count() == 1  # nothing landed
+    # NULL predicate passes (ANSI CHECK)
+    tbl.append(
+        spark.createDataFrame([(3, None)], "id int, val double")
+    )
+    # MERGE source validated too
+    with pytest.raises(ConstraintViolation, match="val_positive"):
+        tbl.merge_upsert(
+            spark.createDataFrame([(1, -1.0)], "id int, val double"),
+            keys=["id"],
+        )
+    tbl.drop_check("val_positive")
+    tbl.append(spark.createDataFrame([(4, -2.0)], "id int, val double"))
+    assert {r.id for r in tbl.read().collect()} == {1, 3, 4}
+
+
+def test_check_constraint_refuses_registration_over_bad_data(spark, tbl):
+    """add_check validates the EXISTING table first — registering a
+    constraint the current data already violates must raise."""
+    import pytest
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    tbl.append(
+        spark.createDataFrame([(1, -3.0)], "id int, val double")
+    )
+    with pytest.raises(ConstraintViolation, match="val_positive"):
+        tbl.add_check("val_positive", "val > 0")
+    assert tbl._snapshot()["constraints"] == {}
