@@ -3555,6 +3555,66 @@ def stream_txlog_cdf_source(spark, sf_dir):
 
 
 @q(
+    "matview_incremental_refresh",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def matview_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (streaming/matview.py): a SUM/COUNT-per-status view over a txlog
+    orders table refreshes by folding ONLY the commits since its last
+    applied source version — two appends then a deletion-vector
+    delete, with a refresh after each, exercising the delta-apply
+    identity view(v_n) = view(v_m) ⊕ fold(changes(m, n)) including
+    −rows from the DV commit. Refresh cost is O(changed rows + view
+    cardinality), never O(source); exactly-once comes from
+    committing each refresh with the source version as the
+    transaction id into the view's own log. The final view must
+    equal the full SQL re-aggregation."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    root = tempfile.mkdtemp(prefix="tlog_mv_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        mv = IncrementalAggView(
+            spark,
+            t,
+            root + "/view",
+            group_cols=["o_orderstatus"],
+            sum_cols=["o_totalprice"],
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        mv.refresh()
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        t.delete_where_dv("o_orderkey % 11 = 0")
+        mv.refresh()
+        out = mv.read().select(
+            "o_orderstatus",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("sum_o_totalprice", 2).alias("sum_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

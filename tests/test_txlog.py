@@ -904,3 +904,65 @@ def test_check_constraint_refuses_registration_over_bad_data(spark, tbl):
     with pytest.raises(ConstraintViolation, match="val_positive"):
         tbl.add_check("val_positive", "val > 0")
     assert tbl._snapshot()["constraints"] == {}
+
+
+def test_incremental_matview_delta_apply(spark, tbl, tmp_path):
+    """Incremental materialized view: each refresh folds ONLY the
+    source commits since the last applied version (+insert/−delete,
+    DV deletes included) into the stored aggregate — and after every
+    refresh the view equals the full re-aggregation of the current
+    source snapshot. Replayed refreshes are committed no-ops; the
+    last-applied version recovers from the view's own log."""
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    mv = IncrementalAggView(
+        spark, tbl, str(tmp_path / "view"),
+        group_cols=["k"], sum_cols=["val"],
+    )
+
+    def expect():
+        return {
+            (r.k, r.n, round(r.s, 6))
+            for r in tbl.read()
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.k, r.n_rows, round(r.sum_val, 6))
+            for r in mv.read().collect()
+        }
+
+    tbl.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, val double"
+        )
+    )
+    assert mv.refresh() is not None
+    assert got() == expect()
+
+    v_before = mv.last_applied_version()
+    tbl.append(
+        spark.createDataFrame(
+            [("b", 5.0), ("c", 7.0)], "k string, val double"
+        )
+    )
+    tbl.delete_where_dv("k = 'a' AND val = 2.0")
+    assert mv.refresh() is not None
+    assert mv.last_applied_version() > v_before
+    assert got() == expect()
+
+    # a group whose rows all vanish leaves the view
+    tbl.delete_where_dv("k = 'c'")
+    mv.refresh()
+    assert got() == expect()
+    assert "c" not in {r.k for r in mv.read().collect()}
+
+    # idempotence: nothing new -> None, view unchanged
+    before = got()
+    assert mv.refresh() is None
+    assert got() == before
