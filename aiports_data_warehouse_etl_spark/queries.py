@@ -70,6 +70,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent dict overwrite would drop an operator from the
+            # registry with no symptom but a wrong count (it happened:
+            # r4 briefly shadowed evt_retention_cohorts) — refuse
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = QuerySpec(fn, oracle)
         return fn
 
@@ -10372,58 +10377,6 @@ def ts_anomaly_zscore(spark, sf_dir):
             F.round("hourly_value", 2).alias("hourly_value"),
             (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         )
-    )
-
-
-@q(
-    "evt_retention_cohorts",
-    """
-    WITH first_seen AS (
-      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
-      FROM events GROUP BY user_id),
-    activity AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
-      FROM events)
-    SELECT CAST(f.cohort_week AS STRING) AS cohort_week,
-           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
-             AS weeks_since,
-           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
-    FROM first_seen f JOIN activity a USING (user_id)
-    GROUP BY f.cohort_week, datediff('week', f.cohort_week, a.active_week)
-    """,
-)
-def evt_retention_cohorts(spark, sf_dir):
-    """Weekly retention cohorts: users bucketed by first-seen week,
-    counted in every later week they were active — the classic
-    retention triangle. Two keyed aggregations + one user-keyed join;
-    the join input is |users| x |weeks-active| (already distinct), so
-    the plan scales with user count, never raw events. DuckDB's
-    datediff('week') counts week-boundary crossings, which equals
-    the truncated-week difference / 7 days — both sides compute on
-    date_trunc'd values so the semantics line up exactly."""
-    ev = _t(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
-    )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("active_week")
-    ).distinct()
-    j = first_seen.join(activity, "user_id")
-    weeks_since = (
-        F.datediff(
-            F.col("active_week").cast("date"),
-            F.col("cohort_week").cast("date"),
-        )
-        / 7
-    ).cast("long")
-    return (
-        j.select(
-            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
-            weeks_since.alias("weeks_since"),
-            "user_id",
-        )
-        .groupBy("cohort_week", "weeks_since")
-        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
     )
 
 
