@@ -772,15 +772,36 @@ class TxLogTable:
 
     # -- read path ------------------------------------------------------
 
+    def version_as_of(self, ts_ns: int) -> int:
+        """Newest version whose commit timestamp is ≤ ``ts_ns``
+        (nanoseconds since epoch — the log's ``ts`` unit). The
+        timestamp flavor of time travel: resolve once (O(commits)
+        backward scan; at scale the checkpoint would carry a ts
+        index), then read that version. Raises when the table has no
+        commit that old."""
+        for v in range(self.latest_version(), -1, -1):
+            if int(self._read_commit(v)["ts"]) <= ts_ns:
+                return v
+        raise ValueError(
+            f"txlog table {self.path}: no commit at or before ts {ts_ns}"
+        )
+
     def read(
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        as_of_ts: int | None = None,
     ) -> DataFrame:
-        """Snapshot read (time travel via ``version``). ``prune`` maps
-        column → (lo, hi): files whose footer stats cannot intersect
-        the range are dropped BEFORE Spark opens them — log-side data
-        skipping on top of parquet's own row-group pruning."""
+        """Snapshot read (time travel via ``version`` or a commit
+        timestamp via ``as_of_ts`` ns — mutually exclusive). ``prune``
+        maps column → (lo, hi): files whose footer stats cannot
+        intersect the range are dropped BEFORE Spark opens them —
+        log-side data skipping on top of parquet's own row-group
+        pruning."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         snap = self._snapshot(version)
         files = snap["files"]
         if prune:

@@ -966,3 +966,23 @@ def test_incremental_matview_delta_apply(spark, tbl, tmp_path):
     before = got()
     assert mv.refresh() is None
     assert got() == before
+
+
+def test_time_travel_as_of_timestamp(spark, tbl):
+    """read(as_of_ts=) resolves the newest commit at-or-before the
+    given timestamp — the timestamp flavor of time travel, exact at
+    commit boundaries."""
+    import pytest
+
+    tbl.append(spark.createDataFrame([(1,)], "id int"))
+    ts1 = int(tbl._read_commit(0)["ts"])
+    tbl.append(spark.createDataFrame([(2,)], "id int"))
+    ts2 = int(tbl._read_commit(1)["ts"])
+    assert tbl.read(as_of_ts=ts1).count() == 1
+    assert tbl.read(as_of_ts=ts2 - 1).count() == 1  # just before commit 2
+    assert tbl.read(as_of_ts=ts2).count() == 2
+    assert tbl.version_as_of(ts2 + 10**9) == 1  # future ts -> latest
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tbl.read(as_of_ts=ts1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(version=0, as_of_ts=ts1)
