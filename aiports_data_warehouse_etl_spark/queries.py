@@ -3519,10 +3519,10 @@ def stream_txlog_cdf_source(spark, sf_dir):
         o = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
-        # a ~3%% key band keeps the driver-side prefetch decode small
-        # at every fixture scale — the simple-reader path is for
-        # control-plane-sized feeds; firehose CDC would move to the
-        # partition-planning DataSourceStreamReader (same offsets)
+        # a ~3% key band keeps the fixture-scale feed small; the
+        # reader is the partition-planning DataSourceStreamReader
+        # (r5 port): one executor task per data file, Arrow batches,
+        # driver touches only the JSON commit log
         t.append(o.filter("o_orderkey % 100 < 3").repartition(2))
         t.delete_where_dv("o_orderkey % 9 = 0")
         register_txlog_cdf(spark)
@@ -3612,6 +3612,80 @@ def matview_incremental_refresh(spark, sf_dir):
             "o_orderstatus",
             F.col("n_rows").cast("long").alias("n_rows"),
             F.round("sum_o_totalprice", 2).alias("sum_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "matview_minmax_refresh",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderkey % 100 < 40
+      AND o_orderkey % 7 <> 0
+      AND o_totalprice <= 300000
+    GROUP BY o_orderstatus
+    """,
+)
+def matview_minmax_refresh(spark, sf_dir):
+    """MIN/MAX materialized-view maintenance (streaming/matview.py,
+    r5): inserts fold as pure bound-tightening; a delete that ties or
+    beats a stored bound triggers a rescan bounded (broadcast
+    semi-join) to the affected groups only — min/max are semigroup,
+    not group, aggregates, so a deleted minimum can only recover from
+    the surviving rows. The run exercises all three refresh shapes:
+    insert-only fold, a deletion-vector delete, and a copy-on-write
+    delete that removes the price maxima (guaranteeing the
+    bound-hit rescan path executes). The final view must equal the
+    full SQL re-aggregation with both deletes folded into WHERE."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    root = tempfile.mkdtemp(prefix="tlog_mvx_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        mv = IncrementalAggView(
+            spark,
+            t,
+            root + "/view",
+            group_cols=["o_orderstatus"],
+            sum_cols=["o_totalprice"],
+            min_cols=["o_totalprice"],
+            max_cols=["o_totalprice"],
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 100 < 20").repartition(2))
+        mv.refresh()  # initial build
+        t.append(
+            o.filter(
+                "o_orderkey % 100 >= 20 AND o_orderkey % 100 < 40"
+            ).repartition(2)
+        )
+        mv.refresh()  # insert-only fast path
+        t.delete_where_dv("o_orderkey % 7 = 0")
+        mv.refresh()  # DV delete (may or may not hit bounds)
+        t.delete_where("o_totalprice > 300000")
+        mv.refresh()  # COW delete removing every group's max
+        out = mv.read().select(
+            "o_orderstatus",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("sum_o_totalprice", 2).alias("sum_price"),
+            F.col("min_o_totalprice").alias("min_price"),
+            F.col("max_o_totalprice").alias("max_price"),
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -831,11 +831,36 @@ class TxLogTable:
         appear on both sides (the classic file-level CDC shape; a
         row-level CDF would persist change records at write time).
         Pure layout commits (compact) are skipped: they change no
-        rows and would otherwise be pure churn in the feed."""
+        rows and would otherwise be pure churn in the feed.
+
+        Deletion-vector interplay (ADVICE r4): a row a DV already
+        deleted at commit d was emitted as 'delete' AT d — when a
+        later copy-on-write rewrite removes the DV-carrying file, that
+        row must NOT re-emit. The loop therefore carries the DV state
+        active at v-1 and filters the delete side of every remove
+        through it, keeping the feed net-exact (fold(changes) ==
+        table state, pinned by test_change_feed_dv_then_cow_folds)."""
+        # DV state active BEFORE the commit being scanned (i.e. at
+        # v-1), seeded from the snapshot at from_version and folded
+        # forward with the same transitions as _snapshot().
+        dvs: dict = (
+            {}
+            if from_version < 0
+            else {
+                k: list(entries)
+                for k, entries in self._snapshot(from_version)[
+                    "dvs"
+                ].items()
+            }
+        )
         frames = []
         for v in range(from_version + 1, to_version + 1):
             c = self._read_commit(v)
             if c.get("op") == "compact":
+                # pure layout: no row changes — but the rewrite applied
+                # and dropped the removed files' DVs, so fold the state
+                for rel in c.get("remove", []):
+                    dvs.pop(rel, None)
                 continue
             if c.get("op") == "delete_dv":
                 # merge-on-read delete: the deleted rows are the data
@@ -881,12 +906,24 @@ class TxLogTable:
                     deleted.withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
+                for data_rel, n in c["dv_targets"].items():
+                    dvs.setdefault(data_rel, []).append(
+                        {"file": c["dv_file"], "rows": int(n)}
+                    )
                 continue
             for kind, rels in (
                 ("insert", [a["path"] for a in c.get("add", [])]),
                 ("delete", list(c.get("remove", []))),
             ):
                 paths = [os.path.join(self.path, rel) for rel in rels]
+                if kind == "delete":
+                    # the DV files needed to suppress already-deleted
+                    # rows must also still be on disk
+                    paths = paths + [
+                        os.path.join(self.path, e["file"])
+                        for rel in rels
+                        for e in dvs.get(rel, [])
+                    ]
                 gone = [p for p in paths if not os.path.exists(p)]
                 if gone:
                     # an incomplete feed must be LOUD, never a silent
@@ -897,14 +934,24 @@ class TxLogTable:
                         f"e.g. {os.path.basename(gone[0])}) — the feed "
                         "cannot be reconstructed past the retention window"
                     )
-                if not paths:
+                if not rels:
                     continue
+                if kind == "delete":
+                    # exclude rows a DV active at v-1 already deleted
+                    frame = self._read_with_dvs(rels, dvs)
+                else:
+                    frame = self.spark.read.option(
+                        "mergeSchema", "true"
+                    ).parquet(
+                        *[os.path.join(self.path, rel) for rel in rels]
+                    )
                 frames.append(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*paths)
-                    .withColumn("_change_type", F.lit(kind))
+                    frame.withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
+            for rel in c.get("remove", []):
+                # the rewrite applied the removed files' DVs
+                dvs.pop(rel, None)
         if not frames:
             snap = self._snapshot(to_version)
             if snap["schema"] is None:

@@ -9,31 +9,41 @@ streaming twin of ``TxLogTable.changes()`` — so downstream pipelines
 (micro-batch ETL into a warehouse, incremental index maintenance,
 cache invalidation) consume the curated layer INCREMENTALLY instead
 of rescanning snapshots. This is the Load.py dataset-trigger analogue
-upgraded to row-level CDC.
+(reference `dags/Load.py:17`) upgraded to row-level CDC.
 
 Offset design: an offset is simply the last-consumed log VERSION.
-Commits are immutable and totally ordered, so
-``readBetweenOffsets(v0, v1)`` (Spark's replay path when a batch must
-be reconstructed after a failure before its offset committed)
-re-reads exactly the commits in (v0, v1] and reproduces the lost
-batch byte-for-byte — exactly-once composes with any idempotent or
-transactional sink. Data files referenced by old commits stay
-readable until vacuum; a replay past the retention window raises
-loudly rather than returning a silent hole.
+Commits are immutable and totally ordered, so ``partitions(v0, v1)``
+(Spark's replay path when a batch must be reconstructed after a
+failure before its offset committed) re-plans exactly the commits in
+(v0, v1] and reproduces the lost batch byte-for-byte — exactly-once
+composes with any idempotent or transactional sink. Data files
+referenced by old commits stay readable until vacuum; a replay past
+the retention window raises loudly rather than returning a silent
+hole.
 
-Reader mechanics: SimpleDataSourceStreamReader.read() runs on the
-DRIVER and yields plain tuples; files are decoded with pyarrow (no
-Spark job for the prefetch batch). That bounds per-trigger volume to
-driver-friendly sizes — set ``versions_per_batch`` (default 10)
-accordingly; the firehose-scale alternative is the partition-planning
-DataSourceStreamReader, which this reader's offset scheme would port
-to unchanged.
+Reader mechanics (the r4→r5 port): this is the partition-planning
+``DataSourceStreamReader``. The DRIVER only reads the JSON commit log
+— it plans ONE InputPartition PER DATA FILE touched by the batch's
+commits, and the parquet decode runs ON THE EXECUTORS as pyarrow →
+Arrow RecordBatches (zero per-row Python). Per-trigger volume is no
+longer driver-bounded: a batch over N files fans out to N parallel
+tasks, which is the shape a 100 TB change feed needs. The
+``versions_per_batch`` option (default 10) remains as admission
+control — after the first trigger (which admits everything available,
+matching Spark's restart semantics where the true start offset lives
+in the checkpoint, not the reader), the high-water mark advances by
+at most that many commits per trigger.
 
 Commit handling mirrors ``TxLogTable.changes()``: compact commits are
 pure layout (skipped); copy-on-write rewrites surface as
 delete(old file rows) + insert(new file rows); ``delete_dv`` commits
 emit exactly the rows their deletion vector addresses (row-position
-lookup inside each target file).
+take inside each target file). Deletion-vector interplay (ADVICE r4):
+a row a DV already deleted was emitted as 'delete' at the delete_dv
+commit — when a later rewrite removes the DV-carrying file, the
+planner attaches the DVs active at v-1 to the delete partition and
+the executor EXCLUDES those row positions, so the feed never
+double-deletes and the signed fold stays net-exact.
 """
 
 from __future__ import annotations
@@ -43,7 +53,8 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 
 _LOG_DIR = "_txlog"
@@ -79,86 +90,205 @@ def _table_fields(path: str) -> list[tuple[str, str]]:
     raise ValueError(f"txlog table {path} has no schema-bearing commits")
 
 
-class _TxLogCDFReader(SimpleDataSourceStreamReader):
+def _table_schema_json(path: str) -> str:
+    for v in range(_latest_version(path), -1, -1):
+        c = _read_commit(path, v)
+        if c.get("schema"):
+            return c["schema"]
+    raise ValueError(f"txlog table {path} has no schema-bearing commits")
+
+
+def _dvs_at(path: str, version: int) -> dict[str, list[str]]:
+    """{data_rel: [dv_rel, ...]} — deletion vectors active at
+    ``version``, replayed from the newest checkpoint ≤ version with
+    the same fold as ``TxLogTable._snapshot`` (O(commits since
+    checkpoint), never O(history))."""
+    if version < 0:
+        return {}
+    start = 0
+    dvs: dict[str, list[str]] = {}
+    for v in range(version, -1, -1):
+        cp = os.path.join(path, _LOG_DIR, f"{v:020d}.checkpoint.json")
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                state = json.load(fh)
+            dvs = {
+                rel: [e["file"] for e in entries]
+                for rel, entries in state.get("dvs", {}).items()
+            }
+            start = v + 1
+            break
+    for v in range(start, version + 1):
+        c = _read_commit(path, v)
+        for rel in c.get("remove", []):
+            dvs.pop(rel, None)
+        if c.get("op") == "delete_dv":
+            for data_rel in c["dv_targets"]:
+                dvs.setdefault(data_rel, []).append(c["dv_file"])
+    return dvs
+
+
+class _CDFPartition(InputPartition):
+    """One executor task = one data file of one commit.
+
+    kind='insert'  → emit every row of ``rel`` as 'insert'
+    kind='delete'  → emit rows of ``rel`` as 'delete', EXCLUDING row
+                     positions addressed by ``dv_rels`` (the deletion
+                     vectors active at v-1 — those rows already
+                     emitted 'delete' at their delete_dv commit)
+    kind='dv_delete' → emit ONLY the rows of ``rel`` addressed by the
+                     single DV file in ``dv_rels`` as 'delete'
+    """
+
+    def __init__(self, kind: str, rel: str, version: int, dv_rels: list):
+        self.kind = kind
+        self.rel = rel
+        self.version = version
+        self.dv_rels = dv_rels
+
+
+class _TxLogCDFReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.per_batch = int(options.get("versions_per_batch", 10))
         # start AFTER this version (default: from the beginning)
         self.start = int(options.get("start_version", -1))
         self.fields = [name for name, _ in _table_fields(self.path)]
+        self.schema_json = _table_schema_json(self.path)
+        self._hwm: int | None = None  # newest offset handed to Spark
+
+    # -- offsets (driver) ------------------------------------------------
 
     def initialOffset(self) -> dict:
         return {"v": self.start}
 
-    def read(self, start: dict):
-        v0 = int(start["v"])
-        v1 = min(v0 + self.per_batch, _latest_version(self.path))
-        if v1 <= v0:
-            return iter([]), {"v": v0}
-        return iter(list(self._rows(v0, v1))), {"v": v1}
+    def latestOffset(self) -> dict:
+        latest = _latest_version(self.path)
+        if self._hwm is None:
+            # first trigger of this reader instance: the true start
+            # offset lives in Spark's checkpoint (we never see it
+            # here), so admit everything available — partitions()
+            # still plans only (start, end]; subsequent triggers pace
+            # by versions_per_batch
+            self._hwm = latest
+        else:
+            self._hwm = min(self._hwm + self.per_batch, latest)
+        return {"v": self._hwm}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows(int(start["v"]), int(end["v"]))))
+    # -- planning (driver: JSON log only, no data files opened) ----------
 
-    # -- commit decoding (driver-side, pyarrow) -------------------------
-
-    def _file_tuples(self, rel: str, rows_idx=None):
-        """Rows of one data file as schema-aligned tuples (missing
-        columns None — the mergeSchema additive-evolution contract);
-        ``rows_idx`` restricts to the given sorted row positions."""
-        import pyarrow.parquet as pq
-
-        abs_path = os.path.join(self.path, rel)
-        if not os.path.exists(abs_path):
+    def _require(self, rel: str, v0: int, v1: int) -> None:
+        if not os.path.exists(os.path.join(self.path, rel)):
             raise ValueError(
                 f"txlog_cdf: {rel} was vacuumed — the change feed "
-                "cannot be reconstructed past the retention window"
+                f"({v0}, {v1}] cannot be reconstructed past the "
+                "retention window"
             )
-        tbl = pq.read_table(abs_path)
-        if rows_idx is not None:
-            tbl = tbl.take(rows_idx)
-        cols = {}
-        for name in self.fields:
-            if name in tbl.column_names:
-                cols[name] = tbl.column(name).to_pylist()
-            else:
-                cols[name] = [None] * tbl.num_rows
-        for i in range(tbl.num_rows):
-            yield tuple(cols[name][i] for name in self.fields)
 
-    def _rows(self, v0: int, v1: int):
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        v0, v1 = int(start["v"]), int(end["v"])
+        # keep pacing monotone across replays/restarts
+        self._hwm = v1 if self._hwm is None else max(self._hwm, v1)
+        dvs = _dvs_at(self.path, v0)
+        parts: list[InputPartition] = []
         for v in range(v0 + 1, v1 + 1):
             c = _read_commit(self.path, v)
             op = c.get("op")
             if op == "compact":
-                continue  # pure layout: no row changes
+                # pure layout: no rows change; the rewrite applied and
+                # dropped the removed files' DVs
+                for rel in c.get("remove", []):
+                    dvs.pop(rel, None)
+                continue
             if op == "delete_dv":
-                import pyarrow.parquet as pq
-
-                dv_abs = os.path.join(self.path, c["dv_file"])
-                if not os.path.exists(dv_abs):
-                    raise ValueError(
-                        f"txlog_cdf: {c['dv_file']} was vacuumed — the "
-                        "change feed cannot be reconstructed past the "
-                        "retention window"
+                self._require(c["dv_file"], v0, v1)
+                for rel in sorted(c["dv_targets"]):
+                    self._require(rel, v0, v1)
+                    parts.append(
+                        _CDFPartition("dv_delete", rel, v, [c["dv_file"]])
                     )
-                dv = pq.read_table(dv_abs)
-                by_file: dict[str, list[int]] = {}
-                for rel, idx in zip(
-                    dv.column("file_rel").to_pylist(),
-                    dv.column("row_index").to_pylist(),
-                ):
-                    by_file.setdefault(rel, []).append(int(idx))
-                for rel in sorted(by_file):
-                    for row in self._file_tuples(rel, sorted(by_file[rel])):
-                        yield row + ("delete", v)
+                    dvs.setdefault(rel, []).append(c["dv_file"])
                 continue
             for rel in sorted(c.get("remove", [])):
-                for row in self._file_tuples(rel):
-                    yield row + ("delete", v)
+                excl = list(dvs.get(rel, []))
+                for p in [rel, *excl]:
+                    self._require(p, v0, v1)
+                parts.append(_CDFPartition("delete", rel, v, excl))
             for add in c.get("add", []):
-                for row in self._file_tuples(add["path"]):
-                    yield row + ("insert", v)
+                self._require(add["path"], v0, v1)
+                parts.append(_CDFPartition("insert", add["path"], v, []))
+            for rel in c.get("remove", []):
+                dvs.pop(rel, None)
+        return parts
+
+    # -- decode (EXECUTORS: pyarrow → Arrow RecordBatches) ---------------
+
+    def read(self, partition: _CDFPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        abs_path = os.path.join(self.path, partition.rel)
+        if not os.path.exists(abs_path):
+            raise ValueError(
+                f"txlog_cdf: {partition.rel} was vacuumed — the change "
+                "feed cannot be reconstructed past the retention window"
+            )
+        tbl = pq.read_table(abs_path)
+        if partition.kind == "dv_delete":
+            idx = self._dv_indices(partition.dv_rels, partition.rel)
+            tbl = tbl.take(sorted(idx))
+        elif partition.kind == "delete" and partition.dv_rels:
+            excl = self._dv_indices(partition.dv_rels, partition.rel)
+            tbl = tbl.take([i for i in range(tbl.num_rows) if i not in excl])
+        ctype = "insert" if partition.kind == "insert" else "delete"
+
+        # schema-align to the declared stream schema: reorder, cast,
+        # null-fill missing columns (the mergeSchema additive-evolution
+        # contract), then tag — all columnar, zero per-row Python
+        st = T.StructType.fromJson(json.loads(self.schema_json))
+        target = to_arrow_schema(st)
+        n = tbl.num_rows
+        arrays, names = [], []
+        for field in target:
+            if field.name in tbl.column_names:
+                arrays.append(
+                    tbl.column(field.name).combine_chunks().cast(field.type)
+                )
+            else:
+                arrays.append(pa.nulls(n, field.type))
+            names.append(field.name)
+        arrays.append(pa.array([ctype] * n, pa.string()))
+        names.append("_change_type")
+        arrays.append(pa.array([partition.version] * n, pa.int64()))
+        names.append("_commit_version")
+        out = pa.table(arrays, names=names)
+        yield from out.combine_chunks().to_batches()
+
+    def _dv_indices(self, dv_rels: list[str], rel: str) -> set[int]:
+        """Row positions of ``rel`` addressed by the given DV files."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        idx: set[int] = set()
+        for dv_rel in dv_rels:
+            dv_abs = os.path.join(self.path, dv_rel)
+            if not os.path.exists(dv_abs):
+                raise ValueError(
+                    f"txlog_cdf: {dv_rel} was vacuumed — the change "
+                    "feed cannot be reconstructed past the retention "
+                    "window"
+                )
+            t = pq.read_table(dv_abs, columns=["file_rel", "row_index"])
+            hits = t.filter(pc.equal(t.column("file_rel"), rel))
+            idx.update(int(i) for i in hits.column("row_index").to_pylist())
+        return idx
+
+    def commit(self, end: dict) -> None:
+        # offsets are just log versions; nothing to clean up
+        pass
 
 
 class TxLogChangeFeedSource(DataSource):
@@ -173,7 +303,7 @@ class TxLogChangeFeedSource(DataSource):
         cols = ", ".join(f"{n} {t}" for n, t in fields)
         return f"{cols}, _change_type string, _commit_version bigint"
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return _TxLogCDFReader(self.options)
 
 

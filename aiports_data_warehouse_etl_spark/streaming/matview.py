@@ -3,13 +3,28 @@ table — the delta-apply identity, end to end:
 
     view(v_n) = view(v_m) ⊕ fold(changes(m, n))
 
-A SUM/COUNT-per-group aggregate view refreshes by folding ONLY the
-rows changed since the last applied source version (+row for inserts,
-−row for deletes — deletion-vector deletes included, since the change
-feed reconstructs their rows exactly), instead of re-aggregating the
-whole source. At 100 TB the refresh cost is O(changed rows + view
+A per-group aggregate view refreshes by folding ONLY the rows changed
+since the last applied source version (+row for inserts, −row for
+deletes — deletion-vector deletes included, since the change feed
+reconstructs their rows exactly), instead of re-aggregating the whole
+source. At 100 TB the refresh cost is O(changed rows + view
 cardinality), not O(source) — the difference between a nightly
 full-rebuild and a minutes-cadence view.
+
+Aggregate classes (the standard incremental-view-maintenance split):
+
+- count / sum (and avg as sum/count at read time) are GROUP aggregates
+  — every delta folds exactly, inserts and deletes alike.
+- min / max are only SEMIGROUP aggregates: an insert tightens a bound
+  (``least(old, new)``), but a delete may invalidate it — when the
+  deleted value ties or beats the stored bound, the true bound can
+  only come from the surviving rows. The refresh therefore takes the
+  insert-only FAST PATH per group (pure fold, no source access) and
+  falls back to a BOUNDED RESCAN — one source scan semi-joined to
+  just the affected group keys — only for groups where a delete
+  actually touched a bound (deleted_min ≤ stored_min or
+  deleted_max ≥ stored_max). Groups whose deletes sit strictly inside
+  the bounds fold without rescanning (VERDICT r4 next-round #3).
 
 Exactly-once without extra bookkeeping: the view is itself a
 ``TxLogTable``, and each refresh commits via ``overwrite_batch_txn``
@@ -18,11 +33,6 @@ refresh of the same version is a committed no-op, and the
 last-applied version is recovered FROM the view's own log (no side
 state files to lose). Concurrent refreshers serialize on the view's
 optimistic commit.
-
-Supported aggregates are the self-inverting ones (count, sum — and
-avg as sum/count at read time); min/max are NOT expressible by
-delta-folding alone (a deleted minimum needs a rescan) — the honest
-contract, stated loudly in ``__init__``.
 """
 
 from __future__ import annotations
@@ -34,11 +44,15 @@ from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
 
 
 class IncrementalAggView:
-    """SUM/COUNT-per-group view over ``source``, stored at
+    """Aggregate-per-group view over ``source``, stored at
     ``view_path`` as its own transaction-log table.
 
     ``sum_cols``: source columns to SUM per group (each becomes
     ``sum_<col>``); a ``n_rows`` count is always maintained.
+    ``min_cols`` / ``max_cols``: columns to MIN/MAX per group
+    (``min_<col>`` / ``max_<col>``) — maintained by insert-only
+    folding with a bounded per-group rescan when a delete touches a
+    stored bound (see module docstring).
     """
 
     _APP = "matview"
@@ -50,12 +64,16 @@ class IncrementalAggView:
         view_path: str,
         group_cols: list[str],
         sum_cols: list[str],
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.source = source
         self.view = TxLogTable(spark, view_path)
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     # -- state ----------------------------------------------------------
 
@@ -76,57 +94,144 @@ class IncrementalAggView:
 
     # -- refresh --------------------------------------------------------
 
-    def _fold(self, feed: DataFrame) -> DataFrame:
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
+    @property
+    def _bound_names(self) -> list[str]:
+        return [f"min_{c}" for c in self.min_cols] + [
+            f"max_{c}" for c in self.max_cols
+        ]
+
+    def _snapshot_agg(self, version: int) -> DataFrame:
+        """Full aggregation of the source snapshot — the initial
+        build, and the shape the view must always equal."""
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(F.sum(F.col(c)).alias(f"sum_{c}"))
+        for c in self.min_cols:
+            aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+        return (
+            self.source.read(version=version)
+            .groupBy(*self.group_cols)
+            .agg(*aggs)
         )
+
+    def _fold(self, feed: DataFrame) -> DataFrame:
+        ins = F.col("_change_type") == "insert"
+        sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
         aggs = [F.sum(sign).cast("long").alias("n_rows")]
         for c in self.sum_cols:
             aggs.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
+        for c in self.min_cols:
+            aggs.append(F.min(F.when(ins, F.col(c))).alias(f"__ins_min_{c}"))
+            aggs.append(F.min(F.when(~ins, F.col(c))).alias(f"__del_min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(F.when(ins, F.col(c))).alias(f"__ins_max_{c}"))
+            aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"__del_max_{c}"))
         return feed.groupBy(*self.group_cols).agg(*aggs)
 
     def refresh(self) -> int | None:
         """Fold source commits (last_applied, latest] into the view.
         Returns the view version written, or None when already
         current. One pass over the CHANGED rows + a keyed full-outer
-        merge against the (aggregate-cardinality) view state."""
+        merge against the (aggregate-cardinality) view state; min/max
+        trigger one additional source scan restricted (broadcast
+        semi-join) to the groups whose stored bound a delete hit."""
         last = self.last_applied_version()
         cur = self.source.latest_version()
         if cur <= last:
             return None
-        deltas = self._fold(self.source.changes(last, cur))
         if last < 0 or self.view.latest_version() < 0:
-            merged = deltas
-        else:
-            old = self.view.read()
-            sum_names = [f"sum_{c}" for c in self.sum_cols]
-            o = old.select(
-                *self.group_cols,
-                F.col("n_rows").alias("__o_n"),
-                *[F.col(n).alias(f"__o_{n}") for n in sum_names],
+            # initial build: aggregate the snapshot directly (exactly
+            # fold(changes(-1, cur)) for sum/count by the net-exact
+            # feed identity, and the only sound way to seed min/max)
+            merged = self._snapshot_agg(cur).filter(F.col("n_rows") > 0)
+            return self.view.overwrite_batch_txn(merged, self._APP, cur)
+
+        deltas = self._fold(self.source.changes(last, cur))
+        old = self.view.read()
+        sum_names = [f"sum_{c}" for c in self.sum_cols]
+        o = old.select(
+            *self.group_cols,
+            F.col("n_rows").alias("__o_n"),
+            *[F.col(n).alias(f"__o_{n}") for n in sum_names],
+            *[F.col(n).alias(f"__o_{n}") for n in self._bound_names],
+        )
+        j = o.join(deltas, self.group_cols, "full_outer")
+        cols = [
+            (
+                F.coalesce(F.col("__o_n"), F.lit(0))
+                + F.coalesce(F.col("n_rows"), F.lit(0))
             )
-            d = deltas.select(
-                *self.group_cols,
-                F.col("n_rows").alias("__d_n"),
-                *[F.col(n).alias(f"__d_{n}") for n in sum_names],
-            )
-            j = o.join(d, self.group_cols, "full_outer")
-            cols = [
+            .cast("long")
+            .alias("n_rows")
+        ]
+        for n in sum_names:
+            cols.append(
                 (
-                    F.coalesce(F.col("__o_n"), F.lit(0))
-                    + F.coalesce(F.col("__d_n"), F.lit(0))
-                )
-                .cast("long")
-                .alias("n_rows")
+                    F.coalesce(F.col(f"__o_{n}"), F.lit(0.0))
+                    + F.coalesce(F.col(n), F.lit(0.0))
+                ).alias(n)
+            )
+        # min/max: fast-path fold, plus a per-group rescan flag when a
+        # delete ties-or-beats the stored bound (or hits a group the
+        # view doesn't carry — only possible on inconsistent feeds,
+        # handled conservatively by rescanning)
+        rescan = F.lit(False)
+        for c in self.min_cols:
+            o_min, d_del = F.col(f"__o_min_{c}"), F.col(f"__del_min_{c}")
+            cols.append(
+                F.least(o_min, F.col(f"__ins_min_{c}")).alias(f"min_{c}")
+            )
+            rescan = rescan | (
+                d_del.isNotNull() & (o_min.isNull() | (d_del <= o_min))
+            )
+        for c in self.max_cols:
+            o_max, d_del = F.col(f"__o_max_{c}"), F.col(f"__del_max_{c}")
+            cols.append(
+                F.greatest(o_max, F.col(f"__ins_max_{c}")).alias(f"max_{c}")
+            )
+            rescan = rescan | (
+                d_del.isNotNull() & (o_max.isNull() | (d_del >= o_max))
+            )
+        merged = j.select(*self.group_cols, *cols, rescan.alias("__rescan"))
+        if self.min_cols or self.max_cols:
+            affected = merged.filter(F.col("__rescan")).select(
+                *self.group_cols
+            )
+            bound_aggs = [
+                F.min(F.col(c)).alias(f"__re_min_{c}") for c in self.min_cols
+            ] + [
+                F.max(F.col(c)).alias(f"__re_max_{c}") for c in self.max_cols
             ]
-            for n in sum_names:
-                cols.append(
-                    (
-                        F.coalesce(F.col(f"__o_{n}"), F.lit(0.0))
-                        + F.coalesce(F.col(f"__d_{n}"), F.lit(0.0))
-                    ).alias(n)
+            # ONE source scan, pre-filtered to affected groups via a
+            # broadcast semi-join (affected ≤ view cardinality); when
+            # no bound was hit this plans an empty build side and the
+            # scan prunes to nothing under AQE
+            rescanned = (
+                self.source.read(version=cur)
+                .join(F.broadcast(affected), self.group_cols, "left_semi")
+                .groupBy(*self.group_cols)
+                .agg(*bound_aggs)
+            )
+            merged = merged.join(rescanned, self.group_cols, "left")
+            fixed = []
+            for c in self.min_cols:
+                fixed.append(
+                    F.when(
+                        F.col("__rescan"), F.col(f"__re_min_{c}")
+                    ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
                 )
-            merged = j.select(*self.group_cols, *cols)
+            for c in self.max_cols:
+                fixed.append(
+                    F.when(
+                        F.col("__rescan"), F.col(f"__re_max_{c}")
+                    ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+                )
+            keep = ["n_rows", *sum_names]
+            merged = merged.select(*self.group_cols, *keep, *fixed)
+        else:
+            merged = merged.drop("__rescan")
         # groups whose rows all vanished leave the view entirely
         merged = merged.filter(F.col("n_rows") > 0)
         return self.view.overwrite_batch_txn(merged, self._APP, cur)
