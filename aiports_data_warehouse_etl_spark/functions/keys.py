@@ -114,7 +114,7 @@ def with_scalable_row_id(
 
 def with_scalable_prefix_sum(
     df: DataFrame,
-    order_by: list[str],
+    order_by: list[Column | str],
     value_col: str,
     name: str,
 ) -> DataFrame:
@@ -136,9 +136,22 @@ def with_scalable_prefix_sum(
 
     Result is bit-identical to
     ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` for
-    any total ordering (ties in a partial ordering would make either
-    form nondeterministic — pass a key-complete ordering).
+    INTEGRAL value columns over any total ordering (ties in a partial
+    ordering would make either form nondeterministic — pass a
+    key-complete ordering). Fractional columns are rejected: the
+    cross-partition offsets are exchanged as exact integers, and a
+    float partial would silently truncate (ADVICE r4) — a float
+    prefix-sum also wouldn't be bit-stable across partitionings in
+    the first place (addition-order dependence).
     """
+    dtype = dict(df.dtypes).get(value_col, "")
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"with_scalable_prefix_sum: {value_col} has type {dtype!r}; "
+            "only integral columns fold exactly across partition "
+            "offsets (floats would truncate / be addition-order-"
+            "dependent) — cast or scale to integers first"
+        )
     stamped = (
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
@@ -167,6 +180,65 @@ def with_scalable_prefix_sum(
         .withColumn(
             name,
             (F.sum(value_col).over(w) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def with_scalable_prefix_max(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    name: str,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global running MAX of ``value_col`` over a total ordering with
+    no single-partition window — same two-pass range-partitioned
+    decomposition as ``with_scalable_prefix_sum``, but for the
+    prefix-max semigroup: per-partition max partials fold into
+    exclusive cross-partition offsets (the max of every EARLIER
+    partition), then each partition windows only its own rows and
+    takes ``greatest(within-partition running max, offset)``.
+
+    ``exclusive=True`` gives the *strict* prefix
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``): the first
+    row of the whole ordering gets NULL, matching the SQL frame —
+    the shape skyline/record-breaking queries need. max is
+    order-insensitive and exact for any orderable type, so the result
+    is bit-identical to the global window form for any key-complete
+    ordering."""
+    dtype = dict(df.dtypes)[value_col]
+    stamped = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    partials = (
+        stamped.groupBy("__pid").agg(F.max(value_col).alias("__m")).collect()
+    )
+    spark = df.sparkSession
+    if not partials:  # empty input: keep schema, zero rows
+        return df.withColumn(name, F.lit(None).cast(dtype)).limit(0)
+    rows, running = [], None
+    for row in sorted(partials, key=lambda r: r["__pid"]):
+        rows.append((int(row["__pid"]), running))
+        m = row["__m"]
+        if m is not None and (running is None or m > running):
+            running = m
+    off_df = spark.createDataFrame(rows, f"__pid int, __off {dtype}")
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # greatest() skips NULLs: first partition's NULL offset and the
+    # empty exclusive frame both fall through correctly
+    return (
+        stamped.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            name, F.greatest(F.max(value_col).over(w), F.col("__off"))
         )
         .drop("__pid", "__off")
     )

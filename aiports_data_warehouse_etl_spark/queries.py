@@ -6335,10 +6335,15 @@ def skyline_price_frontier(spark, sf_dir):
     earlier-or-equal day with a higher total price — i.e. each
     frontier day strictly raises the running price record. The naive
     skyline is an O(n^2) dominance anti-join; for two dimensions it
-    collapses to sort-by-x + running-max-of-y, here a per-day
-    pre-aggregation followed by one global window over ~date-range
-    rows (tiny), so the unpartitioned window is safe at any fact
-    scale."""
+    collapses to sort-by-x + strict-prefix-max-of-y. The prefix max
+    runs as the range-partitioned two-pass decomposition
+    (functions/keys.with_scalable_prefix_max, r5) rather than a
+    single-partition global window, so the plan survives even if the
+    pre-aggregated day frame grows with the data."""
+    from aiports_data_warehouse_etl_spark.functions.keys import (
+        with_scalable_prefix_max,
+    )
+
     o = _t(spark, sf_dir, "orders")
     d = (
         o.groupBy(
@@ -6348,12 +6353,10 @@ def skyline_price_frontier(spark, sf_dir):
         )
         .agg(F.max("o_totalprice").alias("best_price"))
     )
-    win = (
-        Window.orderBy("day_n")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        d.withColumn("prev_max", F.max("best_price").over(win))
+        with_scalable_prefix_max(
+            d, ["day_n"], "best_price", "prev_max", exclusive=True
+        )
         .filter(
             F.col("prev_max").isNull()
             | (F.col("best_price") > F.col("prev_max"))
@@ -6448,28 +6451,26 @@ def abc_pareto_parts(spark, sf_dir):
     perturbs the rank order and flips round(...,2) at half-cent
     boundaries. The cumulative sum then runs over identical integers
     in an identical total order (revenue desc, part key). Scale
-    shape: the fact collapses to part-cardinality before any window;
-    the global prefix sum is one in-order pass over that reduced
-    table — at true 100 TB part counts this would shard into range
-    partitions with per-shard offsets (two-pass prefix sum,
-    SCALE.md)."""
+    shape: the fact collapses to part-cardinality before any window,
+    and the cumulative revenue runs as the range-partitioned two-pass
+    prefix sum (functions/keys.with_scalable_prefix_sum, r5 — was a
+    whitelisted global window) with the grand total attached as one
+    broadcast scalar, so the plan holds at the ~20B-part counts a
+    100 TB lineitem implies."""
+    from aiports_data_warehouse_etl_spark.functions.keys import (
+        with_scalable_prefix_sum,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
     r = li.groupBy("l_partkey").agg(
         F.sum(cents * disc).cast("long").alias("rev_e4")
     )
-    cum = (
-        Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    total = Window.partitionBy()
-    c = r.select(
-        "l_partkey",
-        "rev_e4",
-        F.sum("rev_e4").over(cum).cast("long").alias("cum_rev"),
-        F.sum("rev_e4").over(total).cast("long").alias("tot_rev"),
-    )
+    tot = r.agg(F.sum("rev_e4").cast("long").alias("tot_rev"))
+    c = with_scalable_prefix_sum(
+        r, [F.desc("rev_e4"), F.asc("l_partkey")], "rev_e4", "cum_rev"
+    ).crossJoin(F.broadcast(tot))
     share = F.round(
         F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double"), 6
     )

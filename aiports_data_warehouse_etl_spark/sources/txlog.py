@@ -220,6 +220,9 @@ class TxLogTable:
                 "files": snap["files"],
                 "dvs": snap["dvs"],
                 "constraints": snap["constraints"],
+                # cumulative staged-token ledger so vacuum resolves
+                # committed tokens in O(commits since checkpoint)
+                "tokens": sorted(self._committed_tokens(version)),
             }
             tmp = _checkpoint_path(self.path, version) + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
@@ -999,6 +1002,33 @@ class TxLogTable:
             )
         return out
 
+    def _committed_tokens(self, upto: int) -> set[str]:
+        """Staging tokens referenced by any commit ≤ ``upto``,
+        resolved from the newest TOKEN-BEARING checkpoint then folded
+        forward — O(commits since checkpoint) small-file reads, not
+        O(total history) (ADVICE r4). Checkpoints written before the
+        token ledger existed fall back to one full scan; the next
+        checkpoint write repairs them."""
+        tokens: set[str] = set()
+        start = 0
+        for v in range(upto, -1, -1):
+            cp = _checkpoint_path(self.path, v)
+            if not os.path.exists(cp):
+                continue
+            with open(cp) as fh:
+                state = json.load(fh)
+            if "tokens" in state:
+                tokens = set(state["tokens"])
+                start = v + 1
+            break  # newest checkpoint decides (tokens are cumulative)
+        for v in range(start, upto + 1):
+            c = self._read_commit(v)
+            for add in c.get("add", []):
+                tokens.add(add["path"].split(os.sep)[1])
+            if c.get("dv_file"):
+                tokens.add(c["dv_file"].split(os.sep)[1])
+        return tokens
+
     def vacuum(
         self,
         retain_versions: int = 0,
@@ -1018,9 +1048,13 @@ class TxLogTable:
            the token lands. An unreferenced file whose token has a
            live marker is in-flight and is NEVER deleted — even if
            its mtime lies arbitrarily in the past (object-store
-           writers don't share the vacuum host's clock). Markers
-           whose token already appears in the log are stale and get
-           reaped here. A marker older than ``abandoned_seconds``
+           writers don't share the vacuum host's clock). The marker
+           is re-checked immediately before touching each
+           unreferenced token directory, so a writer whose marker
+           lands between the staging sweep and the data listing is
+           also safe (ADVICE r4) — marker-first writers never need
+           the grace window. Markers whose token already appears in
+           the log are stale and get reaped here. A marker older than ``abandoned_seconds``
            (vacuum-host clock vs MARKER mtime — one file, written by
            this host's filesystem on create, so skew exposure is one
            metadata write, not every data file) marks a crashed
@@ -1043,14 +1077,9 @@ class TxLogTable:
         # -- staging markers: reap committed/abandoned, honor live --
         in_flight: set[str] = set()
         staging_root = os.path.join(self.path, _STAGING_DIR)
+        committed_tokens: set[str] = set()
         if os.path.isdir(staging_root):
-            committed_tokens = set()
-            for v in range(0, self.latest_version() + 1):
-                c = self._read_commit(v)
-                for add in c.get("add", []):
-                    committed_tokens.add(add["path"].split(os.sep)[1])
-                if c.get("dv_file"):
-                    committed_tokens.add(c["dv_file"].split(os.sep)[1])
+            committed_tokens = self._committed_tokens(self.latest_version())
             for token in sorted(os.listdir(staging_root)):
                 marker = os.path.join(staging_root, token)
                 if token in committed_tokens:
@@ -1077,6 +1106,15 @@ class TxLogTable:
         for sub in sorted(os.listdir(data_root)):
             if sub in in_flight:
                 continue  # live writer intent — mtime is irrelevant
+            # close the staging↔data listing race (ADVICE r4): a
+            # writer whose marker landed AFTER the staging sweep above
+            # (markers are written before any data) would otherwise be
+            # protected only by the mtime grace window — re-check for
+            # a live marker immediately before touching this token dir
+            if sub not in committed_tokens and os.path.exists(
+                os.path.join(staging_root, sub)
+            ):
+                continue
             subdir = os.path.join(data_root, sub)
             for name in sorted(os.listdir(subdir)):
                 rel = os.path.join("data", sub, name)

@@ -345,8 +345,6 @@ _GLOBAL_WINDOW_OK = {
     "p16_surrogate_key",      # §2 contract: pandas-index semantics, dim-scale
     "g1_dim_date",            # dimension builder (|dates| rows)
     "null_ordering",          # windows a `l_orderkey < 100` slice
-    "skyline_price_frontier", # windows a pre-aggregated frontier frame
-    "abc_pareto_parts",       # pre-aggregated + documented sharded escape
     "share_of_parent",        # windows the 25-row region/nation rollup
     "revenue_mom_growth",     # windows the |months|-row monthly series
 }
@@ -442,6 +440,39 @@ def test_scalable_prefix_sum_matches_window_cumsum(spark, sf_small):
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+    # fractional value columns are rejected loudly (ADVICE r4: the
+    # cross-partition offsets fold as exact integers; a float partial
+    # would silently truncate)
+    import pytest
+
+    f = o.withColumn("fv", F.col("v") + 0.5)
+    with pytest.raises(TypeError, match="integral"):
+        with_scalable_prefix_sum(f, ["o_orderkey"], "fv", "cum")
+
+
+def test_scalable_prefix_max_matches_window(spark, sf_small):
+    """with_scalable_prefix_max == max() OVER (ORDER BY ...) with both
+    inclusive and strict (1 PRECEDING) frames, bit-for-bit — max is
+    order-insensitive, so floats are fine here (unlike prefix_sum)."""
+    from pyspark.sql import Window as W
+
+    from aiports_data_warehouse_etl_spark.functions.keys import (
+        with_scalable_prefix_max,
+    )
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for exclusive, end in ((False, W.currentRow), (True, -1)):
+        w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, end)
+        expect = o.select(
+            "o_orderkey", F.max("o_totalprice").over(w).alias("m")
+        )
+        got = with_scalable_prefix_max(
+            o, ["o_orderkey"], "o_totalprice", "m", exclusive=exclusive
+        ).select("o_orderkey", "m")
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
 
 
 def test_analyze_table_feeds_cbo_estimates(spark, sf_small):

@@ -704,6 +704,90 @@ def test_vacuum_honors_staging_marker_despite_past_mtime(spark, tbl):
     assert not os.path.exists(tbl._marker_path(token))
 
 
+def test_vacuum_rechecks_staging_before_delete(spark, tbl, monkeypatch):
+    """ADVICE r4: a writer whose marker lands BETWEEN vacuum's staging
+    sweep and its data listing was previously protected only by the
+    mtime grace window — the per-token re-check must keep its files
+    safe even at grace_seconds=0 with an arbitrarily old mtime."""
+    import os
+    import time as _time
+
+    from aiports_data_warehouse_etl_spark.sources import txlog as txmod
+
+    tbl.append(spark.createDataFrame([(1, "a")], "id int, s string"))
+    staging = os.path.join(tbl.path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    token = "racewritertoken"
+    sub = os.path.join(tbl.path, "data", token)
+    os.makedirs(sub)
+    fpath = os.path.join(sub, "part-race.parquet")
+    with open(fpath, "wb") as fh:
+        fh.write(b"notyetcommitted")
+    old = _time.time() - 10_000
+    os.utime(fpath, (old, old))
+    marker = os.path.join(staging, token)
+
+    real_listdir = os.listdir
+
+    def racy_listdir(p):
+        res = real_listdir(p)
+        if os.path.abspath(str(p)) == os.path.abspath(staging):
+            # the writer's marker lands just AFTER the staging sweep
+            with open(marker, "w"):
+                pass
+        return res
+
+    monkeypatch.setattr(txmod.os, "listdir", racy_listdir)
+    deleted = tbl.vacuum(grace_seconds=0.0)
+    assert not any(token in rel for rel in deleted), deleted
+    assert os.path.exists(fpath), "in-flight file deleted despite marker"
+
+
+def test_vacuum_committed_tokens_from_checkpoint_ledger(spark, tbl):
+    """ADVICE r4: vacuum's committed-token set must resolve from the
+    checkpoint token ledger + commits after it — O(commits since
+    checkpoint) — and equal the full-history scan exactly."""
+    import os
+
+    for i in range(6):  # checkpoint_every=4 → ledger at v4 (fixture)
+        tbl.append(
+            spark.createDataFrame([(i, "x")], "id int, s string")
+        )
+    import json as _json
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        _checkpoint_path,
+    )
+
+    cp = _checkpoint_path(tbl.path, 4)
+    assert os.path.exists(cp)
+    with open(cp) as fh:
+        state = _json.load(fh)
+    assert "tokens" in state and len(state["tokens"]) == 5  # v0..v4
+    full = set()
+    for v in range(tbl.latest_version() + 1):
+        c = tbl._read_commit(v)
+        for add in c.get("add", []):
+            full.add(add["path"].split(os.sep)[1])
+        if c.get("dv_file"):
+            full.add(c["dv_file"].split(os.sep)[1])
+    assert tbl._committed_tokens(tbl.latest_version()) == full
+    # and the resolution reads only commits AFTER the newest ledger
+    reads = []
+    orig = type(tbl)._read_commit
+
+    def spying(self, v):
+        reads.append(v)
+        return orig(self, v)
+
+    import unittest.mock as um
+
+    with um.patch.object(type(tbl), "_read_commit", spying):
+        got = tbl._committed_tokens(tbl.latest_version())
+    assert got == full
+    assert min(reads) == 5, f"ledger ignored, read commits {sorted(reads)}"
+
+
 def test_vacuum_reaps_abandoned_staging(spark, tbl):
     """A marker (and its files) older than abandoned_seconds is a
     crashed writer: collected. A committed token's stale marker is

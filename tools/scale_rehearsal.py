@@ -30,6 +30,12 @@ FAMILIES = [
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_lsh_multiprobe",
     "sim_ivf_topk", "sim_pq_topk",
     "graph_pagerank_parts", "graph_bfs_hops",
+    # r5: the three fixed-overhead singles from VERDICT r4's perf-weak
+    # list — correct cluster-shaped plans that lose to DuckDB's
+    # constant factors at 600k rows; the rehearsal documents that
+    # their wall-clock stays ~flat-to-linear at 10x, i.e. the loss is
+    # overhead, not a scaling defect
+    "text_keyphrase_rake", "market_basket_lift", "text_bigram_logprob",
 ]
 
 SF01 = "/root/testdata/sf0.1"
