@@ -1040,6 +1040,46 @@ def test_txlog_cdf_partition_parallel(spark, tbl, tmp_path):
     assert seen["parts"] == 5
 
 
+def test_txlog_cdf_compact_only_batch_is_empty(spark, tbl, tmp_path):
+    """A micro-batch whose only commits are pure-layout (compact)
+    plans ZERO partitions — the stream must advance its offset past
+    it without emitting rows or erroring, and keep streaming after."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    register_txlog_cdf(spark)
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_cdf")
+            .option("path", tbl.path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1)
+    )
+    drain()
+    tbl.compact(target_file_bytes=1 << 30)
+    drain()  # compact-only batch: zero partitions, no rows
+    assert spark.read.parquet(out).count() == 2
+    tbl.append(
+        spark.createDataFrame([(3, "c")], "id int, s string").coalesce(1)
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_txlog_cdf_stream_dv_then_cow(spark, tbl, tmp_path):
     """Streaming twin of test_change_feed_dv_then_cow_folds (ADVICE
     r4 medium): a DV-deleted row must not re-emit 'delete' when a
