@@ -3694,6 +3694,136 @@ def matview_minmax_refresh(spark, sf_dir):
 
 
 @q(
+    "matview_streaming_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderkey % 100 < 30 AND o_orderkey % 13 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def matview_streaming_maintenance(spark, sf_dir):
+    """CONTINUOUS materialized-view maintenance: the view follows the
+    txlog_cdf STREAMING source (streaming/matview.py
+    maintain_streaming) — each micro-batch is a change-feed slice
+    (v0, v1] that delta-applies with v1 as the transaction id, so a
+    replayed batch is a committed no-op and exactly-once holds end to
+    end with no cross-system coordination (the r4 batch-refresh
+    identity driven by the r5 partition-planning CDC reader). The run
+    streams an initial build, then an append + deletion-vector delete
+    (which hits the max bound → bounded rescan), draining after each;
+    the final view must equal the full SQL re-aggregation."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    root = tempfile.mkdtemp(prefix="tlog_mvs_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        mv = IncrementalAggView(
+            spark,
+            t,
+            root + "/view",
+            group_cols=["o_orderstatus"],
+            sum_cols=["o_totalprice"],
+            max_cols=["o_totalprice"],
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def drain() -> None:
+            q_ = mv.maintain_streaming(root + "/ckpt")
+            if not q_.awaitTermination(300):
+                q_.stop()
+                raise TimeoutError(
+                    "matview_streaming_maintenance: drain timed out"
+                )
+
+        t.append(o.filter("o_orderkey % 100 < 30").repartition(2))
+        drain()  # streamed initial build
+        t.delete_where_dv("o_orderkey % 13 = 0")
+        drain()  # streamed DV delete (max-bound rescan path)
+        out = mv.read().select(
+            "o_orderstatus",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("sum_o_totalprice", 2).alias("sum_price"),
+            F.col("max_o_totalprice").alias("max_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "matview_distinct_refresh",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_o_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderkey % 100 < 30 AND o_custkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def matview_distinct_refresh(spark, sf_dir):
+    """EXACT incremental COUNT(DISTINCT) maintenance
+    (streaming/matview.py IncrementalDistinctView): distinct-count is
+    only a semigroup (a delete can't be folded), so the view stores
+    the (group, value) MULTIPLICITY table — a plain count, which IS a
+    group aggregate and folds exactly under inserts and deletes —
+    and serves distinct = count of surviving pairs at read time. No
+    rescans ever: a multiplicity hitting zero is precisely the
+    distinct-decrement signal. Two appends then a deletion-vector
+    delete, refreshing after each; the final view must equal the
+    full COUNT(DISTINCT) re-aggregation."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalDistinctView,
+    )
+
+    root = tempfile.mkdtemp(prefix="tlog_mvd_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        dv = IncrementalDistinctView(
+            spark,
+            t,
+            root + "/view",
+            group_cols=["o_orderstatus"],
+            value_col="o_custkey",
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_custkey"
+        )
+        t.append(o.filter("o_orderkey % 100 < 15").repartition(2))
+        dv.refresh()
+        t.append(
+            o.filter(
+                "o_orderkey % 100 >= 15 AND o_orderkey % 100 < 30"
+            ).repartition(2)
+        )
+        dv.refresh()
+        t.delete_where_dv("o_custkey % 5 = 0")
+        dv.refresh()
+        out = dv.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -1410,6 +1410,145 @@ def test_matview_minmax_interior_delete_skips_rescan(spark, tbl, tmp_path):
     } == {("a", 5.0, 5.0), ("b", 1.0, 9.0)}
 
 
+def test_matview_streaming_maintenance(spark, tbl, tmp_path):
+    """maintain_streaming: the view follows the txlog_cdf stream —
+    each micro-batch delta-applies with its end version as the txn
+    id. Draining twice on the same checkpoint is a no-op (replay
+    safety), an out-of-band batch refresh between drains does NOT
+    double-apply (version-granular overlap filter), and after every
+    drain the view equals the full re-aggregation."""
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    mv = IncrementalAggView(
+        spark, tbl, str(tmp_path / "view"),
+        group_cols=["k"], sum_cols=["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def drain():
+        q = mv.maintain_streaming(ckpt)
+        assert q.awaitTermination(180)
+
+    def expect():
+        return {
+            (r.k, r.n, round(r.s, 6), r.lo, r.hi)
+            for r in tbl.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("s"),
+                F.min("val").alias("lo"),
+                F.max("val").alias("hi"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.k, r.n_rows, round(r.sum_val, 6), r.min_val, r.max_val)
+            for r in mv.read().collect()
+        }
+
+    tbl.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 4.0), ("b", 10.0)], "k string, val double"
+        )
+    )
+    drain()
+    assert got() == expect()
+    v_after_first = mv.last_applied_version()
+
+    # replay on the same checkpoint: committed no-op
+    drain()
+    assert mv.last_applied_version() == v_after_first
+    assert got() == expect()
+
+    # more commits, including a bound-hitting DV delete
+    tbl.append(
+        spark.createDataFrame([("b", 3.0), ("c", 7.0)], "k string, val double")
+    )
+    tbl.delete_where_dv("k = 'a' AND val = 4.0")
+    drain()
+    assert got() == expect()
+
+    # out-of-band BATCH refresh, then a stream drain over commits the
+    # batch already folded: the overlap filter must not double-apply
+    tbl.append(spark.createDataFrame([("a", 9.0)], "k string, val double"))
+    mv.refresh()
+    assert got() == expect()
+    tbl.append(spark.createDataFrame([("c", 2.0)], "k string, val double"))
+    drain()
+    assert got() == expect()
+
+
+def test_matview_distinct_view(spark, tbl, tmp_path):
+    """IncrementalDistinctView: exact COUNT(DISTINCT value) per group
+    via the multiplicity table — folds exactly under inserts AND
+    deletes with no rescan (a value's multiplicity hitting zero is
+    the distinct-decrement signal), matching the full re-aggregation
+    after every refresh."""
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalDistinctView,
+    )
+
+    dv = IncrementalDistinctView(
+        spark, tbl, str(tmp_path / "dview"),
+        group_cols=["k"], value_col="u",
+    )
+
+    def expect():
+        return {
+            (r.k, r.d, r.n)
+            for r in tbl.read()
+            .groupBy("k")
+            .agg(
+                F.countDistinct("u").cast("long").alias("d"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.k, r.n_distinct_u, r.n_rows)
+            for r in dv.read().collect()
+        }
+
+    tbl.append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "k string, u int"
+        )
+    )
+    dv.refresh()
+    assert got() == expect()
+
+    # delete ONE of the two (a,1) rows: multiplicity 2→1, distinct
+    # count must NOT drop
+    tbl.append(spark.createDataFrame([("b", 6), ("b", 6)], "k string, u int"))
+    dv.refresh()
+    before = got()
+    assert ("a", 2, 3) in before and ("b", 2, 3) in before
+    # COW delete of exactly one duplicate row is awkward by predicate;
+    # use a DV delete of one (b,6) via a unique rowid-free trick:
+    # delete both then re-insert one — the fold must land exactly
+    tbl.delete_where_dv("k = 'b' AND u = 6")
+    tbl.append(spark.createDataFrame([("b", 6)], "k string, u int"))
+    dv.refresh()
+    assert got() == expect()
+    # multiplicity to zero: distinct count drops
+    tbl.delete_where("k = 'a' AND u = 2")
+    dv.refresh()
+    assert got() == expect()
+    assert ("a", 1, 2) in got()
+    # replay no-op
+    before = got()
+    assert dv.refresh() is None
+    assert got() == before
+
+
 def test_time_travel_as_of_timestamp(spark, tbl):
     """read(as_of_ts=) resolves the newest commit at-or-before the
     given timestamp — the timestamp flavor of time travel, exact at
