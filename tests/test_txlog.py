@@ -1080,6 +1080,45 @@ def test_txlog_cdf_compact_only_batch_is_empty(spark, tbl, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_txlog_cdf_additive_schema_evolution(spark, tbl, tmp_path):
+    """Additive schema evolution through the change-feed stream: the
+    declared stream schema is the table's NEWEST schema; rows from
+    files written before a column existed arrive with that column
+    NULL-filled (the mergeSchema contract, executor-side via Arrow
+    null arrays), and wider rows carry their values."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    tbl.append(
+        spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1)
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id int, s string, score double"
+        ).coalesce(1)
+    )
+    register_txlog_cdf(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlog_cdf")
+        .option("path", tbl.path)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.id, r.s, r.score, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "a", None, "insert"), (2, "b", 9.5, "insert")}
+
+
 def test_txlog_cdf_stream_dv_then_cow(spark, tbl, tmp_path):
     """Streaming twin of test_change_feed_dv_then_cow_folds (ADVICE
     r4 medium): a DV-deleted row must not re-emit 'delete' when a
