@@ -67,6 +67,35 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: Queries whose Spark side performs STATEFUL FEATURE WORK — sink
+#: writes, ACID commits, streaming drains, media decode — while their
+#: DuckDB oracle only recomputes the FINAL ANSWER from the base
+#: parquet (the correctness contract needs nothing more). Their
+#: oracle hash-match is a full-strength correctness signal, but their
+#: Spark-vs-DuckDB WALL-CLOCK is not an engine comparison (DuckDB
+#: never does the commits/streams/decodes), so the head-to-head tool
+#: (tools/duck_vs_spark.py) reports them in a separate table instead
+#: of letting them crowd the engine-comparable top-N. Membership rule:
+#: the query's fn creates tables/files/streams or decodes media; pure
+#: read-compute-return queries NEVER belong here.
+FEATURE_DEMOS: frozenset[str] = frozenset({
+    # format sink+source roundtrips
+    "csv_roundtrip_stats", "orc_roundtrip_agg", "xml_roundtrip_agg",
+    "jsonl_roundtrip_stats", "federated_format_union",
+    # ACID transaction-log feature demos
+    "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
+    "tlog_delete_dv", "tlog_clustered_prune",
+    # streaming sink/source demos
+    "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
+    # incremental materialized-view maintenance
+    "matview_incremental_refresh", "matview_minmax_refresh",
+    "matview_streaming_maintenance", "matview_distinct_refresh",
+    # media decode (real codec work vs residue-class VALUES oracle)
+    "mm_decode_features", "mm_video_frame_sample",
+    # misc: file-lineage demo, synthetic python-datasource scan
+    "file_provenance", "pyds_synthetic_scan",
+})
+
 
 def q(name: str, oracle: str | None):
     def deco(fn):

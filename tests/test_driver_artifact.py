@@ -117,6 +117,25 @@ def test_sweep_window_invariants():
     assert unoracled == [], f"rows-only entries rotated into window: {unoracled}"
 
 
+def test_feature_demo_set_is_valid():
+    """FEATURE_DEMOS (the queries excluded from the engine-comparable
+    head-to-head because their Spark side does commits/streams/decodes
+    the oracle never performs) must reference real registry entries,
+    never a §2 reference-contract query, and stay a small curated set
+    — it exists for benchmark honesty, not benchmark pruning."""
+    import __spark_entry__ as e
+
+    from aiports_data_warehouse_etl_spark.queries import FEATURE_DEMOS
+
+    unknown = [n for n in FEATURE_DEMOS if n not in QUERIES]
+    assert unknown == [], f"demo names not in registry: {unknown}"
+    contract_overlap = sorted(FEATURE_DEMOS & set(e._CONTRACT))
+    assert contract_overlap == [], contract_overlap
+    # curated, not a dumping ground: must stay well under 15% of the
+    # registry (currently ~9%)
+    assert len(FEATURE_DEMOS) <= len(QUERIES) * 0.15
+
+
 def test_sweep_window_rotates_to_unswept():
     """Rotation actually rotates: given the recorded artifacts, the
     window must contain a meaningful slice of never-driver-swept

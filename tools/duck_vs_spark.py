@@ -23,7 +23,10 @@ sys.path.insert(0, "tests")
 
 from oracle import duckdb_con  # noqa: E402
 
-from aiports_data_warehouse_etl_spark.queries import QUERIES  # noqa: E402
+from aiports_data_warehouse_etl_spark.queries import (  # noqa: E402
+    FEATURE_DEMOS,
+    QUERIES,
+)
 from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -41,8 +44,20 @@ def main() -> None:
     n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     with open("BENCH_FULL.json") as f:
         bench = json.load(f)["queries"]
-    oracled = [n for n in bench if QUERIES.get(n) and QUERIES[n].oracle]
+    # engine-comparable set only: FEATURE_DEMOS' Spark side does
+    # commits/streams/decodes the oracle never performs, so their
+    # wall-clock ratio is not engine-vs-engine (they're timed in a
+    # separate table below for transparency)
+    oracled = [
+        n
+        for n in bench
+        if QUERIES.get(n) and QUERIES[n].oracle and n not in FEATURE_DEMOS
+    ]
     top = sorted(oracled, key=lambda n: -bench[n])[:n_top]
+    demo_top = sorted(
+        (n for n in bench if n in FEATURE_DEMOS and QUERIES[n].oracle),
+        key=lambda n: -bench[n],
+    )[:n_top]
 
     spark = get_spark(
         extra_conf={"spark.driver.memory":
@@ -65,12 +80,35 @@ def main() -> None:
 
     st = sum(r[1] for r in rows)
     dt = sum(r[2] for r in rows)
-    print(f"\n| Query (top {n_top} heaviest oracled) | Spark | DuckDB | ratio |")
+    print(
+        f"\n| Query (top {n_top} heaviest engine-comparable oracled) "
+        "| Spark | DuckDB | ratio |"
+    )
     print("|---|---|---|---|")
     for name, s, d in sorted(rows, key=lambda r: -(r[1])):
         print(f"| {name} | {s:.2f} s | {d:.2f} s | {s / max(d, 1e-9):.2f}x |")
     print(f"| **TOTAL** | **{st:.1f} s** | **{dt:.1f} s** | "
           f"**{st / max(dt, 1e-9):.2f}x** |")
+
+    # feature demos, timed separately: the Spark number includes the
+    # feature work (commits / streams / decodes); the DuckDB number is
+    # just the final-state aggregate — NOT an engine comparison, shown
+    # so nothing is hidden
+    drows = []
+    for name in demo_top:
+        spec = QUERIES[name]
+        s = best_of(lambda: spec.fn(spark, sf_dir).collect())
+        spark.catalog.clearCache()
+        d = best_of(lambda: con.execute(spec.oracle).fetchall())
+        drows.append((name, s, d))
+        print(f"  [demo] {name}: spark {s:.2f}s duckdb {d:.2f}s",
+              file=sys.stderr)
+    print("\n| Feature demo (Spark does the feature work; DuckDB only "
+          "recomputes the final state — not engine-comparable) | Spark "
+          "| DuckDB final-state check |")
+    print("|---|---|---|")
+    for name, s, d in sorted(drows, key=lambda r: -(r[1])):
+        print(f"| {name} | {s:.2f} s | {d:.2f} s |")
 
 
 if __name__ == "__main__":
