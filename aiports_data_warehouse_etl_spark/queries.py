@@ -84,7 +84,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "jsonl_roundtrip_stats", "federated_format_union",
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
-    "tlog_delete_dv", "tlog_clustered_prune",
+    "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     # streaming sink/source demos
     "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
     # incremental materialized-view maintenance
@@ -3715,6 +3715,75 @@ def matview_minmax_refresh(spark, sf_dir):
             F.round("sum_o_totalprice", 2).alias("sum_price"),
             F.col("min_o_totalprice").alias("min_price"),
             F.col("max_o_totalprice").alias("max_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_cdc_updates",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 20
+    ),
+    u AS (SELECT * FROM a WHERE o_orderkey % 7 = 0),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 25
+    )
+    SELECT 'update_preimage' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM u
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice + 1000), 2)
+    FROM u
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 2)
+    FROM ins
+    """,
+)
+def tlog_cdc_updates(spark, sf_dir):
+    """Keyed CDC with UPDATE detection (sources/txlog.py
+    changes_keyed, r5 — the Delta-CDF shape): a MERGE that updates
+    every 7th order's price (+1000) and inserts a band of new keys,
+    then the keyed change feed over the merge commit. Same-key
+    delete+insert pairs become update_preimage/update_postimage,
+    copy-on-write CARRIED rows (identical on both sides — most rows
+    of every rewritten file) are suppressed entirely, so the feed is
+    O(changed rows), not O(rewritten bytes). The per-change-type
+    rollup must equal the SQL derivation of exactly which rows
+    changed."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_cdc_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 100 < 20").repartition(2))
+        src = o.filter(
+            "o_orderkey % 100 < 20 AND o_orderkey % 7 = 0"
+        ).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        ).unionByName(
+            o.filter("o_orderkey % 100 >= 20 AND o_orderkey % 100 < 25")
+        )
+        t.merge_upsert(src, keys=["o_orderkey"])
+        feed = t.changes_keyed(0, t.latest_version(), ["o_orderkey"])
+        out = feed.groupBy("_change_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -8278,7 +8347,7 @@ def join_key_skew_profile(spark, sf_dir):
       GROUP BY x.i, y.j),
     mean AS (SELECT i, avg(xi) AS mu FROM x GROUP BY i)
     SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-           round(p.e_xy - mi.mu * mj.mu, 6) AS cov
+           round(p.e_xy - mi.mu * mj.mu, 6) + 0.0 AS cov
     FROM prod p
     JOIN mean mi ON p.i = mi.i
     JOIN mean mj ON p.j = mj.i
@@ -8323,8 +8392,16 @@ def emb_covariance_matrix(spark, sf_dir):
         .select(
             "i",
             "j",
-            F.round(
-                F.col("val") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 6
+            (
+                F.round(
+                    F.col("val") / F.col("n")
+                    - F.col("mu_i") * F.col("mu_j"),
+                    6,
+                )
+                # + 0.0 collapses -0.0 (a rounded sign-crossing value
+                # differs in SIGN BIT between engines; the hash compare
+                # is bit-strict) — applied on BOTH engines
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

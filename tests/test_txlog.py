@@ -527,6 +527,75 @@ def test_change_feed_dv_then_cow_folds(spark, tbl):
     assert {i for i, n in net2.items() if n == 1} == {100}
 
 
+def test_changes_keyed_update_detection(spark, tbl):
+    """changes_keyed (Delta-CDF shape): same-key delete+insert within
+    a commit pairs into update_preimage/update_postimage, identical
+    rows (the copy-on-write carry) are suppressed, one-sided keys
+    stay insert/delete — across MERGE, COW delete, DV delete, and
+    overwrite commits — and duplicate keys on a side raise."""
+    df = spark.createDataFrame(
+        [(i, chr(97 + i % 3), float(i * 10)) for i in range(8)],
+        "id int, s string, p double",
+    )
+    tbl.append(df.coalesce(1))                               # v0
+    src = spark.createDataFrame(
+        [(2, "x", 999.0), (50, "new", 500.0)], "id int, s string, p double"
+    )
+    tbl.merge_upsert(src, keys=["id"])                       # v1
+    tbl.delete_where_dv("id = 5")                            # v2
+    tbl.delete_where("id = 7")                               # v3 (COW)
+    feed = tbl.changes_keyed(0, tbl.latest_version(), ["id"])
+    rows = {
+        (r.id, r._change_type, r._commit_version, r.p)
+        for r in feed.collect()
+    }
+    assert (2, "update_preimage", 1, 20.0) in rows
+    assert (2, "update_postimage", 1, 999.0) in rows
+    assert (50, "insert", 1, 500.0) in rows
+    assert (5, "delete", 2, 50.0) in rows
+    assert (7, "delete", 3, 70.0) in rows
+    # nothing else: every carried row suppressed (v1 rewrote the whole
+    # file; ids 0,1,3,4,6 carried identically; v3's rewrite carried
+    # the survivors)
+    assert len(rows) == 5, sorted(rows)
+
+    # replaying the keyed feed over snapshot v0 reproduces the head:
+    # last-writer-wins per key on (postimage|insert) minus deletes
+    import pyspark.sql.functions as SF
+
+    last = {}
+    for r in sorted(
+        feed.collect(), key=lambda r: (r._commit_version,)
+    ):
+        if r._change_type in ("insert", "update_postimage"):
+            last[r.id] = (r.s, r.p)
+        elif r._change_type == "delete":
+            last[r.id] = None
+    base = {r.id: (r.s, r.p) for r in tbl.read(version=0).collect()}
+    base.update({k: v for k, v in last.items()})
+    replayed = {k: v for k, v in base.items() if v is not None}
+    head = {r.id: (r.s, r.p) for r in tbl.read().collect()}
+    assert replayed == head
+
+    # duplicate keys on one side must raise loudly
+    tbl.append(
+        spark.createDataFrame(
+            [(100, "d1", 1.0), (100, "d2", 2.0)], "id int, s string, p double"
+        ).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        tbl.changes_keyed(
+            tbl.latest_version() - 1, tbl.latest_version(), ["id"]
+        ).collect()
+    # the raw (unkeyed) feed still serves duplicate-key tables
+    assert (
+        tbl.changes(
+            tbl.latest_version() - 1, tbl.latest_version()
+        ).count()
+        == 2
+    )
+
+
 def test_changes_after_vacuum_is_loud(spark, tbl):
     """A vacuumed retention window must make the change feed RAISE,
     never return a silently incomplete feed."""
