@@ -85,6 +85,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
+    "tlog_bloom_prune",
     # streaming sink/source demos
     "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
     # incremental materialized-view maintenance
@@ -3715,6 +3716,70 @@ def matview_minmax_refresh(spark, sf_dir):
             F.round("sum_o_totalprice", 2).alias("sum_price"),
             F.col("min_o_totalprice").alias("min_price"),
             F.col("max_o_totalprice").alias("max_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_bloom_prune",
+    """
+    WITH band AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 40
+    ),
+    probe AS (
+      SELECT max(o_custkey) AS ck FROM band
+    )
+    SELECT b.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(b.o_totalprice), 2) AS total_price
+    FROM band b JOIN probe p ON b.o_custkey = p.ck
+    GROUP BY b.o_custkey
+    """,
+)
+def tlog_bloom_prune(spark, sf_dir):
+    """Bloom-filter FILE INDEX on the transaction log
+    (sources/txlog.py add_bloom_index, r5): point lookups on a
+    high-cardinality UNCLUSTERED column skip files whose per-file
+    bloom proves the key absent — the pruning lever min/max stats
+    cannot provide when every file's key range spans the domain
+    (tlog_clustered_prune is the complementary SORTED case). Filters
+    are auto-maintained by every write path; the probe hashes with
+    the JVM's own xxhash64 so build and probe positions agree
+    bit-for-bit. The pruned read + row filter must equal the plain
+    SQL point lookup (blooms admit ~fpp false-positive FILES, never
+    wrong rows), and the query asserts files were actually skipped."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_bloom_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        band = o.filter("o_orderkey % 100 < 40")
+        t.append(band.repartition(8))
+        t.add_bloom_index("o_custkey", fpp=0.01)
+        probe = band.agg(F.max("o_custkey")).collect()[0][0]
+        pruned = t.read(prune_eq={"o_custkey": probe})
+        n_kept = len(pruned.inputFiles())
+        n_files = len(t._snapshot()["files"])
+        assert n_kept < n_files, (
+            f"bloom skipped nothing ({n_kept}/{n_files})"
+        )
+        out = (
+            pruned.filter(F.col("o_custkey") == probe)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

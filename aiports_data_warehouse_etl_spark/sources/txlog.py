@@ -156,6 +156,8 @@ class TxLogTable:
                 "files": {},
                 "dvs": {},
                 "constraints": {},
+                "bloom_cols": {},
+                "blooms": {},
             }
         start = 0
         state: dict = {
@@ -163,6 +165,8 @@ class TxLogTable:
             "files": {},
             "dvs": {},
             "constraints": {},
+            "bloom_cols": {},
+            "blooms": {},
         }
         for v in range(head, -1, -1):
             cp = _checkpoint_path(self.path, v)
@@ -171,6 +175,8 @@ class TxLogTable:
                     state = json.load(fh)
                 state.setdefault("dvs", {})  # pre-DV checkpoints
                 state.setdefault("constraints", {})
+                state.setdefault("bloom_cols", {})
+                state.setdefault("blooms", {})
                 start = v + 1
                 break
         for v in range(start, head + 1):
@@ -184,9 +190,11 @@ class TxLogTable:
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
                 # a removed (rewritten/compacted) file takes its
-                # deletion vectors with it — the rewrite already
-                # applied them
+                # deletion vectors and bloom filters with it — the
+                # rewrite already applied / re-derives them
                 state["dvs"].pop(rel, None)
+                for filt in state["blooms"].values():
+                    filt.pop(rel, None)
             for add in commit.get("add", []):
                 state["files"][add["path"]] = add["stats"]
             if commit.get("op") == "delete_dv":
@@ -194,11 +202,45 @@ class TxLogTable:
                     state["dvs"].setdefault(data_rel, []).append(
                         {"file": commit["dv_file"], "rows": int(n)}
                     )
+            if commit.get("op") == "bloom_index":
+                state["bloom_cols"][commit["col"]] = {"fpp": commit["fpp"]}
+                state["blooms"].setdefault(commit["col"], {}).update(
+                    commit["filters"]
+                )
+            # auto-maintained per-file blooms riding a write commit
+            for col_, filt in commit.get("blooms", {}).items():
+                state["blooms"].setdefault(col_, {}).update(filt)
         return {"version": head, **state}
 
     def _try_commit(self, version: int, commit: dict) -> bool:
         """ONE atomic create — the whole concurrency story. Returns
-        False when another writer took this version number."""
+        False when another writer took this version number.
+
+        Bloom auto-maintenance: when the table has registered bloom
+        columns, every commit that adds data files gets per-file
+        filters computed here (from the already-staged parquet) and
+        embedded in the commit — so appends, rewrites, MERGE and
+        compaction keep the index complete with no caller changes.
+        Memoized in the commit dict: a rebase-retry re-commits the
+        same staged files without recomputing."""
+        if commit.get("add") and "blooms" not in commit:
+            try:
+                bloom_cols = self._snapshot()["bloom_cols"]
+            except (OSError, ValueError):
+                bloom_cols = {}
+            if bloom_cols:
+                blooms: dict = {}
+                add_stats = {
+                    a["path"]: a["stats"] for a in commit["add"]
+                }
+                for col, params in bloom_cols.items():
+                    filt = self._build_blooms(
+                        add_stats, col, float(params["fpp"])
+                    )
+                    if filt:
+                        blooms[col] = filt
+                if blooms:
+                    commit["blooms"] = blooms
         commit["ts"] = time.time_ns()
         payload = json.dumps(commit, sort_keys=True).encode()
         try:
@@ -220,6 +262,8 @@ class TxLogTable:
                 "files": snap["files"],
                 "dvs": snap["dvs"],
                 "constraints": snap["constraints"],
+                "bloom_cols": snap["bloom_cols"],
+                "blooms": snap["blooms"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
                 "tokens": sorted(self._committed_tokens(version)),
@@ -789,10 +833,157 @@ class TxLogTable:
             f"txlog table {self.path}: no commit at or before ts {ts_ns}"
         )
 
+    # -- bloom-filter file index ----------------------------------------
+
+    @staticmethod
+    def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
+        """Textbook sizing: m = -n·ln(p)/ln²2 bits (byte-rounded,
+        floor 64), k = (m/n)·ln2 hashes."""
+        import math
+
+        n = max(1, int(n_rows))
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        m = (m + 7) // 8 * 8
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+    def _build_blooms(
+        self, rel_stats: dict[str, dict], col: str, fpp: float
+    ) -> dict[str, dict]:
+        """Per-file Bloom filters over ``col`` for the given files —
+        ONE distributed job regardless of file count: hash every
+        (value, seed) pair to its bit position with the JVM's own
+        xxhash64 (so probes can reproduce positions exactly), collect
+        the DISTINCT positions per file (bounded by m bits, never by
+        row count), and pack bitmaps on the driver. Files sized by
+        their own row count from the commit stats. NULLs never enter
+        a filter (equality probes on NULL are meaningless in SQL)."""
+        import base64
+
+        rels = sorted(rel_stats)
+        if not rels:
+            return {}
+        params = [
+            (rel, *self._bloom_params(rel_stats[rel].get("rows", 1), fpp))
+            for rel in rels
+        ]
+        pdf = self.spark.createDataFrame(
+            params, "__rel string, __m long, __k int"
+        )
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, r) for r in rels])
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), self._REL_EXTRACT, 1
+                ).alias("__rel"),
+                F.col(col).alias("__v"),
+            )
+            .filter(F.col("__v").isNotNull())
+        )
+        rows = (
+            df.join(F.broadcast(pdf), "__rel")
+            .select(
+                "__rel",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, __k - 1), "
+                        "s -> pmod(xxhash64(__v, s), __m))"
+                    )
+                ).alias("__p"),
+            )
+            .distinct()
+            .groupBy("__rel")
+            .agg(F.collect_list("__p").alias("__ps"))
+            .collect()
+        )
+        by_rel = {r["__rel"]: r["__ps"] for r in rows}
+        out: dict[str, dict] = {}
+        for rel, m, k in params:
+            bits = bytearray(m // 8)
+            for p in by_rel.get(rel, []):
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            out[rel] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(bits)).decode(),
+            }
+        return out
+
+    def add_bloom_index(self, col: str, fpp: float = 0.01) -> int:
+        """Register a BLOOM-FILTER FILE INDEX on ``col``: per-file
+        bitmaps land in the log for every current file, and from this
+        commit on every write path (append, COW rewrite, MERGE,
+        compact) auto-computes filters for its new files inside
+        ``_try_commit`` — the index never goes stale. Point-lookup
+        reads (``read(prune_eq={col: v})``) then skip files whose
+        filter proves absence, which is the lever min/max stats can't
+        provide for HIGH-CARDINALITY UNCLUSTERED columns (a uniform
+        key's min/max spans every file; its bloom hits ~fpp of them).
+        At 100 TB the bitmaps would ride sidecar files keyed from the
+        log; embedding them in commit JSON keeps this single-file
+        simple at fixture scale — same protocol either way."""
+        base = self._snapshot()
+        if base["schema"] is not None:
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            if col not in schema.fieldNames():
+                raise ValueError(f"add_bloom_index: no column {col!r}")
+        filters = self._build_blooms(base["files"], col, fpp)
+        commit = {
+            "op": "bloom_index",
+            "col": col,
+            "fpp": fpp,
+            "filters": filters,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "add_bloom_index: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
+    def _bloom_may_contain(
+        self, filt: dict, positions_raw: list[int]
+    ) -> bool:
+        """Probe one file's bitmap with precomputed raw xxhash64
+        values (seed s at index s); pmod per this file's m."""
+        import base64
+
+        bits = base64.b64decode(filt["bits"])
+        m, k = int(filt["m"]), int(filt["k"])
+        for s in range(k):
+            p = positions_raw[s] % m  # python % == pmod for m > 0
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                return False
+        return True
+
+    def _bloom_probe_hashes(
+        self, col: str, value, schema_json: str, k_max: int
+    ) -> list[int]:
+        """Raw xxhash64(value, seed) for seed 0..k_max-1, computed BY
+        THE JVM on a 1-row frame so the bit positions match the build
+        job exactly (never reimplement xxhash64 driver-side)."""
+        st = T.StructType.fromJson(json.loads(schema_json))
+        dt = st[col].dataType
+        lit = F.lit(value).cast(dt)
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.xxhash64(lit, F.lit(s).cast("int")).alias(f"h{s}")
+                    for s in range(k_max)
+                ]
+            )
+            .collect()[0]
+        )
+        return [int(row[f"h{s}"]) for s in range(k_max)]
+
     def read(
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        prune_eq: dict[str, object] | None = None,
         as_of_ts: int | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel via ``version`` or a commit
@@ -800,7 +991,11 @@ class TxLogTable:
         maps column → (lo, hi): files whose footer stats cannot
         intersect the range are dropped BEFORE Spark opens them —
         log-side data skipping on top of parquet's own row-group
-        pruning."""
+        pruning. ``prune_eq`` maps column → value: files whose BLOOM
+        FILTER (``add_bloom_index``) proves the value absent are
+        skipped; files without a filter are conservatively kept. Both
+        prunes are metadata-only hints — the caller still applies its
+        own row filter (a bloom passes ~fpp false positives)."""
         if as_of_ts is not None:
             if version is not None:
                 raise ValueError("pass either version or as_of_ts, not both")
@@ -812,6 +1007,21 @@ class TxLogTable:
                 rel: st for rel, st in files.items()
                 if _stats_may_match(st, prune)
             }
+        if prune_eq:
+            for col, value in prune_eq.items():
+                filt_by_rel = snap["blooms"].get(col, {})
+                if not filt_by_rel or value is None:
+                    continue  # unindexed column / NULL probe: keep all
+                k_max = max(int(f["k"]) for f in filt_by_rel.values())
+                hashes = self._bloom_probe_hashes(
+                    col, value, snap["schema"], k_max
+                )
+                files = {
+                    rel: st
+                    for rel, st in files.items()
+                    if rel not in filt_by_rel
+                    or self._bloom_may_contain(filt_by_rel[rel], hashes)
+                }
         if not files:
             if snap["schema"] is None:
                 raise ValueError(f"txlog table {self.path} has no commits")

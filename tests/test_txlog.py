@@ -773,6 +773,101 @@ def test_vacuum_honors_staging_marker_despite_past_mtime(spark, tbl):
     assert not os.path.exists(tbl._marker_path(token))
 
 
+def test_bloom_index_prunes_and_stays_correct(spark, tbl, sf_small):
+    """Bloom-filter file index: point-lookup reads skip files whose
+    filter proves absence while returning exactly the same rows as
+    the unpruned read; an absent key skips every file; files without
+    filters are conservatively kept."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl.append(o.repartition(8))
+    tbl.add_bloom_index("o_custkey", fpp=0.01)
+    n_files = len(tbl._snapshot()["files"])
+    probes = [
+        r["o_custkey"]
+        for r in o.select("o_custkey").distinct().limit(5).collect()
+    ]
+    for p in probes:
+        full = {
+            tuple(r)
+            for r in tbl.read().filter(F.col("o_custkey") == p).collect()
+        }
+        pr = tbl.read(prune_eq={"o_custkey": p})
+        got = {
+            tuple(r) for r in pr.filter(F.col("o_custkey") == p).collect()
+        }
+        assert got == full, f"probe {p} lost rows"
+    # at least one probe skips something (8 hash-spread files, each
+    # holding ~1/8 of orders; a customer has ~1.5 orders)
+    kept_counts = [
+        len(tbl.read(prune_eq={"o_custkey": p}).inputFiles())
+        for p in probes
+    ]
+    assert min(kept_counts) < n_files, kept_counts
+    # absent key: every filter rejects
+    assert tbl.read(prune_eq={"o_custkey": -12345}).count() == 0
+    # unindexed column: prune_eq is a no-op, not an error
+    assert (
+        tbl.read(prune_eq={"o_orderkey": 1}).count() == tbl.read().count()
+    )
+
+
+def test_bloom_index_auto_maintained_on_writes(spark, tbl):
+    """After add_bloom_index, every write path keeps the index
+    complete with no caller changes: appends, COW rewrites (which
+    also drop the removed file's stale filter), and compaction all
+    produce filters for their new files."""
+    df = spark.createDataFrame(
+        [(i, i % 50, float(i)) for i in range(400)],
+        "id int, cust int, val double",
+    )
+    tbl.append(df.filter("id < 200").repartition(2))
+    tbl.add_bloom_index("cust")
+    tbl.append(df.filter("id >= 200").repartition(2))   # auto
+    snap = tbl._snapshot()
+    assert set(snap["blooms"]["cust"]) == set(snap["files"])
+    tbl.delete_where("id % 10 = 3")                      # COW rewrite
+    snap = tbl._snapshot()
+    assert set(snap["blooms"]["cust"]) == set(snap["files"])
+    tbl.compact(target_file_bytes=1 << 30)               # full rewrite
+    snap = tbl._snapshot()
+    assert set(snap["blooms"]["cust"]) == set(snap["files"])
+    # and the maintained filters still answer probes correctly
+    full = tbl.read().filter("cust = 7").count()
+    assert (
+        tbl.read(prune_eq={"cust": 7}).filter("cust = 7").count() == full
+    )
+    assert tbl.read(prune_eq={"cust": 10**9}).count() == 0
+
+
+def test_bloom_index_survives_checkpoint(spark, tbl):
+    """Bloom state rides checkpoints: a fresh table handle resolving
+    from a checkpointed snapshot (checkpoint_every=4 in the fixture)
+    still has the filters and registration."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    df = spark.createDataFrame(
+        [(i, i % 20) for i in range(100)], "id int, cust int"
+    )
+    tbl.append(df.coalesce(1))
+    tbl.add_bloom_index("cust")
+    for j in range(4):  # push past a checkpoint boundary
+        tbl.append(
+            spark.createDataFrame(
+                [(1000 + j, 99)], "id int, cust int"
+            ).coalesce(1)
+        )
+    fresh = TxLogTable(spark, tbl.path)
+    snap = fresh._snapshot()
+    assert "cust" in snap["bloom_cols"]
+    assert set(snap["blooms"]["cust"]) == set(snap["files"])
+    assert fresh.read(prune_eq={"cust": -5}).count() == 0
+    assert (
+        fresh.read(prune_eq={"cust": 99}).filter("cust = 99").count() == 4
+    )
+
+
 def test_vacuum_rechecks_staging_before_delete(spark, tbl, monkeypatch):
     """ADVICE r4: a writer whose marker lands BETWEEN vacuum's staging
     sweep and its data listing was previously protected only by the
