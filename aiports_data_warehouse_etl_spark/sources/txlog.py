@@ -207,6 +207,9 @@ class TxLogTable:
                 state["blooms"].setdefault(commit["col"], {}).update(
                     commit["filters"]
                 )
+            elif commit.get("op") == "drop_bloom_index":
+                state["bloom_cols"].pop(commit["col"], None)
+                state["blooms"].pop(commit["col"], None)
             # auto-maintained per-file blooms riding a write commit
             for col_, filt in commit.get("blooms", {}).items():
                 state["blooms"].setdefault(col_, {}).update(filt)
@@ -940,6 +943,22 @@ class TxLogTable:
         if not self._try_commit(base["version"] + 1, commit):
             raise TxConflict(
                 "add_bloom_index: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
+    def drop_bloom_index(self, col: str) -> int:
+        """Unregister the bloom index on ``col``: existing bitmaps
+        leave the snapshot state and subsequent writes stop paying
+        the filter-build job. Dropping a non-indexed column is a
+        loud error (mirrors drop_check)."""
+        base = self._snapshot()
+        if col not in base["bloom_cols"]:
+            raise ValueError(f"drop_bloom_index: no index on {col!r}")
+        commit = {"op": "drop_bloom_index", "col": col,
+                  "base_version": base["version"]}
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "drop_bloom_index: table advanced past base snapshot"
             )
         return base["version"] + 1
 

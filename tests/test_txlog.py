@@ -841,6 +841,45 @@ def test_bloom_index_auto_maintained_on_writes(spark, tbl):
     assert tbl.read(prune_eq={"cust": 10**9}).count() == 0
 
 
+def test_bloom_index_string_column_and_drop(spark, tbl):
+    """Bloom filters hash ANY orderable type through the JVM's
+    xxhash64 — string probes prune exactly like ints, all-NULL files
+    reject every probe, add on a missing column raises, and
+    drop_bloom_index unregisters (later writes skip the filter job,
+    prune_eq degrades to a no-op)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 37}") for i in range(200)] + [(900, None)],
+        "id int, uname string",
+    )
+    tbl.append(df.repartition(4))
+    with pytest.raises(ValueError, match="no column"):
+        tbl.add_bloom_index("nope")
+    tbl.add_bloom_index("uname")
+    full = tbl.read().filter(F.col("uname") == "user_5").count()
+    pr = tbl.read(prune_eq={"uname": "user_5"})
+    assert pr.filter(F.col("uname") == "user_5").count() == full
+    assert tbl.read(prune_eq={"uname": "no_such_user"}).count() == 0
+    # NULL probe: conservative keep-everything, not a crash
+    assert tbl.read(prune_eq={"uname": None}).count() == tbl.read().count()
+    tbl.drop_bloom_index("uname")
+    snap = tbl._snapshot()
+    assert "uname" not in snap["bloom_cols"]
+    assert "uname" not in snap["blooms"]
+    tbl.append(
+        spark.createDataFrame([(1000, "user_x")], "id int, uname string")
+    )
+    assert "blooms" not in tbl._read_commit(tbl.latest_version())
+    # prune_eq is now a no-op
+    assert (
+        tbl.read(prune_eq={"uname": "no_such_user"}).count()
+        == tbl.read().count()
+    )
+    with pytest.raises(ValueError, match="no index"):
+        tbl.drop_bloom_index("uname")
+
+
 def test_bloom_index_survives_checkpoint(spark, tbl):
     """Bloom state rides checkpoints: a fresh table handle resolving
     from a checkpointed snapshot (checkpoint_every=4 in the fixture)

@@ -144,7 +144,45 @@ def main() -> None:
         "overwrite"
     ).parquet(f"{OUT}/nation.parquet")
 
-    for t in ("documents", "embeddings", "lineitem"):
+    # ---- orders + events (r5: scale evidence for the remaining
+    # fixed-overhead singles — rfm/skyline/sql_scripting need orders,
+    # cms needs events). Key-shifted copies like lineitem; customer
+    # and user ids shift too, so entity cardinality scales 10x the
+    # way a real corpus grows (rfm quartiles over 10x customers).
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    o_shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    c_shift = o.agg(F.max("o_custkey")).collect()[0][0] + 1
+    o10 = (
+        o.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("copy") * F.lit(o_shift)
+        )
+        .withColumn(
+            "o_custkey", F.col("o_custkey") + F.col("copy") * F.lit(c_shift)
+        )
+        .drop("copy")
+    )
+    o10.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    e_shift = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    u_shift = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    ev10 = (
+        ev.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
+        .withColumn(
+            "event_id", F.col("event_id") + F.col("copy") * F.lit(e_shift)
+        )
+        .withColumn(
+            "user_id", F.col("user_id") + F.col("copy") * F.lit(u_shift)
+        )
+        .drop("copy")
+    )
+    ev10.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT}/events.parquet"
+    )
+
+    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
         print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())
 
 

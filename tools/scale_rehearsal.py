@@ -36,6 +36,12 @@ FAMILIES = [
     # their wall-clock stays ~flat-to-linear at 10x, i.e. the loss is
     # overhead, not a scaling defect
     "text_keyphrase_rake", "market_basket_lift", "text_bigram_logprob",
+    # r5b: every remaining >2x engine-comparable single with a 10x
+    # input available (gen_sf1 now also synthesizes orders + events);
+    # includes the two queries moved onto the two-pass window
+    # decompositions this round
+    "rfm_segmentation", "sql_scripting_batch", "cms_event_counts",
+    "abc_pareto_parts", "skyline_price_frontier",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -95,6 +101,80 @@ def main() -> None:
         }
         flush()
         print(label, json.dumps(out["telemetry"][label]), flush=True)
+
+    # ---- matview incrementality: IDENTICAL delta, 10x source ----------
+    # The delta-apply claim is O(changed rows + view cardinality),
+    # never O(source): apply the same 1000-row append and the same
+    # 90-key DV delete to a sf0.1-sized and a sf1-sized source table
+    # and time ONLY the refreshes. Flat times across 10x source = the
+    # incrementality contract, measured.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    inc: dict = {}
+    for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
+        root = tempfile.mkdtemp(prefix="mvscale_")
+        try:
+            t = TxLogTable(spark, root + "/t")
+            o = spark.read.parquet(f"{sf}/orders.parquet").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            t.append(o.repartition(16))
+            mv = IncrementalAggView(
+                spark, t, root + "/v",
+                group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+            )
+            t0 = time.time()
+            mv.refresh()
+            t_initial = time.time() - t0
+            delta = (
+                o.limit(1000)
+                .withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(10**12)
+                )
+            )
+            t.append(delta.coalesce(1))
+            t0 = time.time()
+            mv.refresh()
+            t_append = time.time() - t0
+            t.delete_where_dv(
+                f"o_orderkey >= {10**12} AND o_orderkey % 11 = 0"
+            )
+            t0 = time.time()
+            mv.refresh()
+            t_dv = time.time() - t0
+            inc[label] = {
+                "source_rows": t.count_rows(),
+                "initial_build_sec": round(t_initial, 2),
+                "append_refresh_sec": round(t_append, 2),
+                "dv_refresh_sec": round(t_dv, 2),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(label, json.dumps(inc[label]), flush=True)
+    a, b = inc.get("sf0.1", {}), inc.get("sf1", {})
+    if a and b:
+        inc["refresh_ratio_at_10x_source"] = {
+            "initial_build": round(
+                b["initial_build_sec"] / max(a["initial_build_sec"], 1e-9), 1
+            ),
+            "append_refresh": round(
+                b["append_refresh_sec"] / max(a["append_refresh_sec"], 1e-9),
+                1,
+            ),
+            "dv_refresh": round(
+                b["dv_refresh_sec"] / max(a["dv_refresh_sec"], 1e-9), 1
+            ),
+        }
+    out["matview_incrementality"] = inc
+    flush()
     print("wrote /tmp/BENCH_sf1.json")
 
 
