@@ -333,6 +333,7 @@ class TxLogTable:
         max_retries: int = 20,
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int:
         """Blind append: stages once, then rebases onto whatever the
         latest version is until the commit lands (appends always
@@ -346,8 +347,37 @@ class TxLogTable:
         directory-layout rigidity (and ``compact(sort_by=...)`` can
         re-cluster incrementally later — the liquid-clustering
         story: clustering is a property of FILES + LOG STATS, not of
-        a frozen directory scheme)."""
+        a frozen directory scheme).
+
+        ``zorder_by=(x, y)`` clusters on the Morton z-value of TWO
+        columns instead (functions/zorder.py): each staged file then
+        covers a small rectangle of the (x, y) space and its footer
+        stats are tight on BOTH columns, so ``read(prune=...)`` skips
+        files for a selective filter on EITHER — the Delta
+        OPTIMIZE-ZORDER layout as a property of the commit log. Same
+        write cost as ``cluster_by`` (one range shuffle); columns
+        must be non-negative ints < 2^16 (the 16-bit interleave —
+        quantize wider domains first)."""
         self._validate_constraints(df)
+        if cluster_by and zorder_by:
+            raise ValueError("append: pass cluster_by OR zorder_by")
+        if zorder_by:
+            from aiports_data_warehouse_etl_spark.functions.zorder import (
+                morton_interleave,
+            )
+
+            x, y = zorder_by
+            df = df.withColumn(
+                "__z", morton_interleave(F.col(x), F.col(y))
+            )
+            args = (
+                [cluster_partitions] if cluster_partitions else []
+            ) + ["__z"]
+            df = (
+                df.repartitionByRange(*args)
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         if cluster_by:
             # explicit partition count: AQE happily coalesces a tiny
             # range shuffle into ONE partition, which collapses the

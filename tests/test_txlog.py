@@ -773,6 +773,37 @@ def test_vacuum_honors_staging_marker_despite_past_mtime(spark, tbl):
     assert not os.path.exists(tbl._marker_path(token))
 
 
+def test_zorder_append_prunes_both_dims(spark, tbl, sf_small):
+    """append(zorder_by=(x, y)): each staged file covers a small
+    rectangle of the key space, so read(prune=...) skips files for a
+    narrow range on EITHER column — where single-column clustering
+    only prunes its own sort key — and the surviving rows are
+    identical to the unclustered read."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    # a 256x256 uniform grid: comparable bit-widths on both dims (the
+    # layout's sweet spot — quantize asymmetric domains first, as the
+    # append docstring says)
+    grid = spark.range(64 * 1024).selectExpr(
+        "CAST(id % 256 AS INT) AS x",
+        "CAST(pmod(xxhash64(id), 256) AS INT) AS y",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    tbl.append(grid, zorder_by=("x", "y"), cluster_partitions=16)
+    n_files = len(tbl._snapshot()["files"])
+    assert n_files >= 8
+    for col in ("x", "y"):
+        pruned = tbl.read(prune={col: (0, 31)})  # 1/8 of the domain
+        kept = len(pruned.inputFiles())
+        assert kept < n_files, f"{col}: kept {kept}/{n_files}"
+        full = tbl.read().filter(F.col(col).between(0, 31)).count()
+        assert pruned.filter(F.col(col).between(0, 31)).count() == full
+    # cluster_by and zorder_by are mutually exclusive
+    t2 = TxLogTable(spark, tbl.path + "_x")
+    with pytest.raises(ValueError, match="cluster_by OR zorder_by"):
+        t2.append(grid, cluster_by=["x"], zorder_by=("x", "y"))
+
+
 def test_bloom_index_prunes_and_stays_correct(spark, tbl, sf_small):
     """Bloom-filter file index: point-lookup reads skip files whose
     filter proves absence while returning exactly the same rows as
