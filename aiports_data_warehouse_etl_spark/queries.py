@@ -3857,6 +3857,149 @@ def tlog_cdc_updates(spark, sf_dir):
 
 
 @q(
+    "tlog_time_travel_asof",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 30
+    ),
+    removed AS (SELECT * FROM v0 WHERE o_orderkey % 10 = 3),
+    added AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 100 >= 30 AND o_orderkey % 100 < 35
+    )
+    SELECT 'removed' AS drift, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM removed
+    UNION ALL
+    SELECT 'added', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+    FROM added
+    """,
+)
+def tlog_time_travel_asof(spark, sf_dir):
+    """AS-OF-timestamp time travel surfaced as a query
+    (sources/txlog.py version_as_of/read(as_of_ts=), r4 feature):
+    three commits — load a band, COW-delete every key ≡3 (mod 10),
+    append a new band — then TWO historical reads resolved purely by
+    commit TIMESTAMP (ns), diffed against each other with key
+    anti-joins. The 'removed' side must be exactly the deleted keys
+    and the 'added' side exactly the new band: timestamp resolution
+    picks the same snapshots the version numbers would, end to end
+    through the delete's copy-on-write rewrite. This is the audit /
+    reproducibility primitive ("what did the table say when the model
+    trained?") that a 100 TB feature store runs daily."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_asof_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 100 < 30").repartition(2))
+        t.delete_where("o_orderkey % 10 = 3")
+        t.append(
+            o.filter("o_orderkey % 100 >= 30 AND o_orderkey % 100 < 35")
+        )
+        ts = [int(t._read_commit(v)["ts"]) for v in range(3)]
+        # ns-resolution commit stamps: strictly increasing in practice
+        # (each commit is >1 ms of IO); the as-of contract needs it
+        assert ts[0] < ts[1] < ts[2], f"non-monotonic commit ts {ts}"
+        old = t.read(as_of_ts=ts[0])
+        new = t.read(as_of_ts=ts[2])
+        removed = old.join(new, "o_orderkey", "left_anti")
+        added = new.join(old, "o_orderkey", "left_anti")
+        out = removed.groupBy(F.lit("removed").alias("drift")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).unionByName(
+            added.groupBy(F.lit("added").alias("drift")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_zorder_prune",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderkey % 256 AS INT) AS x,
+             CAST(o_orderkey % 255 AS INT) AS y,
+             o_totalprice
+      FROM orders
+    )
+    SELECT 'x' AS dim, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM o WHERE x BETWEEN 0 AND 31
+    UNION ALL
+    SELECT 'y', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+    FROM o WHERE y BETWEEN 0 AND 31
+    """,
+)
+def tlog_zorder_prune(spark, sf_dir):
+    """Z-order clustered append (sources/txlog.py append(zorder_by=),
+    r5): orders land range-shuffled on the Morton interleave of two
+    derived key columns, so every staged file covers a small
+    RECTANGLE of the (x, y) space and the log's min/max footer stats
+    are tight on BOTH — `read(prune=...)` then skips files for a
+    narrow band on EITHER column, where single-key clustering
+    (tlog_clustered_prune) only serves its own sort key. The query
+    runs the same 1/8-domain band on each dimension, asserts files
+    were actually skipped both times, and the rollups must equal
+    plain SQL over the full table: pruning is IO avoidance, never a
+    semantics change."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_z_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        # CRT-style residues: coprime moduli decorrelate the two keys
+        # and both span their full domain at ANY scale factor (DIV-
+        # based high bits collapse to a few values on small corpora)
+        o = _t(spark, sf_dir, "orders").selectExpr(
+            "CAST(o_orderkey % 256 AS INT) AS x",
+            "CAST(o_orderkey % 255 AS INT) AS y",
+            "o_totalprice",
+        )
+        t.append(o, zorder_by=("x", "y"), cluster_partitions=16)
+        n_files = len(t._snapshot()["files"])
+        parts = []
+        for dim in ("x", "y"):
+            pruned = t.read(prune={dim: (0, 31)})
+            kept = len(pruned.inputFiles())
+            assert kept < n_files, (
+                f"zorder skipped nothing on {dim} ({kept}/{n_files})"
+            )
+            parts.append(
+                pruned.filter(F.col(dim).between(0, 31))
+                .groupBy(F.lit(dim).alias("dim"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias(
+                        "total_price"
+                    ),
+                )
+            )
+        out = parts[0].unionByName(parts[1])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "matview_streaming_maintenance",
     """
     SELECT o_orderstatus,
