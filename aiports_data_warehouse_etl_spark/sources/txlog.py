@@ -244,7 +244,19 @@ class TxLogTable:
                         blooms[col] = filt
                 if blooms:
                     commit["blooms"] = blooms
+        # Commit timestamps are STRICTLY monotone by construction
+        # (Delta-style clamp: never below predecessor+1 ns, one small
+        # predecessor read — v-1 always exists before anyone targets
+        # v). This is what lets version_as_of binary-search the log
+        # instead of scanning it, and keeps AS-OF semantics sane when
+        # a writer's wall clock steps backwards.
         commit["ts"] = time.time_ns()
+        if version > 0:
+            try:
+                prev_ts = int(self._read_commit(version - 1)["ts"])
+                commit["ts"] = max(commit["ts"], prev_ts + 1)
+            except (OSError, ValueError, KeyError):
+                pass  # unreadable predecessor: raw clock stamp
         payload = json.dumps(commit, sort_keys=True).encode()
         try:
             fd = os.open(
@@ -854,17 +866,24 @@ class TxLogTable:
 
     def version_as_of(self, ts_ns: int) -> int:
         """Newest version whose commit timestamp is ≤ ``ts_ns``
-        (nanoseconds since epoch — the log's ``ts`` unit). The
-        timestamp flavor of time travel: resolve once (O(commits)
-        backward scan; at scale the checkpoint would carry a ts
-        index), then read that version. Raises when the table has no
-        commit that old."""
-        for v in range(self.latest_version(), -1, -1):
-            if int(self._read_commit(v)["ts"]) <= ts_ns:
-                return v
-        raise ValueError(
-            f"txlog table {self.path}: no commit at or before ts {ts_ns}"
-        )
+        (nanoseconds since epoch — the log's ``ts`` unit). Commit
+        stamps are strictly monotone by construction (``_try_commit``
+        clamps to predecessor+1 ns), so this is an O(log commits)
+        binary search over small commit files — resolution stays
+        cheap on a table with a million commits. Raises when the
+        table has no commit that old."""
+        lo, hi = 0, self.latest_version()
+        if int(self._read_commit(lo)["ts"]) > ts_ns:
+            raise ValueError(
+                f"txlog table {self.path}: no commit at or before ts {ts_ns}"
+            )
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if int(self._read_commit(mid)["ts"]) <= ts_ns:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
 
     # -- bloom-filter file index ----------------------------------------
 

@@ -1840,3 +1840,48 @@ def test_time_travel_as_of_timestamp(spark, tbl):
         tbl.read(as_of_ts=ts1 - 1)
     with pytest.raises(ValueError, match="not both"):
         tbl.read(version=0, as_of_ts=ts1)
+
+
+def test_commit_ts_strictly_monotone_under_frozen_clock(
+    spark, tbl, monkeypatch
+):
+    """_try_commit clamps each stamp to predecessor+1 ns, so the ts
+    chain is STRICTLY increasing even when the wall clock freezes (or
+    steps backwards) — the invariant version_as_of's binary search
+    depends on."""
+    import time as _time
+
+    frozen = _time.time_ns()
+    monkeypatch.setattr(
+        "aiports_data_warehouse_etl_spark.sources.txlog.time.time_ns",
+        lambda: frozen,
+    )
+    df = spark.createDataFrame([(1,)], "id int")
+    for _ in range(4):
+        tbl.append(df)
+    stamps = [int(tbl._read_commit(v)["ts"]) for v in range(4)]
+    assert stamps == sorted(set(stamps)), f"not strictly monotone: {stamps}"
+    assert stamps[1:] == [stamps[0] + 1, stamps[0] + 2, stamps[0] + 3]
+
+
+def test_version_as_of_binary_search_matches_linear_scan(spark, tbl):
+    """version_as_of over a 13-commit chain (spanning a checkpoint
+    boundary): the O(log n) binary search must agree with the
+    definitional linear scan at every stamp, between stamps, and
+    beyond both ends."""
+    df = spark.createDataFrame([(1,)], "id int")
+    for _ in range(13):
+        tbl.append(df)
+    stamps = [int(tbl._read_commit(v)["ts"]) for v in range(13)]
+
+    def linear(ts):
+        return max(v for v in range(13) if stamps[v] <= ts)
+
+    probes = (
+        [s for s in stamps]
+        + [s - 1 for s in stamps[1:]]
+        + [s + 1 for s in stamps]
+        + [stamps[-1] + 10**9]
+    )
+    for ts in probes:
+        assert tbl.version_as_of(ts) == linear(ts), ts

@@ -42,6 +42,16 @@ FAMILIES = [
     # decompositions this round
     "rfm_segmentation", "sql_scripting_batch", "cms_event_counts",
     "abc_pareto_parts", "skyline_price_frontier",
+    # r5c (VERDICT r4 #5): the txlog / streaming / matview families —
+    # IO-bound profiles with the least prior scale evidence. Each
+    # query builds its own temp txlog table from the given sf_dir, so
+    # the rehearsal measures the full write+read+feed path at 10x.
+    "tlog_acid_table", "tlog_clustered_prune", "tlog_delete_dv",
+    "tlog_change_feed", "tlog_merge_upsert", "tlog_bloom_prune",
+    "tlog_cdc_updates", "tlog_zorder_prune", "tlog_time_travel_asof",
+    "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
+    "matview_incremental_refresh", "matview_minmax_refresh",
+    "matview_streaming_maintenance", "matview_distinct_refresh",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -58,13 +68,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # CLI filter: `python tools/scale_rehearsal.py name1 name2 ...`
+    # runs only those families (merging into an existing partial
+    # /tmp/BENCH_sf1.json) and skips the telemetry/matview sections —
+    # the incremental path for adding rows without re-timing the rest.
+    only = set(sys.argv[1:])
     out: dict = {"results": {}, "telemetry": {}}
+    if only and os.path.exists("/tmp/BENCH_sf1.json"):
+        with open("/tmp/BENCH_sf1.json") as f:
+            out = json.load(f)
+        out.setdefault("results", {})
+        out.setdefault("telemetry", {})
 
     def flush() -> None:  # crash-safe: partial results survive
         with open("/tmp/BENCH_sf1.json", "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
     for name in FAMILIES:
+        if only and name not in only:
+            continue
         row: dict = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
             spark.catalog.clearCache()
@@ -81,6 +103,9 @@ def main() -> None:
         out["results"][name] = row
         flush()
         print(name, json.dumps(row), flush=True)
+
+    if only:  # incremental run: keep prior telemetry/matview sections
+        return
 
     # candidate-pair telemetry for the bucketed dedup operators
     from aiports_data_warehouse_etl_spark.operators import dedup as D
