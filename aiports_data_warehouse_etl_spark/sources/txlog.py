@@ -820,6 +820,7 @@ class TxLogTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int:
         """Bin-pack small files: rewrite every live file smaller than
         the target into ceil(total/target) files. Identical rows before
@@ -830,7 +831,14 @@ class TxLogTable:
         min/max stats — the log-side `read(prune=...)` skip and
         parquet's own row-group pruning both become effective on the
         clustered key (the write_sorted_parquet idea applied to
-        maintenance instead of initial load)."""
+        maintenance instead of initial load). ``zorder_by=(x, y)``
+        instead lays the rewrite out on the Morton interleave of two
+        columns (see ``append``) — the OPTIMIZE-ZORDER maintenance
+        path: data appended unclustered (streaming ingest, small
+        deltas) gets RE-clustered in place, because the layout is a
+        property of files + log stats, never of directory names."""
+        if sort_by and zorder_by:
+            raise ValueError("compact: pass sort_by OR zorder_by")
         base = self._snapshot()
         # rewrite candidates: small files (bin-packing) plus any file
         # carrying a deletion vector — compaction is merge-on-read
@@ -845,7 +853,23 @@ class TxLogTable:
         total = sum(base["files"][rel]["bytes"] for rel in small)
         n_out = max(1, -(-total // target_file_bytes))
         packed = self._read_with_dvs(small, base["dvs"])
-        if sort_by:
+        if zorder_by:
+            from aiports_data_warehouse_etl_spark.functions.zorder import (
+                morton_interleave,
+            )
+
+            packed = (
+                packed.withColumn(
+                    "__z",
+                    morton_interleave(
+                        F.col(zorder_by[0]), F.col(zorder_by[1])
+                    ),
+                )
+                .repartitionByRange(int(n_out), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             packed = packed.repartitionByRange(
                 int(n_out), *sort_by
             ).sortWithinPartitions(*sort_by)

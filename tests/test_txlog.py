@@ -804,6 +804,37 @@ def test_zorder_append_prunes_both_dims(spark, tbl, sf_small):
         t2.append(grid, cluster_by=["x"], zorder_by=("x", "y"))
 
 
+def test_compact_zorder_reclusters_unclustered_appends(spark, tbl):
+    """compact(zorder_by=): data that arrived UNCLUSTERED (many small
+    shuffled appends — the streaming-ingest shape) is rewritten onto
+    the Morton layout in place, after which read(prune=...) skips
+    files on BOTH dimensions; before compaction neither dimension
+    prunes anything. Row content is identical before/after — layout
+    surgery only."""
+    import pytest
+
+    grid = spark.range(32 * 1024).selectExpr(
+        "CAST(pmod(xxhash64(id), 256) AS INT) AS x",
+        "CAST(pmod(xxhash64(id + 1000000), 256) AS INT) AS y",
+        "id AS v",
+    )
+    for i in range(4):  # 4 shuffled appends -> key-space-spanning files
+        tbl.append(grid.filter(F.col("v") % 4 == i).repartition(3))
+    before = len(tbl._snapshot()["files"])
+    assert before >= 12
+    for col in ("x", "y"):
+        assert len(tbl.read(prune={col: (0, 31)}).inputFiles()) == before
+    checksum = tbl.read().agg(F.sum("v"), F.count("*")).collect()[0]
+    tbl.compact(target_file_bytes=64 * 1024, zorder_by=("x", "y"))
+    after = len(tbl._snapshot()["files"])
+    for col in ("x", "y"):
+        kept = len(tbl.read(prune={col: (0, 31)}).inputFiles())
+        assert kept < after, f"{col}: kept {kept}/{after}"
+    assert tbl.read().agg(F.sum("v"), F.count("*")).collect()[0] == checksum
+    with pytest.raises(ValueError, match="sort_by OR zorder_by"):
+        tbl.compact(sort_by=["x"], zorder_by=("x", "y"))
+
+
 def test_bloom_index_prunes_and_stays_correct(spark, tbl, sf_small):
     """Bloom-filter file index: point-lookup reads skip files whose
     filter proves absence while returning exactly the same rows as
