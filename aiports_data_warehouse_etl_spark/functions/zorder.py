@@ -49,6 +49,38 @@ def morton_interleave(x: Column, y: Column) -> Column:
     return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
 
 
+def morton_n_sql(exprs: list[str]) -> str:
+    """Morton z-value of N non-negative int expressions as ONE
+    generated SQL string (bit b of column i lands at position
+    b*N + i): the general OPTIMIZE-ZORDER layout for 3+ filter
+    columns, where the 2-column magic-mask chain has no clean
+    analogue. Bits per column shrink to fit a signed 64-bit lane
+    (16 for N ≤ 3, 64//N - 1 beyond), so wider domains must be
+    quantized first — same contract as ``morton_interleave``.
+
+    One string, not a Column-op loop: N×bits py4j round-trips would
+    cost ~1.5 s of plan construction (see SCALE.md); the generated
+    expression parses once and runs fully codegen'd. DuckDB parses
+    the identical string, which is what lets the oracle replay the
+    exact layout arithmetic."""
+    n = len(exprs)
+    if n < 2:
+        raise ValueError("morton_n_sql needs >= 2 columns")
+    bits = min(16, 64 // n - 1) if n > 2 else 16
+    terms = []
+    for i, e in enumerate(exprs):
+        for b in range(bits):
+            dst = b * n + i  # always >= b: shift is never negative
+            terms.append(f"((({e}) & {1 << b}) << {dst - b})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_n_col(colnames: list[str]) -> Column:
+    """The N-column interleave as a Spark Column (parsed from the
+    generated SQL — identical arithmetic to the oracle string)."""
+    return F.expr(morton_n_sql([f"`{c}`" for c in colnames]))
+
+
 def morton_sql(x_expr: str, y_expr: str) -> str:
     """The identical shift/mask chain as ANSI SQL (DuckDB-compatible)
     for oracle comparison — generated, like the SimHash oracle, so the

@@ -345,7 +345,7 @@ class TxLogTable:
         max_retries: int = 20,
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
     ) -> int:
         """Blind append: stages once, then rebases onto whatever the
         latest version is until the commit lands (appends always
@@ -369,19 +369,24 @@ class TxLogTable:
         OPTIMIZE-ZORDER layout as a property of the commit log. Same
         write cost as ``cluster_by`` (one range shuffle); columns
         must be non-negative ints < 2^16 (the 16-bit interleave —
-        quantize wider domains first)."""
+        quantize wider domains first). Three or more columns use the
+        generated per-bit gather (functions/zorder.py morton_n_col)
+        with bits-per-column shrunk to fit one 64-bit lane."""
         self._validate_constraints(df)
         if cluster_by and zorder_by:
             raise ValueError("append: pass cluster_by OR zorder_by")
         if zorder_by:
             from aiports_data_warehouse_etl_spark.functions.zorder import (
                 morton_interleave,
+                morton_n_col,
             )
 
-            x, y = zorder_by
-            df = df.withColumn(
-                "__z", morton_interleave(F.col(x), F.col(y))
-            )
+            if len(zorder_by) == 2:
+                x, y = zorder_by
+                zcol = morton_interleave(F.col(x), F.col(y))
+            else:  # 3+ dims: generated per-bit gather expression
+                zcol = morton_n_col(list(zorder_by))
+            df = df.withColumn("__z", zcol)
             args = (
                 [cluster_partitions] if cluster_partitions else []
             ) + ["__z"]
@@ -820,7 +825,7 @@ class TxLogTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
     ) -> int:
         """Bin-pack small files: rewrite every live file smaller than
         the target into ceil(total/target) files. Identical rows before
@@ -856,15 +861,17 @@ class TxLogTable:
         if zorder_by:
             from aiports_data_warehouse_etl_spark.functions.zorder import (
                 morton_interleave,
+                morton_n_col,
             )
 
-            packed = (
-                packed.withColumn(
-                    "__z",
-                    morton_interleave(
-                        F.col(zorder_by[0]), F.col(zorder_by[1])
-                    ),
+            if len(zorder_by) == 2:
+                zcol = morton_interleave(
+                    F.col(zorder_by[0]), F.col(zorder_by[1])
                 )
+            else:
+                zcol = morton_n_col(list(zorder_by))
+            packed = (
+                packed.withColumn("__z", zcol)
                 .repartitionByRange(int(n_out), "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")

@@ -804,6 +804,55 @@ def test_zorder_append_prunes_both_dims(spark, tbl, sf_small):
         t2.append(grid, cluster_by=["x"], zorder_by=("x", "y"))
 
 
+def test_zorder_append_three_dims_prunes_each(spark, tbl):
+    """append(zorder_by=) with THREE columns (the generated per-bit
+    gather, functions/zorder.py morton_n_col): every staged file
+    covers a small box of the (x, y, w) space, so a narrow band on
+    ANY of the three columns skips files, and the surviving rows
+    equal the unclustered filter. Also pins the generated SQL against
+    a bit-by-bit Python reference through DuckDB — the exact string
+    the oracle would run."""
+    import duckdb
+
+    from aiports_data_warehouse_etl_spark.functions.zorder import (
+        morton_n_sql,
+    )
+
+    # cross-engine identity of the generated expression
+    sql = morton_n_sql(["a", "b", "c"])
+    got = duckdb.sql(
+        "SELECT " + sql + " FROM (SELECT range % 7 a, range % 11 b,"
+        " range % 13 c FROM range(200))"
+    ).fetchall()
+
+    def ref(vals, n=3, bits=16):
+        z = 0
+        for i, v in enumerate(vals):
+            for b in range(bits):
+                z |= ((v >> b) & 1) << (b * n + i)
+        return z
+
+    assert [r[0] for r in got] == [
+        ref([i % 7, i % 11, i % 13]) for i in range(200)
+    ]
+
+    grid = spark.range(64 * 1024).selectExpr(
+        "CAST(pmod(xxhash64(id), 64) AS INT) AS x",
+        "CAST(pmod(xxhash64(id + 1), 64) AS INT) AS y",
+        "CAST(pmod(xxhash64(id + 2), 64) AS INT) AS w",
+        "id AS v",
+    )
+    tbl.append(grid, zorder_by=("x", "y", "w"), cluster_partitions=27)
+    n_files = len(tbl._snapshot()["files"])
+    assert n_files >= 16
+    for col in ("x", "y", "w"):
+        pruned = tbl.read(prune={col: (0, 7)})  # 1/8 of each domain
+        kept = len(pruned.inputFiles())
+        assert kept < n_files, f"{col}: kept {kept}/{n_files}"
+        full = tbl.read().filter(F.col(col).between(0, 7)).count()
+        assert pruned.filter(F.col(col).between(0, 7)).count() == full
+
+
 def test_compact_zorder_reclusters_unclustered_appends(spark, tbl):
     """compact(zorder_by=): data that arrived UNCLUSTERED (many small
     shuffled appends — the streaming-ingest shape) is rewritten onto
