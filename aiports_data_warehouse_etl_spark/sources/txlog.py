@@ -202,6 +202,13 @@ class TxLogTable:
                     state["dvs"].setdefault(data_rel, []).append(
                         {"file": commit["dv_file"], "rows": int(n)}
                     )
+            if commit.get("op") == "restore":
+                # RESTORE carries the restored version's complete DV
+                # mapping — replacement, not fold: DVs added since the
+                # restore point die, re-added files get theirs back
+                state["dvs"] = {
+                    k: list(v) for k, v in commit["dvs"].items()
+                }
             if commit.get("op") == "bloom_index":
                 state["bloom_cols"][commit["col"]] = {"fpp": commit["fpp"]}
                 state["blooms"].setdefault(commit["col"], {}).update(
@@ -916,6 +923,77 @@ class TxLogTable:
                 hi = mid - 1
         return lo
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier version as a NEW commit
+        (Delta RESTORE semantics): the head moves FORWARD, history is
+        preserved, the rollback itself is auditable, and readers flip
+        atomically. Zero data copy — the commit re-adds the old
+        version's file list (files stay on disk until vacuum) and
+        removes files added since; the restored version's deletion
+        vectors come back with it (DVs added since die). CHECK
+        constraints and bloom-index REGISTRATIONS are table policy,
+        not data, and keep their current state; re-added files
+        re-attach their old bloom filters for still-registered
+        columns. Raises when vacuum already reclaimed the restore
+        point's files, and TxConflict when the table advances during
+        the commit (standard read-modify-write protocol)."""
+        base = self._snapshot()
+        if not 0 <= version <= base["version"]:
+            raise ValueError(
+                f"restore: version {version} not in [0, {base['version']}]"
+            )
+        old = self._snapshot(version)
+        needed = list(old["files"]) + [
+            e["file"] for entries in old["dvs"].values() for e in entries
+        ]
+        gone = [
+            rel
+            for rel in needed
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if gone:
+            raise ValueError(
+                f"restore: version {version}'s files were vacuumed "
+                f"({len(gone)} missing, e.g. {gone[0]}) — the restore "
+                "point is past the retention window"
+            )
+        adds = [
+            {"path": rel, "stats": st}
+            for rel, st in old["files"].items()
+            if rel not in base["files"]
+        ]
+        removes = [rel for rel in base["files"] if rel not in old["files"]]
+        if not adds and not removes and old["dvs"] == base["dvs"]:
+            return base["version"]  # already at the restored state
+        re_added = {a["path"] for a in adds}
+        blooms = {}
+        for col in base["bloom_cols"]:
+            filt = {
+                rel: f
+                for rel, f in old["blooms"].get(col, {}).items()
+                if rel in re_added
+            }
+            if filt:
+                blooms[col] = filt
+        commit = {
+            "op": "restore",
+            "restore_of": version,
+            "add": adds,
+            "remove": removes,
+            "schema": old["schema"],
+            "dvs": old["dvs"],
+            # memoized (possibly empty) so _try_commit never recomputes
+            # filters for files whose restored blooms we already carry
+            "blooms": blooms,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                f"restore of {self.path} lost the race at version "
+                f"{base['version'] + 1}"
+            )
+        return base["version"] + 1
+
     # -- bloom-filter file index ----------------------------------------
 
     @staticmethod
@@ -1223,6 +1301,10 @@ class TxLogTable:
                         {"file": c["dv_file"], "rows": int(n)}
                     )
                 continue
+            # a RESTORE's re-added files come back with their restored
+            # deletion vectors — the insert side must exclude rows
+            # those DVs address, or the feed over-emits vs the state
+            ins_dvs: dict = c["dvs"] if c.get("op") == "restore" else {}
             for kind, rels in (
                 ("insert", [a["path"] for a in c.get("add", [])]),
                 ("delete", list(c.get("remove", []))),
@@ -1235,6 +1317,12 @@ class TxLogTable:
                         os.path.join(self.path, e["file"])
                         for rel in rels
                         for e in dvs.get(rel, [])
+                    ]
+                else:
+                    paths = paths + [
+                        os.path.join(self.path, e["file"])
+                        for rel in rels
+                        for e in ins_dvs.get(rel, [])
                     ]
                 gone = [p for p in paths if not os.path.exists(p)]
                 if gone:
@@ -1252,11 +1340,9 @@ class TxLogTable:
                     # exclude rows a DV active at v-1 already deleted
                     frame = self._read_with_dvs(rels, dvs)
                 else:
-                    frame = self.spark.read.option(
-                        "mergeSchema", "true"
-                    ).parquet(
-                        *[os.path.join(self.path, rel) for rel in rels]
-                    )
+                    # ins_dvs is {} except for restore commits, where
+                    # _read_with_dvs degrades to the plain read anyway
+                    frame = self._read_with_dvs(rels, ins_dvs)
                 frames.append(
                     frame.withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -1264,6 +1350,9 @@ class TxLogTable:
             for rel in c.get("remove", []):
                 # the rewrite applied the removed files' DVs
                 dvs.pop(rel, None)
+            if c.get("op") == "restore":
+                # fold state follows the snapshot's replacement rule
+                dvs = {k: list(e) for k, e in c["dvs"].items()}
         if not frames:
             snap = self._snapshot(to_version)
             if snap["schema"] is None:

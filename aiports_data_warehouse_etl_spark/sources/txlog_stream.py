@@ -125,6 +125,12 @@ def _dvs_at(path: str, version: int) -> dict[str, list[str]]:
         if c.get("op") == "delete_dv":
             for data_rel in c["dv_targets"]:
                 dvs.setdefault(data_rel, []).append(c["dv_file"])
+        if c.get("op") == "restore":
+            # replacement, not fold — mirrors TxLogTable._snapshot
+            dvs = {
+                rel: [e["file"] for e in entries]
+                for rel, entries in c["dvs"].items()
+            }
     return dvs
 
 
@@ -209,16 +215,31 @@ class _TxLogCDFReader(DataSourceStreamReader):
                     )
                     dvs.setdefault(rel, []).append(c["dv_file"])
                 continue
+            # a RESTORE's re-added files come back with their restored
+            # DVs: the insert side must exclude those rows (mirrors
+            # TxLogTable.changes), and the fold state is REPLACED
+            restore_dvs: dict[str, list[str]] = (
+                {
+                    rel: [e["file"] for e in entries]
+                    for rel, entries in c["dvs"].items()
+                }
+                if op == "restore"
+                else {}
+            )
             for rel in sorted(c.get("remove", [])):
                 excl = list(dvs.get(rel, []))
                 for p in [rel, *excl]:
                     self._require(p, v0, v1)
                 parts.append(_CDFPartition("delete", rel, v, excl))
             for add in c.get("add", []):
-                self._require(add["path"], v0, v1)
-                parts.append(_CDFPartition("insert", add["path"], v, []))
+                excl = list(restore_dvs.get(add["path"], []))
+                for p in [add["path"], *excl]:
+                    self._require(p, v0, v1)
+                parts.append(_CDFPartition("insert", add["path"], v, excl))
             for rel in c.get("remove", []):
                 dvs.pop(rel, None)
+            if op == "restore":
+                dvs = {rel: list(fs) for rel, fs in restore_dvs.items()}
         return parts
 
     # -- decode (EXECUTORS: pyarrow → Arrow RecordBatches) ---------------
@@ -240,7 +261,9 @@ class _TxLogCDFReader(DataSourceStreamReader):
         if partition.kind == "dv_delete":
             idx = self._dv_indices(partition.dv_rels, partition.rel)
             tbl = tbl.take(sorted(idx))
-        elif partition.kind == "delete" and partition.dv_rels:
+        elif partition.kind in ("delete", "insert") and partition.dv_rels:
+            # delete: suppress rows a DV already deleted earlier;
+            # insert (restore): suppress rows the restored DVs address
             excl = self._dv_indices(partition.dv_rels, partition.rel)
             tbl = tbl.take([i for i in range(tbl.num_rows) if i not in excl])
         ctype = "insert" if partition.kind == "insert" else "delete"

@@ -1433,6 +1433,69 @@ def test_txlog_cdf_additive_schema_evolution(spark, tbl, tmp_path):
     assert got == {(1, "a", None, "insert"), (2, "b", 9.5, "insert")}
 
 
+def test_txlog_cdf_stream_across_restore(spark, tbl, tmp_path):
+    """Streaming twin of test_restore_rolls_back_as_new_commit: the
+    drained stream across a RESTORE commit equals the batch changes()
+    feed exactly — re-added files' rows arrive as inserts MINUS the
+    rows their restored deletion vectors address, and the fold is
+    net-exact to the restored table."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    tbl.append(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "id int, k int"
+        ).coalesce(1)
+    )                                   # v0
+    tbl.delete_where_dv("id IN (2, 5)")  # v1: DV on v0's file
+    tbl.delete_where("id >= 9")          # v2: COW rewrite
+    tbl.restore(1)                       # v3: back to v1 (DVs too)
+
+    register_txlog_cdf(spark)
+    out_dir = str(tmp_path / "restore_out")
+    q = (
+        spark.readStream.format("txlog_cdf")
+        .option("path", tbl.path)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "restore_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    streamed = spark.read.parquet(out_dir)
+    batch = tbl.changes(-1, tbl.latest_version())
+    s = {
+        (r.id, r.k, r._change_type, r._commit_version)
+        for r in streamed.collect()
+    }
+    b = {
+        (r.id, r.k, r._change_type, r._commit_version)
+        for r in batch.collect()
+    }
+    assert s == b
+    # the restore's insert side excludes DV-deleted rows 2 and 5
+    assert (
+        streamed.filter(
+            "id IN (2, 5) AND _change_type = 'insert' AND _commit_version = 3"
+        ).count()
+        == 0
+    )
+    # fold the stream: survivors == restored table
+    last: dict[int, tuple[int, int]] = {}
+    for r in streamed.collect():
+        mark = (r._commit_version, 1 if r._change_type == "insert" else 0)
+        if r.id not in last or mark > last[r.id]:
+            last[r.id] = mark
+    survivors = {k for k, (_, ins) in last.items() if ins}
+    assert survivors == {
+        r.id for r in tbl.read().select("id").collect()
+    }
+
+
 def test_txlog_cdf_stream_dv_then_cow(spark, tbl, tmp_path):
     """Streaming twin of test_change_feed_dv_then_cow_folds (ADVICE
     r4 medium): a DV-deleted row must not re-emit 'delete' when a
@@ -1920,6 +1983,62 @@ def test_time_travel_as_of_timestamp(spark, tbl):
         tbl.read(as_of_ts=ts1 - 1)
     with pytest.raises(ValueError, match="not both"):
         tbl.read(version=0, as_of_ts=ts1)
+
+
+def test_restore_rolls_back_as_new_commit(spark, tbl):
+    """restore(v): the table state flips back to version v — through
+    a DV delete, a later append, AND a COW rewrite — as a NEW
+    auditable commit with zero data copy. The restored version's
+    deletion vectors come back with it; the change feed across the
+    restore stays net-exact; restoring to the current state is a
+    no-op (no new commit)."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100"))                 # v0
+    tbl.delete_where_dv("o_orderkey % 7 = 0")                # v1 (DV)
+    tbl.append(o.filter("o_orderkey >= 100 AND o_orderkey < 160"))  # v2
+    tbl.delete_where("o_orderkey % 5 = 0")                   # v3 (COW)
+
+    def keys(df):
+        return {r["o_orderkey"] for r in df.select("o_orderkey").collect()}
+
+    want = keys(tbl.read(version=1))
+    assert tbl.restore(1) == 4
+    assert keys(tbl.read()) == want
+    # DV rows stay dead after the restore (v1's DVs came back)
+    assert not {k for k in keys(tbl.read()) if k % 7 == 0 and k < 100}
+    # restore is a commit, not history surgery: v3 still readable
+    assert keys(tbl.read(version=3)) != want
+    # feed across the restore folds net-exactly to the restored state
+    ch = tbl.changes(0, 4)
+    last: dict[int, tuple[int, int]] = {}
+    for r in ch.select(
+        "o_orderkey", "_change_type", "_commit_version"
+    ).collect():
+        mark = (
+            r["_commit_version"],
+            1 if r["_change_type"] == "insert" else 0,
+        )
+        k = r["o_orderkey"]
+        if k not in last or mark > last[k]:
+            last[k] = mark
+    replayed = {k for k, (_, ins) in last.items() if ins}
+    assert replayed == want
+    # restoring to where we already are: no new commit
+    assert tbl.restore(4) == 4
+    assert tbl.latest_version() == 4
+    with pytest.raises(ValueError, match="not in"):
+        tbl.restore(99)
+
+
+def test_restore_raises_after_vacuum_reclaims_point(spark, tbl):
+    """A restore point whose files vacuum already reclaimed must fail
+    LOUDLY, never produce a partial table."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 50"))     # v0
+    tbl.overwrite(o.filter("o_orderkey >= 50 AND o_orderkey < 90"))  # v1
+    tbl.vacuum(grace_seconds=0)                 # reclaims v0's files
+    with pytest.raises(ValueError, match="vacuumed"):
+        tbl.restore(0)
 
 
 def test_commit_ts_strictly_monotone_under_frozen_clock(
