@@ -994,6 +994,37 @@ class TxLogTable:
             )
         return base["version"] + 1
 
+    def describe_history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit, computed from log
+        metadata only — never a data scan (the DataFrame twin of the
+        ``history()`` lineage list). The audit surface for "who
+        changed what when": operation, commit timestamp (ns, strictly
+        monotone), files/rows added, files removed, and the restore
+        target for RESTORE commits. O(commits) small JSON reads, the
+        irreducible cost of enumerating history (bounded in practice
+        by vacuum/retention policy)."""
+        rows = []
+        for v in range(self.latest_version() + 1):
+            c = self._read_commit(v)
+            rows.append(
+                (
+                    v,
+                    int(c["ts"]),
+                    str(c.get("op", "unknown")),
+                    len(c.get("add", [])),
+                    sum(
+                        int(a["stats"]["rows"]) for a in c.get("add", [])
+                    ),
+                    len(c.get("remove", [])),
+                    c.get("restore_of"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, ts_ns long, op string, n_files_added int, "
+            "rows_added long, n_files_removed int, restore_of long",
+        )
+
     # -- bloom-filter file index ----------------------------------------
 
     @staticmethod

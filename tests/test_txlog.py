@@ -2030,6 +2030,23 @@ def test_restore_rolls_back_as_new_commit(spark, tbl):
         tbl.restore(99)
 
 
+def test_history_describes_every_commit(spark, tbl):
+    """history(): one metadata-only row per commit — op sequence,
+    added row counts from commit stats, restore target, strictly
+    monotone timestamps."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100"))
+    tbl.delete_where_dv("o_orderkey % 7 = 0")
+    tbl.compact(target_file_bytes=1 << 30)
+    tbl.restore(1)
+    h = tbl.describe_history().orderBy("version").collect()
+    assert [r.op for r in h] == ["append", "delete_dv", "compact", "restore"]
+    assert h[0].rows_added == tbl.read(version=0).count()
+    assert h[3].restore_of == 1 and h[0].restore_of is None
+    ts = [r.ts_ns for r in h]
+    assert ts == sorted(set(ts))
+
+
 def test_restore_raises_after_vacuum_reclaims_point(spark, tbl):
     """A restore point whose files vacuum already reclaimed must fail
     LOUDLY, never produce a partial table."""
