@@ -3929,6 +3929,62 @@ def tlog_time_travel_asof(spark, sf_dir):
 
 
 @q(
+    "tlog_restore",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 30
+    ),
+    v1 AS (SELECT * FROM v0 WHERE o_orderkey % 10 <> 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM v1
+    """,
+)
+def tlog_restore(spark, sf_dir):
+    """RESTORE (sources/txlog.py restore, r5 — Delta RESTORE
+    semantics): load a band, DV-delete every key ≡3 (mod 10), append
+    a second band, COW-delete a third of what's left — then restore
+    to the post-DV version. The head moves FORWARD (zero data copy:
+    the commit re-adds the old file list and brings the restored
+    deletion vectors back), and the table must read EXACTLY as
+    version 1 did: the SQL derivation of band-minus-DV-keys. The
+    disaster-recovery primitive ("yesterday's load corrupted the
+    table — roll it back, auditable, without losing history") that a
+    100 TB warehouse cannot run without."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_restore_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 100 < 30").repartition(2))
+        t.delete_where_dv("o_orderkey % 10 = 3")            # v1
+        t.append(
+            o.filter("o_orderkey % 100 >= 30 AND o_orderkey % 100 < 40")
+        )                                                   # v2
+        t.delete_where("o_orderkey % 3 = 0")                # v3 (COW)
+        t.restore(1)                                        # v4
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "tlog_zorder_prune",
     """
     WITH o AS (
