@@ -85,7 +85,8 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
-    "tlog_bloom_prune",
+    "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
+    "tlog_restore",
     # streaming sink/source demos
     "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
     # incremental materialized-view maintenance
