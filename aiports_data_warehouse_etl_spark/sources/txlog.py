@@ -116,6 +116,14 @@ def _file_stats(abs_path: str) -> dict:
 class TxLogTable:
     """One log-structured table rooted at ``path``."""
 
+    # Protocol versions this engine build understands (Delta-style):
+    # 1 = base format (files + stats), 2 = deletion vectors / blooms /
+    # restore / z-order — everything this module writes today. A table
+    # whose committed min_reader/min_writer exceeds these is refused
+    # loudly instead of being misread or half-written.
+    SUPPORTED_READER = 2
+    SUPPORTED_WRITER = 2
+
     def __init__(
         self,
         spark: SparkSession,
@@ -158,6 +166,7 @@ class TxLogTable:
                 "constraints": {},
                 "bloom_cols": {},
                 "blooms": {},
+                "protocol": {"min_reader": 1, "min_writer": 1},
             }
         start = 0
         state: dict = {
@@ -167,6 +176,7 @@ class TxLogTable:
             "constraints": {},
             "bloom_cols": {},
             "blooms": {},
+            "protocol": {"min_reader": 1, "min_writer": 1},
         }
         for v in range(head, -1, -1):
             cp = _checkpoint_path(self.path, v)
@@ -177,6 +187,9 @@ class TxLogTable:
                 state.setdefault("constraints", {})
                 state.setdefault("bloom_cols", {})
                 state.setdefault("blooms", {})
+                state.setdefault(
+                    "protocol", {"min_reader": 1, "min_writer": 1}
+                )
                 start = v + 1
                 break
         for v in range(start, head + 1):
@@ -202,6 +215,11 @@ class TxLogTable:
                     state["dvs"].setdefault(data_rel, []).append(
                         {"file": commit["dv_file"], "rows": int(n)}
                     )
+            if commit.get("op") == "set_protocol":
+                state["protocol"] = {
+                    "min_reader": int(commit["min_reader"]),
+                    "min_writer": int(commit["min_writer"]),
+                }
             if commit.get("op") == "restore":
                 # RESTORE carries the restored version's complete DV
                 # mapping — replacement, not fold: DVs added since the
@@ -233,6 +251,24 @@ class TxLogTable:
         compaction keep the index complete with no caller changes.
         Memoized in the commit dict: a rebase-retry re-commits the
         same staged files without recomputing."""
+        # Writer protocol gate (Delta-style versioning): a table
+        # whose min_writer exceeds what this code supports must be
+        # REFUSED, never half-written — the forward-compat contract
+        # that lets old and new engine versions share one table. The
+        # upgrade commit itself passes (it is checked against the
+        # protocol BEFORE it) — after it lands, refusal kicks in.
+        if version > 0:
+            try:
+                proto = self._snapshot(version - 1)["protocol"]
+            except (OSError, ValueError, KeyError):
+                proto = {"min_writer": 1}
+            if int(proto["min_writer"]) > self.SUPPORTED_WRITER:
+                raise ValueError(
+                    f"txlog table {self.path} requires writer protocol "
+                    f">= {proto['min_writer']}; this engine supports "
+                    f"{self.SUPPORTED_WRITER} — upgrade the engine, "
+                    "not the table"
+                )
         if commit.get("add") and "blooms" not in commit:
             try:
                 bloom_cols = self._snapshot()["bloom_cols"]
@@ -286,6 +322,7 @@ class TxLogTable:
                 "constraints": snap["constraints"],
                 "bloom_cols": snap["bloom_cols"],
                 "blooms": snap["blooms"],
+                "protocol": snap["protocol"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
                 "tokens": sorted(self._committed_tokens(version)),
@@ -994,6 +1031,43 @@ class TxLogTable:
             )
         return base["version"] + 1
 
+    def upgrade_protocol(self, min_reader: int, min_writer: int) -> int:
+        """Raise the table's protocol floor (Delta-style versioning):
+        after this commit, any engine whose SUPPORTED_READER /
+        SUPPORTED_WRITER is below the floor refuses the table loudly
+        instead of misreading a feature it doesn't know (deletion
+        vectors read as raw rows, restore commits folded wrong, ...).
+        Monotone only — a floor never lowers, because files written
+        under the higher protocol are already on disk. The governance
+        primitive for rolling engine upgrades across a fleet that
+        shares 100 TB tables: upgrade readers first, then writers,
+        then commit the floor."""
+        base = self._snapshot()
+        cur = base["protocol"]
+        if min_reader < int(cur["min_reader"]) or min_writer < int(
+            cur["min_writer"]
+        ):
+            raise ValueError(
+                f"protocol floor never lowers: current {cur}, "
+                f"requested ({min_reader}, {min_writer})"
+            )
+        if (min_reader, min_writer) == (
+            int(cur["min_reader"]),
+            int(cur["min_writer"]),
+        ):
+            return base["version"]
+        commit = {
+            "op": "set_protocol",
+            "min_reader": int(min_reader),
+            "min_writer": int(min_writer),
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                f"protocol upgrade of {self.path} lost the race"
+            )
+        return base["version"] + 1
+
     def describe_history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit, computed from log
         metadata only — never a data scan (the DataFrame twin of the
@@ -1209,6 +1283,13 @@ class TxLogTable:
                 raise ValueError("pass either version or as_of_ts, not both")
             version = self.version_as_of(as_of_ts)
         snap = self._snapshot(version)
+        if int(snap["protocol"]["min_reader"]) > self.SUPPORTED_READER:
+            raise ValueError(
+                f"txlog table {self.path} requires reader protocol "
+                f">= {snap['protocol']['min_reader']}; this engine "
+                f"supports {self.SUPPORTED_READER} — upgrade the "
+                "engine, not the table"
+            )
         files = snap["files"]
         if prune:
             files = {

@@ -2084,6 +2084,43 @@ def test_restore_rolls_back_as_new_commit(spark, tbl):
         tbl.restore(99)
 
 
+def test_protocol_versioning_gates_reads_and_writes(spark, tbl):
+    """Delta-style protocol floors: a committed min_writer above what
+    this engine supports makes every write path refuse LOUDLY (read
+    still fine); a min_reader above support refuses reads; floors
+    never lower; the floor survives checkpoint replay."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    tbl.append(df)
+    # upgrading to the supported level changes nothing observable
+    tbl.upgrade_protocol(2, 2)
+    tbl.append(df)
+    assert tbl.read().count() == 2
+    with pytest.raises(ValueError, match="never lowers"):
+        tbl.upgrade_protocol(1, 1)
+    # writer floor above support: writes refuse, reads keep working
+    tbl.upgrade_protocol(2, 99)
+    with pytest.raises(ValueError, match="writer protocol"):
+        tbl.append(df)
+    with pytest.raises(ValueError, match="writer protocol"):
+        tbl.delete_where("id = 1")
+    assert tbl.read().count() == 2
+    assert [r.op for r in tbl.describe_history().collect()].count(
+        "set_protocol"
+    ) == 2
+
+    # reader floor above support: reads refuse (fresh table; survives
+    # a checkpoint boundary — checkpoint_every=4 on the tbl fixture)
+    t2 = TxLogTable(spark, tbl.path + "_r", checkpoint_every=4)
+    t2.append(df)
+    t2.upgrade_protocol(99, 2)
+    for _ in range(5):  # cross a checkpoint write
+        t2.append(df)
+    with pytest.raises(ValueError, match="reader protocol"):
+        t2.read()
+
+
 def test_history_describes_every_commit(spark, tbl):
     """history(): one metadata-only row per commit — op sequence,
     added row counts from commit stats, restore target, strictly
