@@ -220,13 +220,17 @@ class TxLogTable:
                     "min_reader": int(commit["min_reader"]),
                     "min_writer": int(commit["min_writer"]),
                 }
-            if commit.get("op") == "restore":
-                # RESTORE carries the restored version's complete DV
-                # mapping — replacement, not fold: DVs added since the
-                # restore point die, re-added files get theirs back
+            if commit.get("op") in ("restore", "clone"):
+                # RESTORE/CLONE carry a complete DV mapping —
+                # replacement, not fold: DVs added since the restore
+                # point die, (re-)added files get theirs back
                 state["dvs"] = {
                     k: list(v) for k, v in commit["dvs"].items()
                 }
+            if commit.get("op") == "clone":
+                # a clone inherits the source's table policy
+                state["constraints"] = dict(commit.get("constraints", {}))
+                state["bloom_cols"] = dict(commit.get("bloom_cols", {}))
             if commit.get("op") == "bloom_index":
                 state["bloom_cols"][commit["col"]] = {"fpp": commit["fpp"]}
                 state["blooms"].setdefault(commit["col"], {}).update(
@@ -338,6 +342,8 @@ class TxLogTable:
         if commit.get("dv_file"):
             staged.append(commit["dv_file"])
         for rel in staged:
+            if os.path.isabs(rel):
+                continue  # external ref (clone): no local staging marker
             token = rel.split(os.sep)[1]
             try:
                 os.remove(self._marker_path(token))
@@ -704,6 +710,7 @@ class TxLogTable:
         base = self._snapshot()
         if base["version"] < 0 or not base["files"]:
             return base["version"]
+        self._refuse_external_refs(base, "delete_where_dv")
         live = self._read_with_dvs(
             sorted(base["files"]), base["dvs"], keep_lineage=True
         )
@@ -744,6 +751,7 @@ class TxLogTable:
         base = self._snapshot()
         if base["version"] < 0 or not base["files"]:
             return base["version"]
+        self._refuse_external_refs(base, "delete_where")
         # DV-aware lineage scan: rows already deleted by a deletion
         # vector must neither count as hits nor survive into rewrites
         df = self._read_with_dvs(
@@ -797,6 +805,7 @@ class TxLogTable:
         the commit's recorded union schema (mergeSchema on read).
         """
         base = self._snapshot()
+        self._refuse_external_refs(base, "merge_upsert")
         src = source
         # Enforce the MERGE multi-match contract loudly (ADVICE r3):
         # duplicate source keys would silently insert duplicate rows
@@ -1030,6 +1039,98 @@ class TxLogTable:
                 f"{base['version'] + 1}"
             )
         return base["version"] + 1
+
+    def shallow_clone(self, dest_path: str) -> "TxLogTable":
+        """Zero-copy CLONE (Delta SHALLOW CLONE): a new table whose
+        first commit references the source's CURRENT data files (and
+        deletion vectors, bloom filters, CHECK constraints) by
+        ABSOLUTE path — no bytes move. The clone is an independent
+        table from that instant: appends land under the clone's own
+        root, the source never sees them, and source commits after
+        the clone don't leak in (snapshot semantics across tables).
+        The dev/test-branch primitive for a 100 TB warehouse — a full
+        environment in one metadata commit.
+
+        Contract: row-ADDRESSED mutations (delete_where,
+        delete_where_dv, merge_upsert) refuse while external refs
+        remain — row addresses are root-relative and cannot address
+        another table's files — run ``materialize()`` first (appends
+        and reads are unrestricted). A vacuum on the SOURCE can
+        reclaim files the clone still references (same caveat as
+        Delta); materialize to cut the cord."""
+        snap = self._snapshot()
+        if snap["schema"] is None:
+            raise ValueError(f"txlog table {self.path} has no commits")
+        clone = TxLogTable(
+            self.spark, dest_path, checkpoint_every=self.checkpoint_every
+        )
+        if clone.latest_version() >= 0:
+            raise ValueError(f"clone destination {dest_path} is not empty")
+
+        def _abs(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+
+        commit = {
+            "op": "clone",
+            "source": self.path,
+            "source_version": snap["version"],
+            "add": [
+                {"path": _abs(rel), "stats": st}
+                for rel, st in snap["files"].items()
+            ],
+            "schema": snap["schema"],
+            "dvs": {
+                _abs(rel): [
+                    {"file": _abs(e["file"]), "rows": e["rows"]}
+                    for e in entries
+                ]
+                for rel, entries in snap["dvs"].items()
+            },
+            "constraints": dict(snap["constraints"]),
+            "bloom_cols": dict(snap["bloom_cols"]),
+            "blooms": {
+                col: {_abs(rel): f for rel, f in filt.items()}
+                for col, filt in snap["blooms"].items()
+            },
+        }
+        if not clone._try_commit(0, commit):
+            raise TxConflict(f"clone destination {dest_path} raced")
+        return clone
+
+    def materialize(self, max_retries: int = 5) -> int:
+        """Rewrite every EXTERNAL (absolute-path) file reference into
+        files under this table's own root, applying their deletion
+        vectors — cuts a shallow clone's dependency on its source
+        (source vacuums can no longer break it) and re-enables
+        row-addressed mutations. No-op when nothing is external."""
+        for _ in range(max_retries):
+            base = self._snapshot()
+            ext = sorted(
+                rel for rel in base["files"] if os.path.isabs(rel)
+            )
+            if not ext:
+                return base["version"]
+            local = self._read_with_dvs(ext, base["dvs"])
+            adds, _ = self._stage(local)
+            commit = {
+                "op": "materialize",
+                "add": adds,
+                "remove": ext,
+                "base_version": base["version"],
+            }
+            if self._try_commit(base["version"] + 1, commit):
+                return base["version"] + 1
+        raise TxConflict(f"materialize of {self.path} kept losing races")
+
+    def _refuse_external_refs(self, snap: dict, op: str) -> None:
+        """Row-ADDRESSED mutations need root-relative file addresses
+        (_REL_EXTRACT on _metadata.file_path); a shallow clone's
+        external refs cannot be addressed that way — refuse loudly."""
+        if any(os.path.isabs(rel) for rel in snap["files"]):
+            raise ValueError(
+                f"{op} on {self.path}: table holds external file refs "
+                "(shallow clone) — run materialize() first"
+            )
 
     def upgrade_protocol(self, min_reader: int, min_writer: int) -> int:
         """Raise the table's protocol floor (Delta-style versioning):
@@ -1416,7 +1517,9 @@ class TxLogTable:
             # a RESTORE's re-added files come back with their restored
             # deletion vectors — the insert side must exclude rows
             # those DVs address, or the feed over-emits vs the state
-            ins_dvs: dict = c["dvs"] if c.get("op") == "restore" else {}
+            ins_dvs: dict = (
+                c["dvs"] if c.get("op") in ("restore", "clone") else {}
+            )
             for kind, rels in (
                 ("insert", [a["path"] for a in c.get("add", [])]),
                 ("delete", list(c.get("remove", []))),
@@ -1462,7 +1565,7 @@ class TxLogTable:
             for rel in c.get("remove", []):
                 # the rewrite applied the removed files' DVs
                 dvs.pop(rel, None)
-            if c.get("op") == "restore":
+            if c.get("op") in ("restore", "clone"):
                 # fold state follows the snapshot's replacement rule
                 dvs = {k: list(e) for k, e in c["dvs"].items()}
         if not frames:

@@ -125,7 +125,7 @@ def _dvs_at(path: str, version: int) -> dict[str, list[str]]:
         if c.get("op") == "delete_dv":
             for data_rel in c["dv_targets"]:
                 dvs.setdefault(data_rel, []).append(c["dv_file"])
-        if c.get("op") == "restore":
+        if c.get("op") in ("restore", "clone"):
             # replacement, not fold — mirrors TxLogTable._snapshot
             dvs = {
                 rel: [e["file"] for e in entries]
@@ -223,7 +223,7 @@ class _TxLogCDFReader(DataSourceStreamReader):
                     rel: [e["file"] for e in entries]
                     for rel, entries in c["dvs"].items()
                 }
-                if op == "restore"
+                if op in ("restore", "clone")
                 else {}
             )
             for rel in sorted(c.get("remove", [])):
@@ -238,7 +238,7 @@ class _TxLogCDFReader(DataSourceStreamReader):
                 parts.append(_CDFPartition("insert", add["path"], v, excl))
             for rel in c.get("remove", []):
                 dvs.pop(rel, None)
-            if op == "restore":
+            if op in ("restore", "clone"):
                 dvs = {rel: list(fs) for rel, fs in restore_dvs.items()}
         return parts
 

@@ -2084,6 +2084,80 @@ def test_restore_rolls_back_as_new_commit(spark, tbl):
         tbl.restore(99)
 
 
+def test_shallow_clone_zero_copy_and_materialize(spark, tbl, tmp_path):
+    """SHALLOW CLONE: one metadata commit makes an independent table
+    referencing the source's files (+DVs, +CHECK constraints) by
+    absolute path — zero bytes copied; source and clone then evolve
+    separately. Row-addressed mutations refuse until materialize()
+    localizes the files, after which everything works and the source
+    can vacuum freely."""
+    import os
+
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100"))
+    tbl.add_check("key_pos", "o_orderkey >= 0")
+    tbl.delete_where_dv("o_orderkey % 7 = 0")
+
+    def keys(t, **kw):
+        return {
+            r["o_orderkey"]
+            for r in t.read(**kw).select("o_orderkey").collect()
+        }
+
+    want = keys(tbl)
+    clone = tbl.shallow_clone(str(tmp_path / "clone"))
+    # zero copy: the clone owns no data files yet
+    assert not os.path.isdir(os.path.join(clone.path, "data"))
+    assert keys(clone) == want
+    assert clone.count_rows() == len(want)  # metadata count incl. DVs
+
+    # independence both ways
+    tbl.append(o.filter("o_orderkey >= 100 AND o_orderkey < 120"))
+    assert keys(clone) == want
+    clone.append(
+        spark.createDataFrame([(999999, 1, 1.0, "O")], tbl.read().schema)
+    )
+    assert keys(tbl) != keys(clone)
+    assert 999999 in keys(clone) and 999999 not in keys(tbl)
+    # inherited CHECK constraint enforces on the clone
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        clone.append(
+            spark.createDataFrame([(-5, 1, 1.0, "O")], tbl.read().schema)
+        )
+    # the clone's change feed folds its birth commit DV-exactly
+    ch = clone.changes(-1, clone.latest_version())
+    ins = {
+        r["o_orderkey"]
+        for r in ch.filter("_change_type = 'insert'").collect()
+    }
+    assert ins == want | {999999}
+
+    # row-addressed mutations refuse while refs are external
+    with pytest.raises(ValueError, match="materialize"):
+        clone.delete_where("o_orderkey = 2")
+    with pytest.raises(ValueError, match="materialize"):
+        clone.delete_where_dv("o_orderkey = 2")
+    with pytest.raises(ValueError, match="materialize"):
+        clone.merge_upsert(clone.read().limit(1), keys=["o_orderkey"])
+
+    # materialize: refs localize, content identical, mutations work
+    before = keys(clone)
+    clone.materialize()
+    assert not any(
+        os.path.isabs(rel) for rel in clone._snapshot()["files"]
+    )
+    assert keys(clone) == before
+    clone.delete_where("o_orderkey = 999999")
+    assert keys(clone) == want
+    # the cord is cut: source vacuum can't break the clone
+    tbl.vacuum(grace_seconds=0)
+    assert keys(clone) == want
+
+
 def test_protocol_versioning_gates_reads_and_writes(spark, tbl):
     """Delta-style protocol floors: a committed min_writer above what
     this engine supports makes every write path refuse LOUDLY (read
