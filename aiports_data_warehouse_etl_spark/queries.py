@@ -86,7 +86,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
-    "tlog_restore",
+    "tlog_restore", "tlog_shallow_clone",
     # streaming sink/source demos
     "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
     # incremental materialized-view maintenance
@@ -3979,6 +3979,71 @@ def tlog_restore(spark, sf_dir):
             F.min("o_orderkey").cast("long").alias("min_key"),
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_shallow_clone",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 25
+    ),
+    live AS (SELECT * FROM src WHERE o_orderkey % 9 <> 4),
+    clone_plus AS (
+      SELECT * FROM live
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 100 >= 25 AND o_orderkey % 100 < 30
+    )
+    SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM live
+    UNION ALL
+    SELECT 'clone', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+    FROM clone_plus
+    """,
+)
+def tlog_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE (sources/txlog.py shallow_clone, r5 — the Delta
+    zero-copy branch): load a band, DV-delete every key ≡4 (mod 9),
+    clone (one metadata commit, no bytes move — the clone references
+    the source's files and deletion vectors by absolute path), append
+    a second band ONLY to the clone, then materialize it. The source
+    must still read as band-minus-DV (the clone's append never leaks
+    back) and the materialized clone as band-minus-DV plus the new
+    band — independence in both directions, DV-exact through the
+    clone birth commit. The branch-a-100-TB-warehouse-for-testing
+    primitive, certified against the SQL derivation."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_clone_")
+    try:
+        t = TxLogTable(spark, root + "/src_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 100 < 25").repartition(2))
+        t.delete_where_dv("o_orderkey % 9 = 4")
+        c = t.shallow_clone(root + "/clone_t")
+        c.append(
+            o.filter("o_orderkey % 100 >= 25 AND o_orderkey % 100 < 30")
+        )
+        c.materialize()
+
+        def rollup(tab, side):
+            return tab.read().groupBy(F.lit(side).alias("side")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+
+        out = rollup(t, "source").unionByName(rollup(c, "clone"))
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
