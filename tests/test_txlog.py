@@ -2212,6 +2212,28 @@ def test_history_describes_every_commit(spark, tbl):
     assert ts == sorted(set(ts))
 
 
+def test_restore_preserves_table_policy(spark, tbl):
+    """RESTORE rolls back DATA, not POLICY: a protocol floor and a
+    CHECK constraint registered after the restore point survive the
+    rollback — governance is monotone even when data isn't."""
+    df = spark.createDataFrame([(5,)], "id int")
+    tbl.append(df)                         # v0
+    tbl.add_check("id_pos", "id > 0")      # v1 (policy)
+    tbl.upgrade_protocol(2, 2)             # v2 (policy)
+    tbl.append(spark.createDataFrame([(7,)], "id int"))  # v3
+    tbl.restore(0)                         # v4: data back to just {5}
+    assert {r.id for r in tbl.read().collect()} == {5}
+    snap = tbl._snapshot()
+    assert snap["protocol"] == {"min_reader": 2, "min_writer": 2}
+    assert "id_pos" in snap["constraints"]
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        tbl.append(spark.createDataFrame([(-1,)], "id int"))
+
+
 def test_restore_raises_after_vacuum_reclaims_point(spark, tbl):
     """A restore point whose files vacuum already reclaimed must fail
     LOUDLY, never produce a partial table."""
