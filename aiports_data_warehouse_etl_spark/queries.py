@@ -886,6 +886,51 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @q(
+    "decontaminate_fuzzy",
+    _MINHASH_SQL[: _MINHASH_SQL.rindex("SELECT")]
+    + """
+    SELECT id_b AS train_id,
+           CAST(count(*) AS BIGINT) AS n_eval_matches,
+           max(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 6)) AS max_jaccard
+    FROM pairs p
+    JOIN sh a ON p.id_a = a.doc_id
+    JOIN sh b ON p.id_b = b.doc_id
+    WHERE p.id_a < 50 AND p.id_b >= 50
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    GROUP BY id_b
+    """,
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination — the near-duplicate
+    complement of the exact-shingle `decontaminate` sweep: a training
+    doc (id ≥ 50) is contaminated when it is a MinHash-LSH-verified
+    NEAR-duplicate (exact Jaccard ≥ 0.5) of any eval doc (id < 50) —
+    paraphrased or lightly-edited benchmark leakage that exact
+    n-gram matching misses. Same banded equi-join as
+    dedup_minhash_lsh (never all-pairs: eval and train docs collide
+    only through shared band keys), then pairs crossing the
+    train/eval boundary roll up per training doc with the match
+    count and worst-case Jaccard. At 100 TB this is the production
+    shape: the eval side is tiny, so its banded signatures broadcast
+    and the sweep costs one pass over the training corpus."""
+    pairs = D.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    # ids are sorted within a pair (id_a < id_b) and eval ids < 50 ≤
+    # train ids, so crossing pairs always put eval on the a-side
+    return (
+        pairs.filter((F.col("id_a") < 50) & (F.col("id_b") >= 50))
+        .groupBy(F.col("id_b").alias("train_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
