@@ -24,6 +24,7 @@ from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 
 FAMILIES = [
     "dedup_exact", "dedup_canonical_text", "dedup_minhash_lsh",
+    "decontaminate_fuzzy",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_connected_components", "dedup_cc_keep_best", "dedup_passages",
     "decontaminate", "dedup_incremental_index", "dedup_exact_substring",
