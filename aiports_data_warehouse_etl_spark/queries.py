@@ -83,7 +83,8 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "csv_roundtrip_stats", "orc_roundtrip_agg", "xml_roundtrip_agg",
     "jsonl_roundtrip_stats", "federated_format_union",
     # ACID transaction-log feature demos
-    "tlog_acid_table", "tlog_merge_upsert", "tlog_change_feed",
+    "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
+    "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
     "tlog_restore", "tlog_shallow_clone",
@@ -4610,6 +4611,90 @@ def tlog_merge_upsert(spark, sf_dir):
             "o_totalprice", F.col("o_totalprice") * 2
         )
         t.merge_upsert(src, keys=["o_orderkey"])
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_merge_conditional",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT b.o_orderkey, b.o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND NOT (b.o_orderkey % 10 = 0)
+                       AND b.o_orderstatus <> 'F'
+                  THEN s.o_totalprice ELSE b.o_totalprice
+             END AS o_totalprice
+      FROM base b LEFT JOIN src s USING (o_orderkey)
+      WHERE NOT (s.o_orderkey IS NOT NULL AND b.o_orderkey % 10 = 0)
+    ),
+    inserts AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+        AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM (SELECT * FROM merged UNION ALL SELECT * FROM inserts)
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_merge_conditional(spark, sf_dir):
+    """Full conditional MERGE INTO on the txlog table
+    (sources/txlog.py merge): one commit carries all three WHEN
+    clauses — matched rows with key ≡0 (mod 10) DELETE (clause fires
+    first), remaining matched rows UPDATE o_totalprice to the source's
+    1.5× price but only when the update condition holds (status not
+    'F'), and source keys absent from the target INSERT only when even
+    (the NOT MATCHED condition). Copy-on-write discipline is the same
+    as merge_upsert: only files containing a row the merge actually
+    changes are rewritten; the DuckDB oracle replays the identical
+    clause semantics as a CASE/anti-join CTE pipeline over the raw
+    parquet (DuckDB 1.0 has no MERGE statement). Both engines compute
+    1.5× in IEEE double, so the final grouped sums hash-match."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_cmerge_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        base = o.filter("o_orderkey % 3 <> 0")
+        t.append(base.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(base.filter("o_orderkey % 2 = 1").repartition(2))
+        src = o.filter("o_orderkey % 5 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        )
+        t.merge(
+            src,
+            keys=["o_orderkey"],
+            update_set={"o_totalprice": "s.o_totalprice"},
+            update_condition="t.o_orderstatus <> 'F'",
+            delete_condition="t.o_orderkey % 10 = 0",
+            insert_condition="s.o_orderkey % 2 = 0",
+        )
         out = (
             t.read()
             .groupBy("o_orderstatus")

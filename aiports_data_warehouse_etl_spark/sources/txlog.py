@@ -39,7 +39,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -790,6 +790,28 @@ class TxLogTable:
             raise TxConflict("delete_where: table advanced past base snapshot")
         return base["version"] + 1
 
+    def _require_unique_keys(
+        self, src: DataFrame, keys: list[str], op: str
+    ) -> None:
+        """Enforce the MERGE multi-match contract loudly (ADVICE r3):
+        duplicate source keys would silently insert duplicate rows
+        where Delta/standard MERGE raises. One short-circuiting job
+        (limit(1) after the HAVING-style filter), source-sized only."""
+        dup = (
+            src.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"{op}: source has multiple rows for key "
+                f"{key_vals} — MERGE requires at most one source row "
+                "per key (pre-aggregate or dedupe the source)"
+            )
+
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE (whole-row upsert) by key: target rows whose key
         matches a source row are REPLACED by that source row, source
@@ -807,24 +829,7 @@ class TxLogTable:
         base = self._snapshot()
         self._refuse_external_refs(base, "merge_upsert")
         src = source
-        # Enforce the MERGE multi-match contract loudly (ADVICE r3):
-        # duplicate source keys would silently insert duplicate rows
-        # where Delta/standard MERGE raises. One short-circuiting job
-        # (limit(1) after the HAVING-style filter), source-sized only.
-        dup = (
-            src.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            key_vals = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                "merge_upsert: source has multiple rows for key "
-                f"{key_vals} — MERGE requires at most one source row "
-                "per key (pre-aggregate or dedupe the source)"
-            )
+        self._require_unique_keys(src, keys, "merge_upsert")
         self._validate_constraints(src, base["constraints"])
         if base["version"] < 0 or not base["files"]:
             return self.append(src)
@@ -872,6 +877,165 @@ class TxLogTable:
         }
         if not self._try_commit(base["version"] + 1, commit):
             raise TxConflict("merge_upsert: table advanced past base snapshot")
+        return base["version"] + 1
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        update_set: dict[str, str] | None = None,
+        update_condition: str | None = None,
+        delete_condition: str | None = None,
+        insert: bool = True,
+        insert_condition: str | None = None,
+    ) -> int:
+        """Full conditional MERGE INTO (the Delta/ANSI shape on top of
+        the same copy-on-write machinery as ``merge_upsert``):
+
+        - ``WHEN MATCHED AND delete_condition THEN DELETE`` — evaluated
+          FIRST (fixed clause order, documented rather than caller-
+          chosen; matches putting the narrower DELETE clause before the
+          catch-all UPDATE, Delta's recommended ordering).
+        - ``WHEN MATCHED [AND update_condition] THEN UPDATE SET`` —
+          ``update_set`` maps target column -> SQL expression; the
+          expressions (and both conditions) may reference ``t.<col>``
+          (target row) and ``s.<col>`` (source row). Updated values are
+          cast back to the target column's type so the table schema is
+          stable across merges. Key columns cannot be assigned.
+        - ``WHEN NOT MATCHED [AND insert_condition] THEN INSERT`` —
+          source rows with no target key match become new rows
+          (``insert=False`` turns the clause off; the condition sees
+          ``s.<col>``). Source columns are cast to the target schema;
+          target columns missing from the source insert as NULL.
+
+        Scale shape (identical to ``merge_upsert``): ONE DV-aware
+        lineage scan finds the files that contain a row the merge will
+        actually CHANGE (delete-hit or update-hit — a file whose
+        matched rows all fail their conditions is NOT rewritten);
+        only those files rewrite, everything else carries over by
+        reference in the same atomic commit. The change feed and keyed
+        CDC read the resulting remove+add diff with no special cases.
+
+        No schema evolution on this path — conditional merge targets a
+        FIXED table schema (use ``merge_upsert`` for additive widening).
+        """
+        if update_set is None and delete_condition is None and not insert:
+            raise ValueError("merge: no WHEN clause given — nothing to do")
+        bad_assign = sorted(set(update_set or {}) & set(keys))
+        if bad_assign:
+            raise ValueError(
+                f"merge: update_set assigns key column(s) {bad_assign} — "
+                "reassigning merge keys is refused (delete+insert instead)"
+            )
+        base = self._snapshot()
+        self._refuse_external_refs(base, "merge")
+        self._require_unique_keys(source, keys, "merge")
+
+        def _cond(sql: str | None, default: bool) -> Column:
+            # NULL-valued MERGE conditions never fire their clause
+            if sql is None:
+                return F.lit(default)
+            return F.coalesce(F.expr(sql), F.lit(False))
+
+        if base["version"] < 0 or not base["files"]:
+            if not insert:
+                return base["version"]
+            new_rows = source.alias("s").filter(_cond(insert_condition, True))
+            if not new_rows.take(1):
+                return base["version"]
+            return self.append(new_rows)
+
+        tgt = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
+        )
+        data_cols = [
+            c for c in tgt.columns if c not in ("__file_rel", "__row_index")
+        ]
+        unknown = sorted(set(update_set or {}) - set(data_cols))
+        if unknown:
+            raise ValueError(
+                f"merge: update_set targets unknown column(s) {unknown}"
+            )
+        tgt_types = dict(tgt.dtypes)
+        join_on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+        src = source.withColumn("__s_hit", F.lit(1)).alias("s")
+        joined = tgt.alias("t").join(src, join_on, "left")
+        matched = F.col("s.__s_hit").isNotNull()
+        del_fires = matched & _cond(delete_condition, False) if (
+            delete_condition is not None
+        ) else F.lit(False)
+        upd_fires = (
+            matched & ~del_fires & _cond(update_condition, True)
+            if update_set is not None
+            else F.lit(False)
+        )
+        # Files that contain at least one row the merge CHANGES
+        hit_rel = sorted(
+            r["__file_rel"]
+            for r in joined.filter(del_fires | upd_fires)
+            .select(F.col("t.__file_rel").alias("__file_rel"))
+            .distinct()
+            .collect()
+        )
+        survivors = None
+        if hit_rel:
+            hit = (
+                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                .alias("t")
+                .join(src, join_on, "left")
+            )
+            survivors = hit.filter(~del_fires).select(
+                *[
+                    F.when(
+                        upd_fires,
+                        F.expr(update_set[c]).cast(tgt_types[c]),
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    if update_set is not None and c in update_set
+                    else F.col(f"t.{c}").alias(c)
+                    for c in data_cols
+                ]
+            )
+        inserts = None
+        if insert:
+            # DV-aware key set over the WHOLE table (not just hit
+            # files): a key deleted by a deletion vector is absent, so
+            # its source row legitimately re-inserts
+            tgt_keys = tgt.select(*keys).distinct()
+            inserts = (
+                src.join(tgt_keys, keys, "left_anti")
+                .filter(_cond(insert_condition, True))
+                .select(
+                    *[
+                        (
+                            F.col(c).cast(tgt_types[c])
+                            if c in source.columns
+                            else F.lit(None).cast(tgt_types[c])
+                        ).alias(c)
+                        for c in data_cols
+                    ]
+                )
+            )
+        if survivors is not None and inserts is not None:
+            new_data = survivors.unionByName(inserts)
+        else:
+            new_data = survivors if survivors is not None else inserts
+        if new_data is None or (not hit_rel and not new_data.take(1)):
+            return base["version"]  # no-op: nothing changed
+        self._validate_constraints(new_data, base["constraints"])
+        adds, _ = self._stage(new_data)
+        commit = {
+            "op": "merge",
+            "keys": list(keys),
+            "add": adds,
+            "remove": hit_rel,
+            "schema": base["schema"],
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict("merge: table advanced past base snapshot")
         return base["version"] + 1
 
     def compact(

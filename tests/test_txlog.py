@@ -2288,3 +2288,146 @@ def test_version_as_of_binary_search_matches_linear_scan(spark, tbl):
     )
     for ts in probes:
         assert tbl.version_as_of(ts) == linear(ts), ts
+
+
+# -- conditional MERGE (update-set / delete-clause / insert-condition) --
+
+
+def test_merge_conditional_update_delete_insert(spark, tbl):
+    o = _orders(spark)
+    base = o.filter("o_orderkey < 2000")
+    tbl.append(base)
+    src = (
+        o.filter("o_orderkey >= 1000 AND o_orderkey < 3000")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+    )
+    tbl.merge(
+        src,
+        keys=["o_orderkey"],
+        update_set={"o_totalprice": "s.o_totalprice"},
+        update_condition="s.o_totalprice > t.o_totalprice + 50",
+        delete_condition="t.o_orderkey % 7 = 0",
+        insert_condition="s.o_orderkey % 2 = 0",
+    )
+    got = {r["o_orderkey"]: r for r in tbl.read().collect()}
+    src_rows = {r["o_orderkey"]: r for r in src.collect()}
+    expect = {}
+    for r in base.collect():
+        k = r["o_orderkey"]
+        s = src_rows.get(k)
+        if s is not None and k % 7 == 0:
+            continue  # matched-delete fires first
+        if s is not None and s["o_totalprice"] > r["o_totalprice"] + 50:
+            expect[k] = s["o_totalprice"]
+        else:
+            expect[k] = r["o_totalprice"]
+    for k, s in src_rows.items():
+        if k >= 2000 and k % 2 == 0:
+            expect[k] = s["o_totalprice"]
+    assert set(got) == set(expect)
+    for k, price in expect.items():
+        assert abs(got[k]["o_totalprice"] - price) < 1e-9, k
+
+
+def test_merge_rewrites_only_changed_files(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey % 4 = 0").repartition(2))
+    tbl.append(o.filter("o_orderkey % 4 = 2").repartition(2))
+    before = set(tbl._snapshot()["files"])
+    # source matches only keys ≡0 (mod 4); the ≡2 files must carry over
+    src = o.filter("o_orderkey % 20 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tbl.merge(
+        src,
+        keys=["o_orderkey"],
+        update_set={"o_totalprice": "s.o_totalprice"},
+        insert=False,
+    )
+    after = set(tbl._snapshot()["files"])
+    commit = tbl._read_commit(tbl.latest_version())
+    mod2_files = {
+        f for f in before if f not in commit.get("remove", [])
+    }
+    assert mod2_files & after == mod2_files  # carried by reference
+    # and a merge whose conditions never fire is a NO-OP commit-wise
+    v = tbl.latest_version()
+    out = tbl.merge(
+        src.limit(5),
+        keys=["o_orderkey"],
+        update_set={"o_totalprice": "s.o_totalprice"},
+        update_condition="1 = 0",
+        insert=False,
+    )
+    assert out == v and tbl.latest_version() == v
+
+
+def test_merge_change_feed_stays_net_exact(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 1500").repartition(2))
+    v0 = tbl.latest_version()
+    src = o.filter("o_orderkey >= 1000 AND o_orderkey < 2500").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    v1 = tbl.merge(
+        src,
+        keys=["o_orderkey"],
+        update_set={"o_totalprice": "s.o_totalprice"},
+        delete_condition="t.o_orderkey % 11 = 0",
+    )
+    feed = tbl.changes(v0, v1)
+    ins = feed.filter("_change_type = 'insert'").drop(
+        "_change_type", "_commit_version"
+    )
+    dels = feed.filter("_change_type = 'delete'").drop(
+        "_change_type", "_commit_version"
+    )
+    # fold the feed onto the v0 snapshot == the v1 snapshot
+    folded = (
+        tbl.read(version=v0)
+        .exceptAll(dels)
+        .unionByName(ins)
+        .groupBy("o_orderkey")
+        .agg(F.sum("o_totalprice").alias("p"))
+    )
+    now = tbl.read().groupBy("o_orderkey").agg(
+        F.sum("o_totalprice").alias("p")
+    )
+    assert folded.exceptAll(now).count() == 0
+    assert now.exceptAll(folded).count() == 0
+
+
+def test_merge_respects_deletion_vectors(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 1000"))
+    tbl.delete_where_dv("o_orderkey % 5 = 0")
+    alive_before = {r["o_orderkey"] for r in tbl.read().collect()}
+    src = o.filter("o_orderkey % 10 = 0 AND o_orderkey < 2000").withColumn(
+        "o_totalprice", F.lit(1.5)
+    )
+    tbl.merge(
+        src,
+        keys=["o_orderkey"],
+        update_set={"o_totalprice": "s.o_totalprice"},
+    )
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in tbl.read().collect()}
+    # DV-deleted keys (%5==0 under 1000) were NOT update targets; their
+    # source rows see no match and re-enter as INSERTS — every source
+    # key must land at 1.5 either way (update or re-insert)
+    src_keys = {r["o_orderkey"] for r in src.collect()}
+    assert src_keys, "fixture regression: empty merge source"
+    for k in src_keys:
+        assert got.get(k) == 1.5, k
+    assert set(got) >= alive_before
+
+
+def test_merge_refuses_dup_keys_and_key_assignment(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.limit(100))
+    dup = o.limit(1).unionByName(o.limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        tbl.merge(dup, keys=["o_orderkey"],
+                  update_set={"o_totalprice": "s.o_totalprice"})
+    with pytest.raises(ValueError, match="key column"):
+        tbl.merge(o.limit(5), keys=["o_orderkey"],
+                  update_set={"o_orderkey": "s.o_orderkey"})
