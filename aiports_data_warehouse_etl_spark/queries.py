@@ -84,6 +84,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "jsonl_roundtrip_stats", "federated_format_union",
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
+    "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -4652,7 +4653,8 @@ def tlog_merge_upsert(spark, sf_dir):
         AND o_orderkey % 2 = 0
     )
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM (SELECT * FROM merged UNION ALL SELECT * FROM inserts)
     GROUP BY o_orderstatus
     """,
@@ -4669,7 +4671,8 @@ def tlog_merge_conditional(spark, sf_dir):
     changes are rewritten; the DuckDB oracle replays the identical
     clause semantics as a CASE/anti-join CTE pipeline over the raw
     parquet (DuckDB 1.0 has no MERGE statement). Both engines compute
-    1.5× in IEEE double, so the final grouped sums hash-match."""
+    1.5× in IEEE double and aggregate exact integer cents, so the
+    grouped totals hash-match independent of summation order."""
     import shutil
     import tempfile
 
@@ -4695,12 +4698,190 @@ def tlog_merge_conditional(spark, sf_dir):
             delete_condition="t.o_orderkey % 10 = 0",
             insert_condition="s.o_orderkey % 2 = 0",
         )
+        # exact integer-cents aggregation: per-row double → cents is
+        # deterministic in both engines; the integer sum is
+        # order-independent (a double sum is not — last-cent flips)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
         out = (
             t.read()
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.sum(cents).alias("total_cents"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_update_where",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'O'
+                                          AND o_orderkey % 4 = 1
+                                     THEN o_totalprice * 1.1
+                                     ELSE o_totalprice END) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_update_where(spark, sf_dir):
+    """Copy-on-write UPDATE DML on the txlog table
+    (sources/txlog.py update_where): ``UPDATE SET o_totalprice =
+    o_totalprice * 1.1 WHERE o_orderstatus = 'O' AND o_orderkey % 4
+    = 1``. Only files containing a matched row rewrite (the table is
+    loaded in two appends so at least one file set carries over
+    untouched); the DuckDB oracle replays the identical assignment
+    as a CASE projection over the raw parquet. Both engines compute
+    * 1.1 in IEEE double, so the grouped rounded sums hash-match."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_upd_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        t.update_where(
+            "o_orderstatus = 'O' AND o_orderkey % 4 = 1",
+            {"o_totalprice": "o_totalprice * 1.1"},
+        )
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_update_mor",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round((CASE WHEN o_orderkey % 7 = 0
+                                     THEN o_totalprice + 10.0
+                                     ELSE o_totalprice END) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_update_mor(spark, sf_dir):
+    """MERGE-ON-READ UPDATE (sources/txlog.py update_where_mor): one
+    commit records a deletion vector over the old row versions plus
+    small files holding only the updated copies — O(changed rows)
+    write cost, the shape that keeps scattered updates affordable on
+    a 100 TB table. The snapshot read folds DV + adds back together;
+    a compact() then applies the DV physically and the re-read must
+    agree (both states are aggregated through the same plan here).
+    DuckDB replays the assignment as a CASE projection."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_umor_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))
+        t.update_where_mor(
+            "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice + 10.0"},
+        )
+        t.compact(target_file_bytes=1 << 30)
+        upd = F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+                F.sum(upd).cast("long").alias("n_updated"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_replace_where",
+    """
+    WITH kept AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE NOT (o_orderkey % 4 = 2)
+    ),
+    reloaded AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 0.5 AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 2
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM reloaded)
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_replace_where(spark, sf_dir):
+    """Predicate-scoped atomic overwrite (sources/txlog.py
+    replace_where — Delta's replaceWhere / dynamic partition
+    overwrite): the ``o_orderkey % 4 = 2`` slice is atomically
+    replaced with recomputed rows (half price) while every other
+    slice carries over by reference; the reload runs TWICE to pin
+    idempotence (a backfill that reruns must be a fixpoint). DuckDB
+    replays the slice swap as a UNION of the kept and reloaded
+    partitions."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_rw_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        reloaded = o.filter("o_orderkey % 4 = 2").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 0.5
+        )
+        t.replace_where(reloaded, "o_orderkey % 4 = 2")
+        t.replace_where(reloaded, "o_orderkey % 4 = 2")  # idempotent
+        # exact integer-cents aggregation: the per-row double → cents
+        # rounding is deterministic in both engines, and the integer
+        # sum is order-independent (a double sum is not)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
             )
         )
         rows = out.collect()

@@ -210,7 +210,9 @@ class TxLogTable:
                     filt.pop(rel, None)
             for add in commit.get("add", []):
                 state["files"][add["path"]] = add["stats"]
-            if commit.get("op") == "delete_dv":
+            if commit.get("dv_targets"):
+                # any commit may carry a deletion vector (delete_dv,
+                # update_mor — the MoR UPDATE pairs a DV with adds)
                 for data_rel, n in commit["dv_targets"].items():
                     state["dvs"].setdefault(data_rel, []).append(
                         {"file": commit["dv_file"], "rows": int(n)}
@@ -1038,6 +1040,229 @@ class TxLogTable:
             raise TxConflict("merge: table advanced past base snapshot")
         return base["version"] + 1
 
+    def _check_set_exprs(
+        self, set_exprs: dict[str, str], data_cols: list[str], op: str
+    ) -> None:
+        if not set_exprs:
+            raise ValueError(f"{op}: empty SET clause")
+        unknown = sorted(set(set_exprs) - set(data_cols))
+        if unknown:
+            raise ValueError(
+                f"{op}: SET targets unknown column(s) {unknown}"
+            )
+
+    @staticmethod
+    def _apply_set(
+        set_exprs: dict[str, str],
+        data_cols: list[str],
+        tgt_types: dict[str, str],
+        fires: Column,
+    ) -> list[Column]:
+        """The UPDATE projection: assigned columns take their SET
+        expression where ``fires``, else carry. ALL expressions read
+        the PRE-update row (one select = simultaneous assignment, so
+        ``SET a = b, b = a`` swaps), and results cast back to the
+        column's declared type so the table schema never drifts."""
+        return [
+            (
+                F.when(fires, F.expr(set_exprs[c]).cast(tgt_types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+
+    def update_where(
+        self, predicate: str, set_exprs: dict[str, str]
+    ) -> int:
+        """Copy-on-write ``UPDATE t SET col = expr WHERE predicate``.
+
+        ONLY files that contain a predicate-TRUE row are rewritten
+        (one DV-aware lineage scan finds them, exactly like
+        ``delete_where``); untouched files carry over by reference in
+        the same atomic commit. SQL UPDATE semantics throughout: rows
+        where the predicate evaluates NULL are NOT updated, every
+        assignment sees the pre-update row, and assigned values cast
+        back to the column's declared type. CHECK constraints are
+        re-validated on the rewritten rows (an UPDATE may not smuggle
+        a violating value past ``add_check``). Cost is O(bytes of
+        touched files) — ``update_where_mor`` is the O(changed rows)
+        merge-on-read twin for scattered updates on huge tables."""
+        base = self._snapshot()
+        if base["version"] < 0 or not base["files"]:
+            return base["version"]
+        self._refuse_external_refs(base, "update_where")
+        df = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
+        )
+        data_cols = [
+            c for c in df.columns if c not in ("__file_rel", "__row_index")
+        ]
+        self._check_set_exprs(set_exprs, data_cols, "update_where")
+        hit_rel = sorted(
+            r["__file_rel"]
+            for r in df.filter(F.expr(predicate))
+            .select("__file_rel")
+            .distinct()
+            .collect()
+        )
+        if not hit_rel:
+            return base["version"]
+        fires = F.coalesce(F.expr(predicate), F.lit(False))
+        tgt_types = dict(df.dtypes)
+        rewritten = self._read_with_dvs(
+            hit_rel, base["dvs"], keep_lineage=True
+        ).select(*self._apply_set(set_exprs, data_cols, tgt_types, fires))
+        self._validate_constraints(rewritten, base["constraints"])
+        adds, _ = self._stage(rewritten)
+        commit = {
+            "op": "update",
+            "predicate": predicate,
+            "set": dict(sorted(set_exprs.items())),
+            "add": adds,
+            "remove": hit_rel,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "update_where: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
+    def update_where_mor(
+        self, predicate: str, set_exprs: dict[str, str]
+    ) -> int:
+        """MERGE-ON-READ UPDATE: ONE commit records a deletion vector
+        addressing the OLD versions of the matched rows AND appends
+        small files holding their UPDATED copies — O(changed rows)
+        write cost instead of O(bytes of touched files). At 100 TB an
+        update of 1000 rows scattered across 1000 multi-GB files costs
+        kilobytes, exactly like ``delete_where_dv``; ``compact``
+        later applies the DVs physically and re-packs the small
+        update files (the standard MoR maintenance contract). Readers
+        need no new machinery: the snapshot fold applies any commit's
+        ``dv_targets``, and the change feed emits the DV-addressed
+        rows as 'delete' plus the added files as 'insert' — a
+        net-exact row-level update record. Same SQL UPDATE semantics
+        as ``update_where`` (NULL predicate rows untouched,
+        simultaneous assignment, type-stable casts)."""
+        base = self._snapshot()
+        if base["version"] < 0 or not base["files"]:
+            return base["version"]
+        self._refuse_external_refs(base, "update_where_mor")
+        live = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
+        )
+        data_cols = [
+            c
+            for c in live.columns
+            if c not in ("__file_rel", "__row_index")
+        ]
+        self._check_set_exprs(set_exprs, data_cols, "update_where_mor")
+        hits = live.filter(F.expr(predicate))
+        per_file = {
+            r["__file_rel"]: r["n"]
+            for r in hits.groupBy("__file_rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return base["version"]
+        tgt_types = dict(live.dtypes)
+        updated = hits.select(
+            *self._apply_set(set_exprs, data_cols, tgt_types, F.lit(True))
+        )
+        self._validate_constraints(updated, base["constraints"])
+        dv_adds, _ = self._stage(
+            hits.select(
+                F.col("__file_rel").alias("file_rel"),
+                F.col("__row_index").alias("row_index"),
+            ).coalesce(1)
+        )
+        adds, _ = self._stage(updated)
+        commit = {
+            "op": "update_mor",
+            "predicate": predicate,
+            "set": dict(sorted(set_exprs.items())),
+            "dv_file": dv_adds[0]["path"],
+            "dv_targets": {k: int(v) for k, v in sorted(per_file.items())},
+            "add": adds,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "update_where_mor: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
+    def replace_where(self, df: DataFrame, predicate: str) -> int:
+        """Atomic predicate-scoped overwrite (Delta's ``replaceWhere``
+        — the dynamic-partition-overwrite generalization): delete
+        every row matching ``predicate`` and insert ``df``, in ONE
+        commit. Every incoming row must satisfy the predicate (loud
+        refusal otherwise — one limit(1) probe) — that containment is
+        what makes the op an idempotent slice reload: re-running a
+        backfill for `date = X` replaces exactly the X slice however
+        many times it runs, and can never clobber a neighboring
+        slice. Copy-on-write discipline as everywhere: only files
+        containing a matched row rewrite (keeping their
+        predicate-FALSE/NULL survivors); untouched files carry over
+        by reference."""
+        base = self._snapshot()
+        self._refuse_external_refs(base, "replace_where")
+        self._validate_constraints(df, base["constraints"])
+        pred = F.expr(predicate)
+        stray = df.filter(~pred | pred.isNull()).limit(1).collect()
+        if stray:
+            raise ValueError(
+                "replace_where: incoming rows must all satisfy the "
+                f"predicate {predicate!r} — found a row outside the "
+                f"slice: {stray[0].asDict()}"
+            )
+        if base["version"] < 0 or not base["files"]:
+            return self.append(df)
+        live = self._read_with_dvs(
+            sorted(base["files"]), base["dvs"], keep_lineage=True
+        )
+        hit_rel = sorted(
+            r["__file_rel"]
+            for r in live.filter(pred)
+            .select("__file_rel")
+            .distinct()
+            .collect()
+        )
+        data_cols = [
+            c
+            for c in live.columns
+            if c not in ("__file_rel", "__row_index")
+        ]
+        adds: list[dict] = []
+        if hit_rel:
+            survivors = (
+                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                .filter(~pred | pred.isNull())
+                .select(*data_cols)
+            )
+            s_adds, _ = self._stage(survivors)
+            adds.extend(s_adds)
+        n_adds, schema = self._stage(df)
+        adds.extend(n_adds)
+        commit = {
+            "op": "replace_where",
+            "predicate": predicate,
+            "add": adds,
+            "remove": hit_rel,
+            "schema": schema,
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "replace_where: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
@@ -1629,10 +1854,13 @@ class TxLogTable:
                 for rel in c.get("remove", []):
                     dvs.pop(rel, None)
                 continue
-            if c.get("op") == "delete_dv":
-                # merge-on-read delete: the deleted rows are the data
-                # rows the DV addresses — a semi-join on the row
-                # address reconstructs them exactly
+            if c.get("dv_targets"):
+                # merge-on-read commit (delete_dv, update_mor): the
+                # deleted rows are the data rows the DV addresses — a
+                # semi-join on the row address reconstructs them
+                # exactly. update_mor ALSO adds files (the updated
+                # copies); those fall through to the generic insert
+                # emission below.
                 dv_abs = os.path.join(self.path, c["dv_file"])
                 targets = sorted(c["dv_targets"])
                 gone = [
@@ -1677,7 +1905,8 @@ class TxLogTable:
                     dvs.setdefault(data_rel, []).append(
                         {"file": c["dv_file"], "rows": int(n)}
                     )
-                continue
+                if c.get("op") == "delete_dv":
+                    continue  # pure MoR delete: nothing added
             # a RESTORE's re-added files come back with their restored
             # deletion vectors — the insert side must exclude rows
             # those DVs address, or the feed over-emits vs the state

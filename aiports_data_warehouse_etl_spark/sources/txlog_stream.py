@@ -122,7 +122,8 @@ def _dvs_at(path: str, version: int) -> dict[str, list[str]]:
         c = _read_commit(path, v)
         for rel in c.get("remove", []):
             dvs.pop(rel, None)
-        if c.get("op") == "delete_dv":
+        if c.get("dv_targets"):
+            # any commit may carry a DV (delete_dv, update_mor)
             for data_rel in c["dv_targets"]:
                 dvs.setdefault(data_rel, []).append(c["dv_file"])
         if c.get("op") in ("restore", "clone"):
@@ -206,7 +207,10 @@ class _TxLogCDFReader(DataSourceStreamReader):
                 for rel in c.get("remove", []):
                     dvs.pop(rel, None)
                 continue
-            if op == "delete_dv":
+            if c.get("dv_targets"):
+                # MoR commit (delete_dv, update_mor): the DV-addressed
+                # rows emit as 'delete'; update_mor's added files fall
+                # through to the generic insert planning below
                 self._require(c["dv_file"], v0, v1)
                 for rel in sorted(c["dv_targets"]):
                     self._require(rel, v0, v1)
@@ -214,7 +218,8 @@ class _TxLogCDFReader(DataSourceStreamReader):
                         _CDFPartition("dv_delete", rel, v, [c["dv_file"]])
                     )
                     dvs.setdefault(rel, []).append(c["dv_file"])
-                continue
+                if op == "delete_dv":
+                    continue  # pure MoR delete: nothing added
             # a RESTORE's re-added files come back with their restored
             # DVs: the insert side must exclude those rows (mirrors
             # TxLogTable.changes), and the fold state is REPLACED

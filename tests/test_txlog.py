@@ -2431,3 +2431,240 @@ def test_merge_refuses_dup_keys_and_key_assignment(spark, tbl):
     with pytest.raises(ValueError, match="key column"):
         tbl.merge(o.limit(5), keys=["o_orderkey"],
                   update_set={"o_orderkey": "s.o_orderkey"})
+
+
+# -- UPDATE (copy-on-write and merge-on-read) and replace_where -------
+
+
+def test_update_where_cow_semantics(spark, tbl):
+    """UPDATE rewrites ONLY files containing a predicate-TRUE row;
+    untouched files carry over by reference. Values double where
+    matched, everything else (and every row count) is unchanged, and
+    time travel still reads the pre-update values."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 1000").repartition(2))
+    tbl.append(o.filter("o_orderkey >= 1000").repartition(2))
+    before = set(tbl._snapshot()["files"])
+    v = tbl.update_where(
+        "o_orderkey < 500", {"o_totalprice": "o_totalprice * 2"}
+    )
+    after = set(tbl._snapshot()["files"])
+    assert before & after, "untouched files must carry over by reference"
+    got = tbl.read()
+    assert got.count() == o.count()
+    assert got.schema == o.schema
+    exp = (
+        o.filter("o_orderkey < 500")
+        .agg(F.sum(F.col("o_totalprice") * 2))
+        .collect()[0][0]
+        + o.filter("o_orderkey >= 500")
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    tot = got.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert tot == pytest.approx(exp)
+    old = (
+        tbl.read(version=v - 1).agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+    assert old == pytest.approx(
+        o.agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+
+
+def test_update_where_simultaneous_assignment_and_null_predicate(
+    spark, tbl
+):
+    """SET a = b, b = a swaps (assignments see the PRE-update row),
+    and rows where the predicate evaluates NULL are NOT updated (SQL
+    UPDATE semantics)."""
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 5.0), (3, 30, 50.0)],
+        "a long, b long, v double",
+    )
+    tbl.append(df)
+    # predicate: v > 10 is TRUE for v=50, FALSE for v=5, NULL for v=NULL
+    tbl.update_where("v > 10", {"a": "b", "b": "a"})
+    rows = {r["v"]: (r["a"], r["b"]) for r in tbl.read().collect()}
+    assert rows[50.0] == (30, 3), "swap must read pre-update values"
+    assert rows[5.0] == (2, 20), "predicate-FALSE row untouched"
+    assert rows[None] == (1, 10), "predicate-NULL row untouched"
+
+
+def test_update_where_casts_back_to_column_type(spark, tbl):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    tbl.append(df)
+    tbl.update_where("id = 2", {"id": "id * 2.5"})
+    got = tbl.read()
+    assert dict(got.dtypes)["id"] == "bigint", "schema must not drift"
+    assert {r["id"] for r in got.collect()} == {1, 5}
+
+
+def test_update_where_guards(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.limit(50))
+    with pytest.raises(ValueError, match="unknown column"):
+        tbl.update_where("o_orderkey = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="empty SET"):
+        tbl.update_where("o_orderkey = 1", {})
+    v = tbl.latest_version()
+    assert tbl.update_where("o_orderkey < 0", {"o_custkey": "0"}) == v
+
+
+def test_update_where_respects_check_constraints(spark, tbl):
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    o = _orders(spark)
+    tbl.append(o.limit(50))
+    tbl.add_check("pos_price", "o_totalprice > 0")
+    with pytest.raises(ConstraintViolation, match="pos_price"):
+        tbl.update_where("o_orderkey % 2 = 0", {"o_totalprice": "-1.0"})
+    # refused update left no commit behind
+    assert tbl._read_commit(tbl.latest_version())["op"] == "set_constraint"
+
+
+def test_update_where_mor_is_o_changed_rows(spark, tbl):
+    """MoR UPDATE: one commit = one DV + small files holding ONLY the
+    updated copies; zero data files rewritten; metadata count stays
+    exact; compact later applies the DV physically."""
+    o = _orders(spark)
+    tbl.append(o.repartition(4))
+    n_upd = o.filter("o_orderkey % 7 = 0").count()
+    v = tbl.update_where_mor(
+        "o_orderkey % 7 = 0",
+        {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice + 1"},
+    )
+    c = tbl._read_commit(v)
+    assert c["op"] == "update_mor" and not c.get("remove")
+    assert sum(a["stats"]["rows"] for a in c["add"]) == n_upd
+    got = tbl.read()
+    assert got.count() == o.count()
+    assert tbl.count_rows() == o.count()
+    assert got.filter("o_orderstatus = 'U'").count() == n_upd
+    exp = (
+        o.agg(F.sum("o_totalprice")).collect()[0][0] + n_upd
+    )
+    assert got.agg(F.sum("o_totalprice")).collect()[0][0] == pytest.approx(
+        exp
+    )
+    tbl.compact(target_file_bytes=1 << 30)
+    assert not tbl._snapshot()["dvs"], "compact must apply + drop DVs"
+    assert tbl.read().filter("o_orderstatus = 'U'").count() == n_upd
+    assert tbl.read().count() == o.count()
+
+
+def test_update_mor_change_feed_net_exact(spark, tbl):
+    """The change feed emits a MoR update as delete(old row) +
+    insert(new row), net-exact, and a LATER copy-on-write rewrite of
+    the DV-carrying file does not re-emit the old versions."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    tbl.append(df.coalesce(1))
+    v1 = tbl.update_where_mor("id < 10", {"v": "v + 1000"})
+    ch1 = tbl.changes(v1 - 1, v1)
+    dels = ch1.filter("_change_type = 'delete'")
+    ins = ch1.filter("_change_type = 'insert'")
+    assert dels.count() == 10 and ins.count() == 10
+    assert dels.agg(F.sum("v")).collect()[0][0] == pytest.approx(45.0)
+    assert ins.agg(F.sum("v")).collect()[0][0] == pytest.approx(10045.0)
+    # COW delete now removes the DV-carrying file
+    tbl.delete_where("id >= 95")
+    ch = tbl.changes(-1, tbl.latest_version())
+    net = {
+        r["id"]: r["net"]
+        for r in ch.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .collect()
+    }
+    live = {r.id for r in tbl.read().collect()}
+    assert all(n in (0, 1) for n in net.values()), f"negative fold: {net}"
+    assert {i for i, n in net.items() if n == 1} == live
+
+
+def test_update_mor_streaming_cdf_matches_batch(spark, tbl, tmp_path):
+    """The partition-planning streaming CDF source folds an update_mor
+    commit identically to TxLogTable.changes()."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    tbl.append(df.coalesce(1))
+    tbl.update_where_mor("id % 5 = 0", {"v": "v * -1"})
+    register_txlog_cdf(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("txlog_cdf")
+        .option("path", tbl.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    batch = tbl.changes(-1, tbl.latest_version())
+    assert got.count() == batch.count()
+    g = got.groupBy("_change_type").count().collect()
+    b = batch.groupBy("_change_type").count().collect()
+    assert {(r[0], r[1]) for r in g} == {(r[0], r[1]) for r in b}
+
+
+def test_replace_where_slice_reload(spark, tbl):
+    """replace_where: idempotent predicate-scoped overwrite. The
+    replaced slice takes the new rows, other slices carry over by
+    reference, and re-running the same reload is a fixpoint."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 1000").repartition(2))
+    tbl.append(o.filter("o_orderkey >= 1000").repartition(2))
+    before = set(tbl._snapshot()["files"])
+    slice_new = o.filter("o_orderkey < 500").withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    tbl.replace_where(slice_new, "o_orderkey < 500")
+    after = set(tbl._snapshot()["files"])
+    assert before & after, "untouched files must carry over by reference"
+    got = tbl.read()
+    assert got.count() == o.count()
+    assert (
+        got.filter("o_orderkey < 500 AND o_totalprice <> 1.0").count() == 0
+    )
+    assert got.filter("o_orderkey >= 500").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0] == pytest.approx(
+        o.filter("o_orderkey >= 500").agg(F.sum("o_totalprice")).collect()[
+            0
+        ][0]
+    )
+    # fixpoint
+    tbl.replace_where(slice_new, "o_orderkey < 500")
+    assert tbl.read().count() == o.count()
+    assert (
+        tbl.read().filter("o_orderkey < 500").count()
+        == o.filter("o_orderkey < 500").count()
+    )
+
+
+def test_replace_where_refuses_stray_rows(spark, tbl):
+    o = _orders(spark)
+    tbl.append(o.limit(100))
+    with pytest.raises(ValueError, match="outside the slice"):
+        tbl.replace_where(
+            o.filter("o_orderkey >= 500"), "o_orderkey < 500"
+        )
+    # first write on an empty table degrades to append (still guarded)
+    t2 = TxLogTable(spark, tbl.path + "_e")
+    v = t2.replace_where(o.filter("o_orderkey < 500"), "o_orderkey < 500")
+    assert v == 0
+    assert t2.read().count() == o.filter("o_orderkey < 500").count()
