@@ -91,6 +91,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "tlog_restore", "tlog_shallow_clone",
     # streaming sink/source demos
     "stream_foreachbatch_txlog", "stream_txlog_cdf_source",
+    "stream_txlog_native_sink",
     # incremental materialized-view maintenance
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
@@ -4948,6 +4949,71 @@ def stream_foreachbatch_txlog(spark, sf_dir):
                 "terminate within 300s — refusing to read a partial "
                 "snapshot"
             )
+        out = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "stream_txlog_native_sink",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_txlog_native_sink(spark, sf_dir):
+    """Structured Streaming → ACID sink over the NATIVE Python Data
+    Source write API (sources/txlog_sink.py): each executor task
+    streams its partition's Arrow record batches straight into a
+    staged parquet file (marker-first staging), and the driver's
+    commit() folds every task's add-action into ONE atomic,
+    (app, batchId)-txn-marked log commit — exactly-once with no
+    foreachBatch re-dispatch, the one-pass ingest shape for 100 TB
+    streams. The final snapshot must aggregate exactly like batch SQL
+    over the original events (same contract as
+    stream_foreachbatch_txlog, different write machinery)."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        register_txlog_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_tlog_ns_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_type", "value")
+        src_dir = root + "/in"
+        ev.repartition(4).write.parquet(src_dir)
+        register_txlog_sink(spark)
+        qy = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+            .writeStream.format("txlog")
+            .option("path", root + "/t")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise TimeoutError(
+                "stream_txlog_native_sink: availableNow stream did not "
+                "terminate within 300s — refusing to read a partial "
+                "snapshot"
+            )
+        t = TxLogTable(spark, root + "/t")
         out = (
             t.read()
             .groupBy("event_type")

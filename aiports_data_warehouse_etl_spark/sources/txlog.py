@@ -275,7 +275,12 @@ class TxLogTable:
                     f"{self.SUPPORTED_WRITER} — upgrade the engine, "
                     "not the table"
                 )
-        if commit.get("add") and "blooms" not in commit:
+        # self.spark is None on the native streaming sink's commit
+        # path (Python worker, no JVM handle): skip bloom
+        # auto-maintenance there — a file absent from a bloom index is
+        # conservatively KEPT by read(prune_eq=...), so correctness is
+        # unaffected; the next add_bloom_index/compact back-fills.
+        if commit.get("add") and "blooms" not in commit and self.spark:
             try:
                 bloom_cols = self._snapshot()["bloom_cols"]
             except (OSError, ValueError):

@@ -1,0 +1,219 @@
+"""Native exactly-once streaming SINK for the transaction-log table
+(Spark 4 Python Data Source write API):
+
+    df.writeStream.format("txlog") \\
+      .option("path", "/warehouse/events_t") \\
+      .option("checkpointLocation", ckpt).start()
+
+The foreachBatch sink (``TxLogTable.write_stream``) routes every
+micro-batch through a SECOND Spark action on the driver's batch
+DataFrame. This sink is the one-pass, executor-parallel path: each
+write task streams its partition's Arrow record batches STRAIGHT into
+a staged parquet file (the same marker-first staging protocol as
+``TxLogTable._stage``, so vacuum can never reap an in-flight file),
+and the driver's ``commit()`` folds every task's add-action into ONE
+atomic log commit carrying an (app, batchId) transaction marker.
+
+Exactly-once story, same contract as ``append_batch_txn``:
+- a replayed batch (crash between sink commit and Spark's offset
+  checkpoint) finds its marker already in the log → the re-staged
+  files are reclaimed immediately and the commit is a no-op;
+- a failed batch never commits — ``abort()`` (and vacuum, for a
+  driver that died before abort) reclaims the staged files;
+- CHECK constraints are validated on the STAGED files before the
+  commit lands, so the write-time contract holds on this path too
+  (a violating micro-batch leaves no trace but the reclaimed stage).
+
+At 100 TB this is the shape that matters: N executor tasks write N
+parquet files with zero driver involvement in the data path; the
+driver touches only JSON metadata + one bounded validation scan.
+
+Reference parity: the reference's loads append/overwrite raw CSVs
+with no atomicity (`dags/Load.py:17-23`); this sink is the
+log-structured, exactly-once replacement for its streaming twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+_LOG_DIR = "_txlog"
+_STAGING_DIR = "_staging"
+
+
+@dataclass
+class _TxLogCommitMessage(WriterCommitMessage):
+    """One task's staged output: add-actions + its staging token."""
+
+    adds: list = field(default_factory=list)
+    token: str | None = None
+
+
+class _TxLogStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options["path"]
+        self.app = options.get("txn_app", f"txlog_sink:{self.path}")
+        self.schema_json = schema.json()
+
+    # -- executors: Arrow batches -> one staged parquet file per task --
+
+    def write(self, iterator) -> _TxLogCommitMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aiports_data_warehouse_etl_spark.sources.txlog import (
+            _file_stats,
+        )
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            return _TxLogCommitMessage()  # empty task: nothing staged
+        token = uuid.uuid4().hex
+        # marker BEFORE data — the concurrent-writer protocol vacuum
+        # relies on (see TxLogTable._stage)
+        os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
+        with open(
+            os.path.join(self.path, _STAGING_DIR, token), "w"
+        ) as fh:
+            json.dump({"token": token, "ts": time.time_ns()}, fh)
+        rel_dir = os.path.join("data", token)
+        abs_dir = os.path.join(self.path, rel_dir)
+        os.makedirs(abs_dir)
+        rel = os.path.join(rel_dir, "part-00000.parquet")
+        abs_path = os.path.join(self.path, rel)
+        pq.write_table(pa.Table.from_batches(batches), abs_path)
+        return _TxLogCommitMessage(
+            adds=[{"path": rel, "stats": _file_stats(abs_path)}],
+            token=token,
+        )
+
+    # -- driver: fold task stages into ONE idempotent commit -----------
+
+    def _reclaim(self, messages) -> None:
+        """Delete staged dirs + markers for a no-op/aborted batch."""
+        for m in messages:
+            if m is None or not m.token:
+                continue
+            shutil.rmtree(
+                os.path.join(self.path, "data", m.token),
+                ignore_errors=True,
+            )
+            try:
+                os.remove(os.path.join(self.path, _STAGING_DIR, m.token))
+            except OSError:
+                pass
+
+    def _validate_staged(self, adds: list[dict], constraints: dict) -> None:
+        """CHECK validation WITHOUT a SparkSession: the Python
+        streaming write API runs ``commit()`` in a plain Python worker
+        on the driver host (no JVM handle), so the staged files are
+        validated with an in-process DuckDB scan instead — same ANSI
+        semantics as ``TxLogTable._validate_constraints`` (NULL
+        passes, only FALSE violates), one aggregation pass for all
+        constraints. Constraint SQL must therefore be ANSI-portable;
+        a dialect mismatch raises loudly (fail-shut, never
+        fail-open)."""
+        import duckdb
+
+        from aiports_data_warehouse_etl_spark.sources.txlog import (
+            ConstraintViolation,
+        )
+
+        files = [os.path.join(self.path, a["path"]) for a in adds]
+        exprs = ", ".join(
+            f"sum(CASE WHEN NOT coalesce(({sql}), TRUE) THEN 1 ELSE 0 "
+            f'END) AS "{name}"'
+            for name, sql in sorted(constraints.items())
+        )
+        row = duckdb.connect().execute(
+            f"SELECT {exprs} FROM read_parquet(?)", [files]
+        ).fetchone()
+        bad = {
+            name: int(n or 0)
+            for name, n in zip(sorted(constraints), row)
+            if (n or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{name} ({n} rows violate: {constraints[name]!r})"
+                for name, n in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"write rejected by CHECK constraints: {detail}"
+            )
+
+    def commit(self, messages, batchId: int) -> None:
+        from aiports_data_warehouse_etl_spark.sources.txlog import (
+            TxConflict,
+            TxLogTable,
+        )
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        if not adds:
+            return  # empty micro-batch: nothing to commit or replay
+        # spark=None: every operation on this path (txn scan, snapshot
+        # fold, atomic commit) is pure JSON metadata — no data read
+        t = TxLogTable(None, self.path)
+        if t.txn_seen(self.app, int(batchId)):
+            # replayed batch: the original commit already holds these
+            # rows — reclaim this attempt's stage and no-op
+            self._reclaim(messages)
+            return
+        constraints = t._snapshot()["constraints"]
+        if constraints:
+            try:
+                self._validate_staged(adds, constraints)
+            except Exception:
+                self._reclaim(messages)
+                raise
+        commit = {
+            "op": "append",
+            "add": adds,
+            "schema": self.schema_json,
+            "txn_app": self.app,
+            "txn_id": int(batchId),
+        }
+        for _ in range(20):
+            if t._try_commit(t.latest_version() + 1, commit):
+                return
+            if t.txn_seen(self.app, int(batchId)):
+                self._reclaim(messages)  # a concurrent replay won
+                return
+        self._reclaim(messages)
+        raise TxConflict("txlog sink lost 20 commit races")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._reclaim(messages)
+
+
+class TxLogSinkSource(DataSource):
+    """``df.writeStream.format("txlog").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txlog sink supports append mode only (use "
+                "TxLogTable.overwrite_batch_txn for read-modify-write "
+                "view maintenance)"
+            )
+        return _TxLogStreamWriter(self.options, schema)
+
+
+def register_txlog_sink(spark) -> None:
+    """Idempotent registration of the streaming sink."""
+    spark.dataSource.register(TxLogSinkSource)

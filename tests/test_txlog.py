@@ -2668,3 +2668,116 @@ def test_replace_where_refuses_stray_rows(spark, tbl):
     v = t2.replace_where(o.filter("o_orderkey < 500"), "o_orderkey < 500")
     assert v == 0
     assert t2.read().count() == o.filter("o_orderkey < 500").count()
+
+
+# -- native streaming sink (Python Data Source write API) -------------
+
+
+def _sink_stream(spark, ingest, table, ckpt):
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        register_txlog_sink,
+    )
+
+    register_txlog_sink(spark)
+    src = (
+        spark.readStream.schema("id long, v double").parquet(ingest)
+    )
+    return (
+        src.writeStream.format("txlog")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_txlog_native_sink_exactly_once(spark, tmp_path):
+    """The native Arrow streaming sink lands each micro-batch as ONE
+    atomic txn-marked commit; a restart with no new input replays
+    nothing; a restart with new files appends exactly the delta."""
+    ingest = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    df.filter("id < 60").repartition(3).write.parquet(ingest)
+
+    _sink_stream(spark, ingest, table, ckpt).awaitTermination(120)
+    t = TxLogTable(spark, table)
+    assert t.read().count() == 60
+    assert t.count_rows() == 60  # metadata count agrees
+    c = t._read_commit(t.latest_version())
+    assert c["op"] == "append" and "txn_id" in c
+
+    # restart, no new input: nothing re-lands
+    _sink_stream(spark, ingest, table, ckpt).awaitTermination(120)
+    assert t.read().count() == 60
+
+    # new files arrive: exactly the delta appends
+    df.filter("id >= 60").repartition(2).write.mode("append").parquet(
+        ingest
+    )
+    _sink_stream(spark, ingest, table, ckpt).awaitTermination(120)
+    got = t.read()
+    assert got.count() == 100
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(100))
+    # no staged garbage left behind
+    staging = os.path.join(table, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+def test_txlog_native_sink_replayed_batch_is_noop(spark, tmp_path):
+    """Crash-between-sink-commit-and-offset-checkpoint simulation:
+    wiping the Spark checkpoint forces the SAME input to replay as a
+    new run; the txn marker makes the replay a no-op per batch only
+    if the app id is pinned. With the default app id (derived from
+    the table path) the replay IS suppressed because batch ids
+    restart at 0 and the marker matches."""
+    ingest = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, v double"
+    ).coalesce(1).write.parquet(ingest)
+
+    _sink_stream(spark, ingest, table, ckpt).awaitTermination(120)
+    t = TxLogTable(spark, table)
+    assert t.read().count() == 30
+    v_after = t.latest_version()
+
+    # wipe ONLY the Spark checkpoint: the rerun replays batch 0 with
+    # the same rows; the sink's (app, 0) marker suppresses the commit
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    _sink_stream(spark, ingest, table, str(tmp_path / "ck2")).awaitTermination(120)
+    assert t.read().count() == 30, "replayed batch must be a no-op"
+    assert t.latest_version() == v_after
+    staging = os.path.join(table, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+def test_txlog_native_sink_validates_constraints(spark, tmp_path):
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    ingest = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = TxLogTable(spark, table)
+    t.append(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+    )
+    t.add_check("v_pos", "v > 0")
+    spark.createDataFrame(
+        [(2, -5.0)], "id long, v double"
+    ).coalesce(1).write.parquet(ingest)
+    q = _sink_stream(spark, ingest, table, ckpt)
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "v_pos" in str(ei.value)
+    assert t.read().count() == 1, "violating batch must leave no rows"
+    staging = os.path.join(table, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)

@@ -50,6 +50,10 @@ FAMILIES = [
     "tlog_acid_table", "tlog_clustered_prune", "tlog_delete_dv",
     "tlog_change_feed", "tlog_merge_upsert", "tlog_bloom_prune",
     "tlog_cdc_updates", "tlog_zorder_prune", "tlog_time_travel_asof",
+    # r6: the DML completions — conditional MERGE, UPDATE in both
+    # cost shapes (COW and MoR/deletion-vector), replace_where
+    "tlog_merge_conditional", "tlog_update_where", "tlog_update_mor",
+    "tlog_replace_where",
     "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
