@@ -85,6 +85,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
     "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
+    "tlog_sql_dml",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -5021,6 +5022,74 @@ def stream_txlog_native_sink(spark, sf_dir):
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.round(F.sum("value"), 2).alias("sum_value"),
             )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_sql_dml",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 1
+                  THEN o_totalprice * 2 ELSE o_totalprice
+             END AS o_totalprice
+      FROM orders
+    ),
+    del AS (SELECT * FROM upd WHERE NOT (o_orderkey % 10 = 3)),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             o_totalprice
+      FROM del WHERE o_orderkey % 1000 = 7
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_sql_dml(spark, sf_dir):
+    """The SQL DML frontend (sources/txsql.py) driving the txlog
+    table end-to-end with plain SQL strings: UPDATE (conditional
+    price doubling), DELETE (every key ≡3 mod 10), INSERT INTO ...
+    SELECT (key-shifted copies of a sparse slice), and the final
+    aggregate read back through the same SQL surface. The DuckDB
+    oracle replays the identical statement sequence as a CTE
+    pipeline. Exact integer-cents totals keep the compare
+    order-independent."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+    from aiports_data_warehouse_etl_spark.sources.txsql import TxSql
+
+    root = tempfile.mkdtemp(prefix="tlog_sql_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))
+        tx = TxSql(spark)
+        tx.register("orders_t", t)
+        tx.sql(
+            "UPDATE orders_t SET o_totalprice = o_totalprice * 2 "
+            "WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 1"
+        )
+        tx.sql("DELETE FROM orders_t WHERE o_orderkey % 10 = 3")
+        tx.sql(
+            "INSERT INTO orders_t "
+            "SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, "
+            "o_totalprice FROM orders_t WHERE o_orderkey % 1000 = 7"
+        )
+        out = tx.sql(
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS "
+            "total_cents FROM orders_t GROUP BY o_orderstatus"
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -2781,3 +2781,111 @@ def test_txlog_native_sink_validates_constraints(spark, tmp_path):
     assert t.read().count() == 1, "violating batch must leave no rows"
     staging = os.path.join(table, "_staging")
     assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+# -- SQL DML frontend (sources/txsql.py) --------------------------------
+
+
+@pytest.fixture()
+def txsql(spark, tbl):
+    from aiports_data_warehouse_etl_spark.sources.txsql import TxSql
+
+    df = spark.createDataFrame(
+        [(i, float(i), "A" if i % 2 == 0 else "B") for i in range(100)],
+        "id long, v double, g string",
+    )
+    tbl.append(df)
+    tx = TxSql(spark)
+    tx.register("t", tbl)
+    return tx
+
+
+def test_txsql_update_delete_select(spark, txsql, tbl):
+    v = txsql.sql("UPDATE t SET v = v + 1000 WHERE id < 10")
+    assert v == 1
+    txsql.sql("DELETE FROM t WHERE id >= 90;")
+    got = txsql.sql("SELECT count(*) AS n, sum(v) AS s FROM t").collect()[0]
+    assert got["n"] == 90
+    assert got["s"] == pytest.approx(sum(range(90)) + 10 * 1000)
+    # time travel through the SQL surface
+    old = txsql.sql(
+        "SELECT count(*) AS n FROM t FOR VERSION AS OF 0"
+    ).collect()[0]
+    assert old["n"] == 100
+
+
+def test_txsql_update_simultaneous_and_quoted_commas(spark, txsql, tbl):
+    """SET list splitting respects parens and string literals; the
+    swap semantics come from update_where underneath."""
+    txsql.sql(
+        "UPDATE t SET v = id + 0.0, g = concat(g, ',x') "
+        "WHERE id IN (1, 2)"
+    )
+    rows = {
+        r["id"]: (r["v"], r["g"])
+        for r in tbl.read().filter("id <= 2").collect()
+    }
+    assert rows[1] == (1.0, "B,x") and rows[2] == (2.0, "A,x")
+    assert rows[0][1] in ("A", "B")  # untouched
+
+
+def test_txsql_insert_values_and_select(spark, txsql, tbl):
+    txsql.sql("INSERT INTO t VALUES (1000, 1.5, 'Z'), (1001, 2.5, 'Z')")
+    assert tbl.read().filter("g = 'Z'").count() == 2
+    # INSERT INTO ... SELECT re-reading the same table through SQL
+    txsql.sql(
+        "INSERT INTO t SELECT id + 2000 AS id, v, 'Y' AS g FROM t "
+        "WHERE g = 'Z'"
+    )
+    assert tbl.read().filter("g = 'Y'").count() == 2
+    got = {
+        r["id"] for r in tbl.read().filter("g = 'Y'").collect()
+    }
+    assert got == {3000, 3001}
+
+
+def test_txsql_merge_full_statement(spark, txsql, tbl):
+    spark.createDataFrame(
+        [(5, 500.0, "A"), (6, 600.0, "A"), (999, 9.0, "N")],
+        "id long, v double, g string",
+    ).createOrReplaceTempView("updates")
+    txsql.sql(
+        "MERGE INTO t AS t USING updates AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.id = 6 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[5] == 500.0, "matched row updates"
+    assert 6 not in got, "delete clause fires first"
+    assert got[999] == 9.0, "not-matched row inserts"
+    assert len(got) == 100  # 100 - 1 delete + 1 insert
+
+
+def test_txsql_merge_subquery_source_and_conditions(spark, txsql, tbl):
+    txsql.sql(
+        "MERGE INTO t USING "
+        "(SELECT id, v * 10 AS v, g FROM t WHERE id < 4) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND t.id % 2 = 1 THEN UPDATE SET v = s.v"
+    )
+    got = {r["id"]: r["v"] for r in tbl.read().filter("id < 4").collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 2.0, 3: 30.0}
+
+
+def test_txsql_loud_refusals(spark, txsql):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        txsql.sql("DROP TABLE t")
+    with pytest.raises(ValueError, match="unknown table"):
+        txsql.sql("DELETE FROM nope WHERE 1 = 1")
+    with pytest.raises(ValueError, match="expected 'DELETE"):
+        txsql.sql("DELETE FROM t")  # unbounded delete must be explicit
+    with pytest.raises(ValueError, match="conjunction"):
+        txsql.sql(
+            "MERGE INTO t USING t AS s ON t.id > s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="expected 'UPDATE"):
+        txsql.sql("UPDATE t SET WHERE id = 1")
+    with pytest.raises(ValueError, match="cannot parse SET"):
+        txsql.sql("UPDATE t SET v + 1 WHERE id = 1")
