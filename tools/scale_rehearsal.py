@@ -53,7 +53,7 @@ FAMILIES = [
     # r6: the DML completions — conditional MERGE, UPDATE in both
     # cost shapes (COW and MoR/deletion-vector), replace_where
     "tlog_merge_conditional", "tlog_update_where", "tlog_update_mor",
-    "tlog_replace_where",
+    "tlog_replace_where", "stream_txlog_native_sink",
     "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
