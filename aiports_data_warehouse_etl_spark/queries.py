@@ -5086,6 +5086,7 @@ def tlog_sql_dml(spark, sf_dir):
             "SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, "
             "o_totalprice FROM orders_t WHERE o_orderkey % 1000 = 7"
         )
+        tx.sql("OPTIMIZE orders_t")  # pure layout: result unchanged
         out = tx.sql(
             "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
             "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS "

@@ -124,8 +124,9 @@ class TxSql:
     # -- statement router ------------------------------------------------
 
     def sql(self, statement: str):
-        """Execute one statement. DML returns the new commit version
-        (int); SELECT returns a DataFrame."""
+        """Execute one statement. DML/maintenance returns the new
+        commit version (int; VACUUM returns the reclaimed file list);
+        SELECT and DESCRIBE HISTORY return a DataFrame."""
         stmt = statement.strip().rstrip(";").strip()
         head = stmt.split(None, 1)[0].upper() if stmt else ""
         if head == "UPDATE":
@@ -138,6 +139,16 @@ class TxSql:
             return self._merge(stmt)
         if head in ("SELECT", "WITH"):
             return self._select(stmt)
+        if head == "OPTIMIZE":
+            return self._optimize(stmt)
+        if head == "VACUUM":
+            return self._vacuum(stmt)
+        if head == "DESCRIBE":
+            return self._describe(stmt)
+        if head == "CREATE":
+            return self._create(stmt)
+        if head == "RESTORE":
+            return self._restore(stmt)
         raise ValueError(f"TxSql: unsupported statement: {stmt}")
 
     # -- DML ---------------------------------------------------------------
@@ -301,6 +312,95 @@ class TxSql:
             insert=insert,
             insert_condition=insert_cond,
         )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def _optimize(self, stmt: str) -> int:
+        """``OPTIMIZE <table> [ZORDER BY (a, b[, ...])]`` →
+        ``compact()`` / ``compact(zorder_by=...)``."""
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "TxSql: expected 'OPTIMIZE <table> [ZORDER BY "
+                f"(col, ...)]', got: {stmt}"
+            )
+        name, zcols = m.groups()
+        t = self._table(name, stmt)
+        if zcols:
+            cols = tuple(c.strip() for c in zcols.split(","))
+            return t.compact(zorder_by=cols)
+        return t.compact()
+
+    def _vacuum(self, stmt: str) -> list[str]:
+        """``VACUUM <table> [RETAIN <n> VERSIONS]`` → ``vacuum()``."""
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})"
+            rf"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "TxSql: expected 'VACUUM <table> [RETAIN <n> "
+                f"VERSIONS]', got: {stmt}"
+            )
+        name, retain = m.groups()
+        return self._table(name, stmt).vacuum(
+            retain_versions=int(retain or 0)
+        )
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DESCRIBE\s+HISTORY\s+({_IDENT})$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(
+                f"TxSql: expected 'DESCRIBE HISTORY <table>', got: {stmt}"
+            )
+        return self._table(m.group(1), stmt).describe_history()
+
+    def _restore(self, stmt: str) -> int:
+        m = re.match(
+            rf"RESTORE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "TxSql: expected 'RESTORE <table> TO VERSION AS OF "
+                f"<n>', got: {stmt}"
+            )
+        name, version = m.groups()
+        return self._table(name, stmt).restore(int(version))
+
+    def _create(self, stmt: str) -> int:
+        """``CREATE TABLE <name> PATH '<dir>' AS <select>`` — creates
+        and registers a new txlog table seeded by the query result."""
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+PATH\s+'([^']+)'\s+AS\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "TxSql: expected \"CREATE TABLE <name> PATH '<dir>' AS "
+                f'<select>", got: {stmt}'
+            )
+        name, path, select = m.groups()
+        if name in self.tables:
+            raise ValueError(
+                f"TxSql: table {name!r} is already registered"
+            )
+        df = self._run_select(select.strip())
+        t = TxLogTable(self.spark, path)
+        v = t.append(df)
+        self.tables[name] = t
+        return v
 
     # -- SELECT --------------------------------------------------------------
 

@@ -2889,3 +2889,35 @@ def test_txsql_loud_refusals(spark, txsql):
         txsql.sql("UPDATE t SET WHERE id = 1")
     with pytest.raises(ValueError, match="cannot parse SET"):
         txsql.sql("UPDATE t SET v + 1 WHERE id = 1")
+
+
+def test_txsql_maintenance_statements(spark, txsql, tbl, tmp_path):
+    """OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE / CREATE TABLE
+    AS SELECT route to the table-format maintenance surface."""
+    # fragment the table, then OPTIMIZE bin-packs it
+    txsql.sql("UPDATE t SET v = v + 1 WHERE id % 2 = 0")
+    n_files_before = len(tbl._snapshot()["files"])
+    txsql.sql("OPTIMIZE t")
+    assert len(tbl._snapshot()["files"]) <= n_files_before
+    total = tbl.read().count()
+    assert total == 100
+    # DESCRIBE HISTORY is a DataFrame over the commit log
+    h = txsql.sql("DESCRIBE HISTORY t")
+    assert h.filter("op = 'compact'").count() == 1
+    # RESTORE rolls back to the pre-update snapshot
+    txsql.sql("RESTORE t TO VERSION AS OF 0")
+    assert tbl.read().agg(F.sum("v")).collect()[0][0] == pytest.approx(
+        sum(range(100))
+    )
+    # CREATE TABLE AS SELECT seeds + registers a new table
+    txsql.sql(
+        f"CREATE TABLE t2 PATH '{tmp_path / 'u'}' AS "
+        "SELECT id, v FROM t WHERE id < 10"
+    )
+    assert txsql.sql("SELECT count(*) AS n FROM t2").collect()[0]["n"] == 10
+    # VACUUM runs (the 600 s safety grace window keeps just-written
+    # files, so the reclaim list is empty here — the grace behavior
+    # itself is pinned by test_vacuum_*)
+    gone = txsql.sql("VACUUM t")
+    assert isinstance(gone, list)
+    assert tbl.read().count() == 100
