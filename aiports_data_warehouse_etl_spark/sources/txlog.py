@@ -360,6 +360,55 @@ class TxLogTable:
 
     # -- staging --------------------------------------------------------
 
+    def _commit_or_rebase(
+        self, base_version: int, commit: dict, op: str
+    ) -> int:
+        """Optimistic conflict resolution — the WRITE-SERIALIZABLE
+        rebase (Delta's conflict matrix: Update/Delete/Merge/Compact
+        vs blind Insert → no conflict). The op computed its file-level
+        read/write sets against ``base_version``; when the version it
+        targets is already taken, every intervening commit is
+        inspected: a BLIND APPEND (pure add — no remove, no deletion
+        vector, no policy/protocol change) touches none of the files
+        this op read, removed, or DV-addressed, so the op's sets are
+        still valid on the newer snapshot and the commit simply
+        REBASES onto it. Anything else — a concurrent rewrite, DV,
+        constraint, restore, protocol bump — raises ``TxConflict`` for
+        the caller's retry-from-read.
+
+        Semantics note (the standard lakehouse default): a rebased
+        DELETE/UPDATE does not see rows a concurrent append inserted
+        after its snapshot — they survive untouched even where they
+        match the predicate. The commit records ``rebased_onto`` so
+        the audit log shows which snapshot it actually landed on, and
+        drops its own ``schema`` when an intervening append evolved
+        the table's (the newer write wins — a rebase must never
+        silently narrow an additive evolution)."""
+        v = base_version + 1
+        while True:
+            if self._try_commit(v, commit):
+                return v
+            latest = self.latest_version()
+            iv_schema = False
+            for i in range(v, latest + 1):
+                c = self._read_commit(i)
+                if (
+                    c.get("op") != "append"
+                    or c.get("remove")
+                    or c.get("dv_targets")
+                ):
+                    raise TxConflict(
+                        f"{op}: conflicting concurrent commit {i} "
+                        f"(op={c.get('op')!r}) — only blind appends "
+                        "rebase; retry from a fresh snapshot"
+                    )
+                if c.get("schema"):
+                    iv_schema = True
+            if iv_schema:
+                commit.pop("schema", None)
+            commit["rebased_onto"] = latest
+            v = latest + 1
+
     def _marker_path(self, token: str) -> str:
         return os.path.join(self.path, _STAGING_DIR, token)
 
@@ -744,11 +793,7 @@ class TxLogTable:
             "dv_targets": {k: int(v) for k, v in sorted(per_file.items())},
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict(
-                "delete_where_dv: table advanced past base snapshot"
-            )
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "delete_where_dv")
 
     def delete_where(self, predicate: str) -> int:
         """Copy-on-write delete: ONLY files that actually contain a
@@ -793,9 +838,7 @@ class TxLogTable:
             "remove": hit_rel,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict("delete_where: table advanced past base snapshot")
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "delete_where")
 
     def _require_unique_keys(
         self, src: DataFrame, keys: list[str], op: str
@@ -882,9 +925,7 @@ class TxLogTable:
             "schema": schema,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict("merge_upsert: table advanced past base snapshot")
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "merge_upsert")
 
     def merge(
         self,
@@ -1041,9 +1082,7 @@ class TxLogTable:
             "schema": base["schema"],
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict("merge: table advanced past base snapshot")
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "merge")
 
     def _check_set_exprs(
         self, set_exprs: dict[str, str], data_cols: list[str], op: str
@@ -1130,11 +1169,7 @@ class TxLogTable:
             "remove": hit_rel,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict(
-                "update_where: table advanced past base snapshot"
-            )
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "update_where")
 
     def update_where_mor(
         self, predicate: str, set_exprs: dict[str, str]
@@ -1196,11 +1231,7 @@ class TxLogTable:
             "add": adds,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict(
-                "update_where_mor: table advanced past base snapshot"
-            )
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "update_where_mor")
 
     def replace_where(self, df: DataFrame, predicate: str) -> int:
         """Atomic predicate-scoped overwrite (Delta's ``replaceWhere``
@@ -1262,11 +1293,7 @@ class TxLogTable:
             "schema": schema,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict(
-                "replace_where: table advanced past base snapshot"
-            )
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "replace_where")
 
     def compact(
         self,
@@ -1336,9 +1363,7 @@ class TxLogTable:
             "remove": small,
             "base_version": base["version"],
         }
-        if not self._try_commit(base["version"] + 1, commit):
-            raise TxConflict("compact: table advanced past base snapshot")
-        return base["version"] + 1
+        return self._commit_or_rebase(base["version"], commit, "compact")
 
     # -- read path ------------------------------------------------------
 

@@ -2921,3 +2921,88 @@ def test_txsql_maintenance_statements(spark, txsql, tbl, tmp_path):
     gone = txsql.sql("VACUUM t")
     assert isinstance(gone, list)
     assert tbl.read().count() == 100
+
+
+# -- optimistic conflict resolution (write-serializable rebase) --------
+
+
+def test_write_serializable_rebase_and_conflict(spark, tbl):
+    """Delta conflict matrix: an UPDATE computed on an older snapshot
+    lands over a concurrent blind append by REBASING (file sets are
+    disjoint); the concurrently appended rows survive untouched even
+    where they match the predicate (write-serializable, not
+    serializable); a concurrent REWRITE still raises TxConflict."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    )
+    tbl.append(df)  # v0
+    other = TxLogTable(spark, tbl.path)
+    late = spark.createDataFrame(
+        [(1, -1.0), (100, -1.0)], "id long, v double"
+    )
+    orig = tbl._try_commit
+    injected = []
+
+    def racy(version, commit):
+        if not injected and commit.get("op") == "update":
+            injected.append(1)
+            assert other.append(late) == version  # steals the slot
+        return orig(version, commit)
+
+    tbl._try_commit = racy
+    v = tbl.update_where("id < 5", {"v": "v + 1000"})
+    assert injected and v == 2
+    assert tbl._read_commit(v).get("rebased_onto") == 1
+    got = {(r["id"], r["v"]) for r in tbl.read().collect()}
+    assert (1, 1001.0) in got, "snapshot row updated"
+    assert (1, -1.0) in got, "concurrent insert untouched by rebase"
+    assert (100, -1.0) in got
+    assert tbl.read().count() == 42
+
+    # concurrent rewrite: refuse loudly, never rebase
+    def racy2(version, commit):
+        if len(injected) == 1 and commit.get("op") == "delete":
+            injected.append(2)
+            other.delete_where("id = 7")
+        return orig(version, commit)
+
+    tbl._try_commit = racy2
+    with pytest.raises(TxConflict, match="only blind appends"):
+        tbl.delete_where("id < 5")
+    tbl._try_commit = orig
+    assert tbl.read().filter("id = 7").count() == 0  # other's delete held
+
+
+def test_rebase_preserves_concurrent_schema_evolution(spark, tbl):
+    """A rebased commit must never narrow an additive schema
+    evolution that landed concurrently: the intervening append's
+    wider schema wins, and the rebased MERGE's own (older) schema
+    record is dropped."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    tbl.append(df)
+    other = TxLogTable(spark, tbl.path)
+    wide = spark.createDataFrame(
+        [(100, 1.0, "x")], "id long, v double, extra string"
+    )
+    orig = tbl._try_commit
+    injected = []
+
+    def racy(version, commit):
+        if not injected and commit.get("op") == "merge":
+            injected.append(1)
+            other.append(wide)
+        return orig(version, commit)
+
+    tbl._try_commit = racy
+    src = spark.createDataFrame([(3, 333.0)], "id long, v double")
+    tbl.merge(src, keys=["id"], update_set={"v": "s.v"})
+    tbl._try_commit = orig
+    assert injected
+    snap_schema = tbl._snapshot()["schema"]
+    assert "extra" in snap_schema, "rebase must not narrow the schema"
+    got = tbl.read()
+    assert "extra" in got.columns
+    assert got.filter("id = 3").collect()[0]["v"] == 333.0
+    assert got.filter("id = 100").count() == 1
