@@ -85,7 +85,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
     "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
-    "tlog_sql_dml",
+    "tlog_sql_dml", "tlog_generated_columns",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -5091,6 +5091,77 @@ def tlog_sql_dml(spark, sf_dir):
             "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
             "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS "
             "total_cents FROM orders_t GROUP BY o_orderstatus"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_generated_columns",
+    """
+    WITH updated AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 50
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) -
+                    CAST(round(o_totalprice * 100) AS BIGINT) % 100
+               ) AS BIGINT) AS total_floor_cents
+    FROM updated
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_generated_columns(spark, sf_dir):
+    """GENERATED columns on the txlog table (sources/txlog.py
+    add_generated_column): ``price_floor_cents`` is declared as a
+    function of o_totalprice; appends that OMIT the column get it
+    computed at write time, and an UPDATE of the base column
+    RECOMPUTES it (assigning it directly is refused) — so the
+    invariant column can never go stale. The final aggregate reads
+    the stored generated values; DuckDB recomputes the same
+    expression inline. Exact integer-cents keeps the compare
+    order-independent."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_gen_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.limit(0).withColumn(
+            "price_floor_cents", F.lit(None).cast("long")
+        ))
+        t.add_generated_column(
+            "price_floor_cents",
+            "CAST(round(o_totalprice * 100) AS BIGINT) - "
+            "CAST(round(o_totalprice * 100) AS BIGINT) % 100",
+        )
+        # two appends WITHOUT the generated column: computed at write
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        # UPDATE of the base column recomputes the generated one
+        t.update_where(
+            "o_orderkey % 9 = 2", {"o_totalprice": "o_totalprice + 50"}
+        )
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+                F.sum("price_floor_cents").alias("total_floor_cents"),
+            )
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

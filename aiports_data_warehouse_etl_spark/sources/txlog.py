@@ -166,6 +166,7 @@ class TxLogTable:
                 "constraints": {},
                 "bloom_cols": {},
                 "blooms": {},
+                "generated": {},
                 "protocol": {"min_reader": 1, "min_writer": 1},
             }
         start = 0
@@ -176,6 +177,7 @@ class TxLogTable:
             "constraints": {},
             "bloom_cols": {},
             "blooms": {},
+            "generated": {},
             "protocol": {"min_reader": 1, "min_writer": 1},
         }
         for v in range(head, -1, -1):
@@ -187,6 +189,7 @@ class TxLogTable:
                 state.setdefault("constraints", {})
                 state.setdefault("bloom_cols", {})
                 state.setdefault("blooms", {})
+                state.setdefault("generated", {})
                 state.setdefault(
                     "protocol", {"min_reader": 1, "min_writer": 1}
                 )
@@ -200,6 +203,10 @@ class TxLogTable:
                 state["constraints"][commit["name"]] = commit["check"]
             elif commit.get("op") == "drop_constraint":
                 state["constraints"].pop(commit["name"], None)
+            elif commit.get("op") == "set_generated":
+                state["generated"][commit["name"]] = commit["expr"]
+            elif commit.get("op") == "drop_generated":
+                state["generated"].pop(commit["name"], None)
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
                 # a removed (rewritten/compacted) file takes its
@@ -233,6 +240,7 @@ class TxLogTable:
                 # a clone inherits the source's table policy
                 state["constraints"] = dict(commit.get("constraints", {}))
                 state["bloom_cols"] = dict(commit.get("bloom_cols", {}))
+                state["generated"] = dict(commit.get("generated", {}))
             if commit.get("op") == "bloom_index":
                 state["bloom_cols"][commit["col"]] = {"fpp": commit["fpp"]}
                 state["blooms"].setdefault(commit["col"], {}).update(
@@ -333,6 +341,7 @@ class TxLogTable:
                 "constraints": snap["constraints"],
                 "bloom_cols": snap["bloom_cols"],
                 "blooms": snap["blooms"],
+                "generated": snap["generated"],
                 "protocol": snap["protocol"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
@@ -478,7 +487,9 @@ class TxLogTable:
         quantize wider domains first). Three or more columns use the
         generated per-bit gather (functions/zorder.py morton_n_col)
         with bits-per-column shrunk to fit one 64-bit lane."""
-        self._validate_constraints(df)
+        pol = self._snapshot()
+        df = self._apply_generated(df, pol["generated"], "append")
+        self._validate_constraints(df, pol["constraints"])
         if cluster_by and zorder_by:
             raise ValueError("append: pass cluster_by OR zorder_by")
         if zorder_by:
@@ -583,6 +594,120 @@ class TxLogTable:
             raise TxConflict("drop_check: commit race lost")
         return v
 
+    # -- generated columns ----------------------------------------------
+
+    def add_generated_column(self, name: str, expr_sql: str) -> int:
+        """Declare ``name`` as a GENERATED column: ``name = expr_sql``
+        (a SQL expression over the other columns of the row) holds on
+        every row, forever. Writers that omit the column get it
+        COMPUTED; writers that supply it get it VALIDATED (one
+        conditional-count pass, same discipline as CHECK constraints);
+        UPDATE/MERGE refuse direct assignment and RECOMPUTE the column
+        after applying their SET (so updating a referenced base column
+        can never leave the generated value stale). On a non-empty
+        table the column must already exist and already satisfy the
+        expression (refuse to register a lie — same rule as
+        ``add_check``)."""
+        base = self._snapshot()
+        if base["version"] >= 0 and base["files"]:
+            schema_cols = [
+                f.name
+                for f in T.StructType.fromJson(
+                    json.loads(base["schema"])
+                ).fields
+            ]
+            if name not in schema_cols:
+                raise ValueError(
+                    f"add_generated_column: column {name!r} does not "
+                    "exist on the non-empty table — backfill it first "
+                    "(old files would read NULL and violate generation)"
+                )
+            self._apply_generated(
+                self.read(), {name: expr_sql}, "add_generated_column"
+            )
+        v = base["version"] + 1
+        if not self._try_commit(
+            v, {"op": "set_generated", "name": name, "expr": expr_sql}
+        ):
+            raise TxConflict(
+                "add_generated_column: table advanced past base snapshot"
+            )
+        return v
+
+    def drop_generated_column(self, name: str) -> int:
+        v = self.latest_version() + 1
+        if not self._try_commit(
+            v, {"op": "drop_generated", "name": name}
+        ):
+            raise TxConflict("drop_generated_column: commit race lost")
+        return v
+
+    def _apply_generated(
+        self, df: DataFrame, generated: dict[str, str] | None, op: str
+    ) -> DataFrame:
+        """Compute absent generated columns; validate supplied ones
+        (one conditional-count aggregation for ALL of them — ANSI
+        null-safe equality, so NULL == NULL passes)."""
+        if not generated:
+            return df
+        present = {
+            n: e for n, e in generated.items() if n in df.columns
+        }
+        for n, e in sorted(generated.items()):
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        if not present:
+            return df
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.col(n).eqNullSafe(F.expr(e)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n, e in sorted(present.items())
+            ]
+        ).collect()[0]
+        bad = {
+            n: int(counts[n] or 0)
+            for n in present
+            if (counts[n] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n} ({c} rows where {n} <> {present[n]!r})"
+                for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"{op}: supplied values contradict GENERATED "
+                f"column(s): {detail}"
+            )
+        return df
+
+    def _regen(
+        self, df: DataFrame, generated: dict[str, str] | None
+    ) -> DataFrame:
+        """Recompute every generated column from the (possibly just
+        updated) row — a total function of the row, so untouched rows
+        are unchanged by construction."""
+        for n, e in sorted((generated or {}).items()):
+            if n in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        return df
+
+    def _refuse_generated_assignment(
+        self,
+        set_exprs: dict[str, str] | None,
+        generated: dict[str, str],
+        op: str,
+    ) -> None:
+        bad = sorted(set(set_exprs or {}) & set(generated))
+        if bad:
+            raise ValueError(
+                f"{op}: cannot assign GENERATED column(s) {bad} — "
+                "they recompute from their expression after the update"
+            )
+
     def txn_seen(self, txn_app: str, txn_id: int) -> bool:
         """True when an (app, id) transaction marker is already in the
         log. Backward scan — the newest commits are the likely hits;
@@ -608,7 +733,9 @@ class TxLogTable:
         offsets ensure while the checkpoint is retained."""
         if self.txn_seen(txn_app, txn_id):
             return None
-        self._validate_constraints(df)
+        pol = self._snapshot()
+        df = self._apply_generated(df, pol["generated"], "append_batch_txn")
+        self._validate_constraints(df, pol["constraints"])
         adds, schema = self._stage(df)
         for _ in range(max_retries):
             if self.txn_seen(txn_app, txn_id):
@@ -637,6 +764,9 @@ class TxLogTable:
         if self.txn_seen(txn_app, txn_id):
             return None
         base = self._snapshot()
+        df = self._apply_generated(
+            df, base["generated"], "overwrite_batch_txn"
+        )
         self._validate_constraints(df, base["constraints"])
         adds, schema = self._stage(df)
         commit = {
@@ -684,6 +814,7 @@ class TxLogTable:
         commit — the caller asked for 'the table becomes exactly df',
         which is undefined if the base moved."""
         base = self._snapshot()
+        df = self._apply_generated(df, base["generated"], "overwrite")
         self._validate_constraints(df, base["constraints"])
         adds, schema = self._stage(df)
         commit = {
@@ -878,7 +1009,9 @@ class TxLogTable:
         """
         base = self._snapshot()
         self._refuse_external_refs(base, "merge_upsert")
-        src = source
+        src = self._apply_generated(
+            source, base["generated"], "merge_upsert"
+        )
         self._require_unique_keys(src, keys, "merge_upsert")
         self._validate_constraints(src, base["constraints"])
         if base["version"] < 0 or not base["files"]:
@@ -978,6 +1111,10 @@ class TxLogTable:
             )
         base = self._snapshot()
         self._refuse_external_refs(base, "merge")
+        self._refuse_generated_assignment(
+            update_set, base["generated"], "merge"
+        )
+        source = self._apply_generated(source, base["generated"], "merge")
         self._require_unique_keys(source, keys, "merge")
 
         def _cond(sql: str | None, default: bool) -> Column:
@@ -1046,6 +1183,7 @@ class TxLogTable:
                     for c in data_cols
                 ]
             )
+            survivors = self._regen(survivors, base["generated"])
         inserts = None
         if insert:
             # DV-aware key set over the WHOLE table (not just hit
@@ -1145,6 +1283,9 @@ class TxLogTable:
             c for c in df.columns if c not in ("__file_rel", "__row_index")
         ]
         self._check_set_exprs(set_exprs, data_cols, "update_where")
+        self._refuse_generated_assignment(
+            set_exprs, base["generated"], "update_where"
+        )
         hit_rel = sorted(
             r["__file_rel"]
             for r in df.filter(F.expr(predicate))
@@ -1159,6 +1300,7 @@ class TxLogTable:
         rewritten = self._read_with_dvs(
             hit_rel, base["dvs"], keep_lineage=True
         ).select(*self._apply_set(set_exprs, data_cols, tgt_types, fires))
+        rewritten = self._regen(rewritten, base["generated"])
         self._validate_constraints(rewritten, base["constraints"])
         adds, _ = self._stage(rewritten)
         commit = {
@@ -1201,6 +1343,9 @@ class TxLogTable:
             if c not in ("__file_rel", "__row_index")
         ]
         self._check_set_exprs(set_exprs, data_cols, "update_where_mor")
+        self._refuse_generated_assignment(
+            set_exprs, base["generated"], "update_where_mor"
+        )
         hits = live.filter(F.expr(predicate))
         per_file = {
             r["__file_rel"]: r["n"]
@@ -1211,8 +1356,13 @@ class TxLogTable:
         if not per_file:
             return base["version"]
         tgt_types = dict(live.dtypes)
-        updated = hits.select(
-            *self._apply_set(set_exprs, data_cols, tgt_types, F.lit(True))
+        updated = self._regen(
+            hits.select(
+                *self._apply_set(
+                    set_exprs, data_cols, tgt_types, F.lit(True)
+                )
+            ),
+            base["generated"],
         )
         self._validate_constraints(updated, base["constraints"])
         dv_adds, _ = self._stage(
@@ -1248,6 +1398,7 @@ class TxLogTable:
         by reference."""
         base = self._snapshot()
         self._refuse_external_refs(base, "replace_where")
+        df = self._apply_generated(df, base["generated"], "replace_where")
         self._validate_constraints(df, base["constraints"])
         pred = F.expr(predicate)
         stray = df.filter(~pred | pred.isNull()).limit(1).collect()
@@ -1507,6 +1658,7 @@ class TxLogTable:
             },
             "constraints": dict(snap["constraints"]),
             "bloom_cols": dict(snap["bloom_cols"]),
+            "generated": dict(snap["generated"]),
             "blooms": {
                 col: {_abs(rel): f for rel, f in filt.items()}
                 for col, filt in snap["blooms"].items()

@@ -14,6 +14,14 @@ a staged parquet file (the same marker-first staging protocol as
 and the driver's ``commit()`` folds every task's add-action into ONE
 atomic log commit carrying an (app, batchId) transaction marker.
 
+Identity contract (the Delta ``txnAppId`` rule): the idempotence key
+is ``(txn_app, batchId)`` and batch ids restart at 0 per checkpoint —
+so EACH INDEPENDENT QUERY writing the same table must set its own
+``.option("txn_app", ...)``; the default (derived from the table
+path) is only safe for a single logical stream per table. A second
+query left on the default would have its batch 0 silently swallowed
+by the first query's marker.
+
 Exactly-once story, same contract as ``append_batch_txn``:
 - a replayed batch (crash between sink commit and Spark's offset
   checkpoint) finds its marker already in the log → the re-staged
@@ -170,10 +178,19 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             # rows — reclaim this attempt's stage and no-op
             self._reclaim(messages)
             return
-        constraints = t._snapshot()["constraints"]
-        if constraints:
+        snap = t._snapshot()
+        checks = dict(snap["constraints"])
+        for name, expr in snap.get("generated", {}).items():
+            # generated columns validate as equality CHECKs here; the
+            # sink cannot COMPUTE them post-staging (files are
+            # immutable), so a stream that omits the column is refused
+            # by the scan erroring on the missing name — fail-shut
+            checks[f"__generated_{name}"] = (
+                f"{name} IS NOT DISTINCT FROM ({expr})"
+            )
+        if checks:
             try:
-                self._validate_staged(adds, constraints)
+                self._validate_staged(adds, checks)
             except Exception:
                 self._reclaim(messages)
                 raise

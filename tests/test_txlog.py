@@ -3006,3 +3006,139 @@ def test_rebase_preserves_concurrent_schema_evolution(spark, tbl):
     assert "extra" in got.columns
     assert got.filter("id = 3").collect()[0]["v"] == 333.0
     assert got.filter("id = 100").count() == 1
+
+
+# -- generated columns --------------------------------------------------
+
+
+def test_generated_column_compute_validate_and_update(spark, tbl):
+    """Writers that omit a generated column get it computed; writers
+    that supply it get it validated; UPDATE refuses direct assignment
+    and recomputes after SET, so the generated value can never go
+    stale."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10.0, 20.0)], "id long, v double, v2 double"
+        )
+    )
+    tbl.add_generated_column("v2", "v * 2")
+    # absent -> computed
+    tbl.append(spark.createDataFrame([(2, 5.0)], "id long, v double"))
+    got = {r["id"]: r["v2"] for r in tbl.read().collect()}
+    assert got == {1: 20.0, 2: 10.0}
+    # supplied-but-wrong -> rejected
+    with pytest.raises(ConstraintViolation, match="GENERATED"):
+        tbl.append(
+            spark.createDataFrame(
+                [(3, 1.0, 999.0)], "id long, v double, v2 double"
+            )
+        )
+    # supplied-and-right -> accepted
+    tbl.append(
+        spark.createDataFrame(
+            [(4, 3.0, 6.0)], "id long, v double, v2 double"
+        )
+    )
+    # UPDATE of the base column recomputes the generated one
+    with pytest.raises(ValueError, match="GENERATED"):
+        tbl.update_where("id = 2", {"v2": "0.0"})
+    tbl.update_where("id = 2", {"v": "v + 100"})
+    row = tbl.read().filter("id = 2").collect()[0]
+    assert row["v"] == 105.0 and row["v2"] == 210.0
+    # MoR UPDATE path recomputes too
+    tbl.update_where_mor("id = 4", {"v": "v * 10"})
+    row = tbl.read().filter("id = 4").collect()[0]
+    assert row["v"] == 30.0 and row["v2"] == 60.0
+
+
+def test_generated_column_merge_and_registration_rules(spark, tbl):
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10.0, 20.0), (2, 1.0, 2.0)],
+            "id long, v double, v2 double",
+        )
+    )
+    # registering a lie is refused; registering truth is accepted
+    with pytest.raises(ConstraintViolation):
+        tbl.add_generated_column("v2", "v * 3")
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.add_generated_column("nope", "v * 2")
+    tbl.add_generated_column("v2", "v * 2")
+    # MERGE: source omits v2 -> computed for inserts; update SET of a
+    # generated column refused; update of v recomputes v2
+    with pytest.raises(ValueError, match="GENERATED"):
+        tbl.merge(
+            spark.createDataFrame([(1, 0.0)], "id long, v double"),
+            keys=["id"],
+            update_set={"v2": "s.v"},
+        )
+    tbl.merge(
+        spark.createDataFrame(
+            [(1, 50.0), (9, 9.0)], "id long, v double"
+        ),
+        keys=["id"],
+        update_set={"v": "s.v"},
+    )
+    got = {r["id"]: (r["v"], r["v2"]) for r in tbl.read().collect()}
+    assert got[1] == (50.0, 100.0), "merge update recomputes"
+    assert got[9] == (9.0, 18.0), "merge insert computes"
+    assert got[2] == (1.0, 2.0)
+    # survives checkpointed replay (checkpoint_every=4 in the fixture)
+    t2 = TxLogTable(spark, tbl.path)
+    assert t2._snapshot()["generated"] == {"v2": "v * 2"}
+    tbl.drop_generated_column("v2")
+    assert tbl._snapshot()["generated"] == {}
+
+
+def test_generated_column_native_sink_validates(spark, tmp_path):
+    table = str(tmp_path / "t")
+    t = TxLogTable(spark, table)
+    t.append(
+        spark.createDataFrame([(1, 2.0, 4.0)], "id long, v double, v2 double")
+    )
+    t.add_generated_column("v2", "v * 2")
+    ok_dir = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [(2, 3.0, 6.0)], "id long, v double, v2 double"
+    ).coalesce(1).write.parquet(ok_dir)
+    q = _sink_stream_wide(spark, ok_dir, table, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert t.read().count() == 2
+    bad_dir = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(3, 3.0, 999.0)], "id long, v double, v2 double"
+    ).coalesce(1).write.parquet(bad_dir)
+    q = _sink_stream_wide(spark, bad_dir, table, str(tmp_path / "ck2"))
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "__generated_v2" in str(ei.value)
+    assert t.read().count() == 2
+
+
+def _sink_stream_wide(spark, ingest, table, ckpt):
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        register_txlog_sink,
+    )
+
+    register_txlog_sink(spark)
+    return (
+        spark.readStream.schema("id long, v double, v2 double")
+        .parquet(ingest)
+        .writeStream.format("txlog")
+        .option("path", table)
+        # each independent query needs its own txn app id — batch ids
+        # restart at 0 per checkpoint, and the marker dedup would
+        # otherwise swallow a DIFFERENT query's batch 0
+        .option("txn_app", f"test:{ckpt}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
