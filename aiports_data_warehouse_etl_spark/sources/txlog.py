@@ -808,6 +808,38 @@ class TxLogTable:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def write_stream_upsert(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        keys: list[str],
+        available_now: bool = True,
+    ):
+        """Streaming UPSERT sink: each micro-batch MERGEs into the
+        table by key (``merge_upsert`` — matched rows replaced,
+        unmatched inserted). Needs NO transaction marker for
+        exactly-once EFFECTS: upsert is idempotent by definition — a
+        replayed batch re-merges the same rows to the same result
+        (the contract is the usual one: a replayed batch id carries
+        the same rows, which Structured Streaming's checkpointed
+        offsets guarantee). Batches must be key-unique
+        (``merge_upsert`` enforces loudly); pre-aggregate in the
+        stream if the source can repeat keys within one batch. This
+        is the streaming view-maintenance shape: a changelog stream
+        folds into its current-state table."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.take(1):
+                self.merge_upsert(batch_df, keys)
+
+        writer = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents in one commit (remove every live
         file + add the staged ones). Conflicts with any concurrent

@@ -408,6 +408,10 @@ class TxSql:
         rf"\b({_IDENT})\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)",
         re.IGNORECASE,
     )
+    _CHANGES_RE = re.compile(
+        rf"\bCHANGES\s*\(\s*({_IDENT})\s*,\s*(-?\d+)\s*,\s*(\d+)\s*\)",
+        re.IGNORECASE,
+    )
 
     def _run_select(self, sql: str) -> DataFrame:
         """Register each txlog table's snapshot as a temp view (time
@@ -415,6 +419,16 @@ class TxSql:
         suffixes rewritten to versioned views), then delegate to
         spark.sql — the expression dialect is exactly Spark's."""
         rewritten = sql
+        # CHANGES(t, v0, v1): the change feed as a table-valued source
+        for m in list(self._CHANGES_RE.finditer(rewritten)):
+            name, v0, v1 = m.group(1), int(m.group(2)), int(m.group(3))
+            if name not in self.tables:
+                continue
+            view = f"__txsql_{name}_changes_{v0}_{v1}".replace("-", "m")
+            self.tables[name].changes(v0, v1).createOrReplaceTempView(
+                view
+            )
+            rewritten = rewritten.replace(m.group(0), view)
         for m in list(self._ASOF_RE.finditer(sql)):
             name, kind, value = m.group(1), m.group(2).upper(), m.group(3)
             if name not in self.tables:

@@ -3142,3 +3142,41 @@ def _sink_stream_wide(spark, ingest, table, ckpt):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def test_txsql_changes_table_valued(spark, txsql, tbl):
+    """CHANGES(t, v0, v1) in a SELECT exposes the change feed as a
+    table-valued source through the SQL surface."""
+    txsql.sql("UPDATE t SET v = v + 1000 WHERE id < 3")
+    out = txsql.sql(
+        "SELECT _change_type, count(*) AS n FROM CHANGES(t, 0, 1) "
+        "WHERE id < 3 GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    got = {r["_change_type"]: r["n"] for r in out}
+    assert got == {"delete": 3, "insert": 3}
+
+
+def test_write_stream_upsert_folds_changelog(spark, tbl, tmp_path):
+    """A changelog stream upserts into its current-state table; a
+    restart with no new input replays nothing (upsert idempotence)."""
+    tbl.append(
+        spark.createDataFrame(
+            [(i, 0.0) for i in range(10)], "id long, v double"
+        )
+    )
+    ingest = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(3, 33.0), (4, 44.0), (100, 1.0)], "id long, v double"
+    ).coalesce(1).write.parquet(ingest)
+    src = spark.readStream.schema("id long, v double").parquet(ingest)
+    tbl.write_stream_upsert(src, ckpt, keys=["id"]).awaitTermination(120)
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[3] == 33.0 and got[4] == 44.0 and got[100] == 1.0
+    assert len(got) == 11
+    # restart, no new files: nothing re-merges
+    v = tbl.latest_version()
+    src2 = spark.readStream.schema("id long, v double").parquet(ingest)
+    tbl.write_stream_upsert(src2, ckpt, keys=["id"]).awaitTermination(120)
+    assert tbl.latest_version() == v
+    assert tbl.read().count() == 11
