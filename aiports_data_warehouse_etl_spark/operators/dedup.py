@@ -769,6 +769,46 @@ def minhash_dedup_cc(
     return df.join(losers, id_col, "left_anti")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    train_per_mille: int = 900,
+    **kw,
+) -> DataFrame:
+    """Cluster-aware train/eval split: every member of a near-dup
+    CONNECTED COMPONENT lands in the SAME split, so the eval set can
+    never contain a near-duplicate of a training document — the
+    train/test leakage that silently inflates benchmark scores when
+    splits are drawn per-document. Assignment is a deterministic
+    16-bit md5 bucket of the CLUSTER's canonical id (min doc_id
+    reachable in the near-dup graph; singleton docs are their own
+    cluster): the same rows land in the same split on every run,
+    engine, partitioning, and task retry — no RNG. ``train_per_mille``
+    is the expected train share in 1/1000ths (900 = 90%); the split
+    is exact in expectation over clusters, not a forced quota (a
+    quota would need a global sort — this is one map-side hash after
+    the CC labels land)."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = F.conv(
+        F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    cut = int(train_per_mille * 65536 // 1000)
+    return (
+        df.join(comp, id_col, "left")
+        .select(
+            *df.columns,
+            cluster.alias("cluster_id"),
+            F.when(bucket < cut, "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train-set vs eval-set shingle overlap)
 # ---------------------------------------------------------------------------

@@ -3233,6 +3233,81 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @q(
+    "split_leakage_safe",
+    r"""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)), i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh FROM t),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh WHERE len(sh) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|')) AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sh a ON p.id_a = a.doc_id
+      JOIN sh b ON p.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS comp FROM edges
+      UNION
+      SELECT e.src AS id, r.comp
+      FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    assign AS (
+      SELECT d.doc_id,
+             coalesce(l.component, d.doc_id) AS cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(
+                      coalesce(l.component, d.doc_id) AS VARCHAR)), 1, 4)
+                      AS INTEGER) < 58982
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM assign GROUP BY split
+    """,
+)  # same recursive-CTE closure of the md5-minhash graph as dedup_connected_components
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/eval split (operators/dedup.py
+    leakage_safe_split): every member of a near-dup connected
+    component lands in the SAME split, so eval can never hold a
+    near-duplicate of a training doc — the per-document random split
+    failure mode that inflates benchmark scores. Assignment is a
+    deterministic 16-bit md5 bucket of the cluster's canonical id (no
+    RNG — stable across engines/retries/partitioning); DuckDB closes
+    the same minhash pair graph with a recursive CTE and applies the
+    identical bucket rule. The no-cluster-spans-splits invariant is
+    pinned by tests/test_dedup_similarity.py."""
+    out = D.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+
+
+@q(
     "dedup_cc_keep_best",
     rf"""
     WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
