@@ -54,6 +54,7 @@ FAMILIES = [
     # cost shapes (COW and MoR/deletion-vector), replace_where
     "tlog_merge_conditional", "tlog_update_where", "tlog_update_mor",
     "tlog_replace_where", "stream_txlog_native_sink",
+    "tlog_sql_dml", "tlog_generated_columns", "split_leakage_safe",
     "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
