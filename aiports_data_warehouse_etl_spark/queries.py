@@ -85,7 +85,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
     "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
-    "tlog_sql_dml", "tlog_generated_columns",
+    "tlog_sql_dml", "tlog_generated_columns", "tlog_rename_column",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -5236,6 +5236,63 @@ def tlog_generated_columns(spark, sf_dir):
                 F.count(F.lit(1)).cast("long").alias("n_orders"),
                 F.sum(cents).alias("total_cents"),
                 F.sum("price_floor_cents").alias("total_floor_cents"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_rename_column",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round((CASE WHEN o_orderkey % 6 = 1
+                                     THEN o_totalprice * 2
+                                     ELSE o_totalprice END) * 100)
+                         AS BIGINT)) AS BIGINT) AS amount_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_rename_column(spark, sf_dir):
+    """Metadata-only RENAME COLUMN (sources/txlog.py rename_column —
+    the Delta column-mapping shape): o_totalprice renames to `amount`
+    with ZERO file rewrites; files written before and after the
+    rename resolve through per-file rename epochs into one logical
+    view, an UPDATE through the NEW name reaches pre-rename files,
+    and the final aggregate groups both epochs together. DuckDB
+    replays the value semantics over the raw parquet (a rename
+    changes no values, so only the output alias differs)."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_ren_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.rename_column("o_totalprice", "amount")
+        # post-rename append carries the new physical name
+        t.append(
+            o.filter("o_orderkey % 2 = 1")
+            .withColumnRenamed("o_totalprice", "amount")
+            .repartition(2)
+        )
+        # UPDATE through the new name hits BOTH epochs' files
+        t.update_where("o_orderkey % 6 = 1", {"amount": "amount * 2"})
+        cents = F.round(F.col("amount") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("amount_cents"),
             )
         )
         rows = out.collect()

@@ -35,6 +35,7 @@ log-commit primitive — the log format is transport-agnostic.
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 import uuid
@@ -113,6 +114,17 @@ def _file_stats(abs_path: str) -> dict:
             "min": mins, "max": maxs}
 
 
+def _physical_name(col: str, epoch: int, renames: list) -> str:
+    """Physical column name inside a data file written at rename-epoch
+    ``epoch`` for the LOGICAL name ``col`` (renames[epoch:] had not yet
+    happened when the file was written — walk them backwards)."""
+    cur = col
+    for old, new in reversed(renames[epoch:]):
+        if cur == new:
+            cur = old
+    return cur
+
+
 class TxLogTable:
     """One log-structured table rooted at ``path``."""
 
@@ -167,6 +179,8 @@ class TxLogTable:
                 "bloom_cols": {},
                 "blooms": {},
                 "generated": {},
+                "renames": [],
+                "file_epoch": {},
                 "protocol": {"min_reader": 1, "min_writer": 1},
             }
         start = 0
@@ -178,6 +192,8 @@ class TxLogTable:
             "bloom_cols": {},
             "blooms": {},
             "generated": {},
+            "renames": [],
+            "file_epoch": {},
             "protocol": {"min_reader": 1, "min_writer": 1},
         }
         for v in range(head, -1, -1):
@@ -190,6 +206,8 @@ class TxLogTable:
                 state.setdefault("bloom_cols", {})
                 state.setdefault("blooms", {})
                 state.setdefault("generated", {})
+                state.setdefault("renames", [])
+                state.setdefault("file_epoch", {})
                 state.setdefault(
                     "protocol", {"min_reader": 1, "min_writer": 1}
                 )
@@ -207,8 +225,13 @@ class TxLogTable:
                 state["generated"][commit["name"]] = commit["expr"]
             elif commit.get("op") == "drop_generated":
                 state["generated"].pop(commit["name"], None)
+            elif commit.get("op") == "rename_column":
+                state["renames"] = state["renames"] + [
+                    [commit["old"], commit["new"]]
+                ]
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
+                state["file_epoch"].pop(rel, None)
                 # a removed (rewritten/compacted) file takes its
                 # deletion vectors and bloom filters with it — the
                 # rewrite already applied / re-derives them
@@ -217,6 +240,13 @@ class TxLogTable:
                     filt.pop(rel, None)
             for add in commit.get("add", []):
                 state["files"][add["path"]] = add["stats"]
+                # a file's rename EPOCH records which renames had
+                # already happened when it was written (its physical
+                # column names); restore/clone re-adds carry explicit
+                # epochs because their files predate the current head
+                state["file_epoch"][add["path"]] = commit.get(
+                    "epochs", {}
+                ).get(add["path"], len(state["renames"]))
             if commit.get("dv_targets"):
                 # any commit may carry a deletion vector (delete_dv,
                 # update_mor — the MoR UPDATE pairs a DV with adds)
@@ -232,10 +262,18 @@ class TxLogTable:
             if commit.get("op") in ("restore", "clone"):
                 # RESTORE/CLONE carry a complete DV mapping —
                 # replacement, not fold: DVs added since the restore
-                # point die, (re-)added files get theirs back
+                # point die, (re-)added files get theirs back. The
+                # RENAMES state replaces the same way (a restore to a
+                # pre-rename version reverts the logical schema, so
+                # the mapping must revert with it; file epochs in the
+                # commit's "epochs" index into THIS list).
                 state["dvs"] = {
                     k: list(v) for k, v in commit["dvs"].items()
                 }
+                if "renames" in commit:
+                    state["renames"] = [
+                        list(r) for r in commit["renames"]
+                    ]
             if commit.get("op") == "clone":
                 # a clone inherits the source's table policy
                 state["constraints"] = dict(commit.get("constraints", {}))
@@ -342,6 +380,8 @@ class TxLogTable:
                 "bloom_cols": snap["bloom_cols"],
                 "blooms": snap["blooms"],
                 "generated": snap["generated"],
+                "renames": snap["renames"],
+                "file_epoch": snap["file_epoch"],
                 "protocol": snap["protocol"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
@@ -642,6 +682,75 @@ class TxLogTable:
             raise TxConflict("drop_generated_column: commit race lost")
         return v
 
+    # -- column rename (metadata-only, Delta column-mapping shape) -------
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without rewriting a single data file: the
+        commit records the (old, new) mapping and the updated logical
+        schema; every reader resolves a file's PHYSICAL names through
+        the rename epochs recorded per file (``_read_with_dvs``), so
+        files written before and after the rename union into one
+        logical view. ``compact()`` naturally upgrades old files to
+        the current names as it rewrites them.
+
+        Refused loudly when the old name is load-bearing elsewhere:
+        a bloom file index (its filters are keyed by the physical
+        name — drop and re-add the index after the rename) or a CHECK
+        constraint / GENERATED column whose SQL mentions the column
+        (their expressions are stored strings; rename would silently
+        break them — drop and re-register with the new name)."""
+        base = self._snapshot()
+        if base["schema"] is None:
+            raise ValueError("rename_column: table has no schema yet")
+        schema = T.StructType.fromJson(json.loads(base["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(
+                f"rename_column: no column {old!r} (have {names})"
+            )
+        if new in names:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists"
+            )
+        if old in base["bloom_cols"]:
+            raise ValueError(
+                f"rename_column: {old!r} has a bloom file index keyed "
+                "by the physical name — drop_bloom_index first, "
+                "re-add on the new name after"
+            )
+        word = re.compile(rf"\b{re.escape(old)}\b")
+        for kind, exprs in (
+            ("CHECK constraint", base["constraints"]),
+            ("GENERATED column", base["generated"]),
+        ):
+            hits = sorted(
+                n for n, sql in exprs.items() if word.search(sql)
+            )
+            if hits:
+                raise ValueError(
+                    f"rename_column: {old!r} is referenced by "
+                    f"{kind}(s) {hits} — drop and re-register them "
+                    "with the new name"
+                )
+        fields = [
+            T.StructField(
+                new if f.name == old else f.name, f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+        commit = {
+            "op": "rename_column",
+            "old": old,
+            "new": new,
+            "schema": T.StructType(fields).json(),
+            "base_version": base["version"],
+        }
+        if not self._try_commit(base["version"] + 1, commit):
+            raise TxConflict(
+                "rename_column: table advanced past base snapshot"
+            )
+        return base["version"] + 1
+
     def _apply_generated(
         self, df: DataFrame, generated: dict[str, str] | None, op: str
     ) -> DataFrame:
@@ -869,6 +978,9 @@ class TxLogTable:
         rel_files: list[str],
         dvs: dict,
         keep_lineage: bool = False,
+        snap: dict | None = None,
+        renames: list | None = None,
+        epochs: dict | None = None,
     ) -> DataFrame:
         """Read the given data files with their deletion vectors
         applied (anti-join on (file, row position) — AQE broadcasts
@@ -877,10 +989,49 @@ class TxLogTable:
         survive for callers that need row addresses (the DV writer
         itself, COW hit detection). Lineage comes from the
         ``_metadata`` hidden columns, captured ON THE SCAN before any
-        join (input_file_name() is single-source only)."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, rel) for rel in sorted(rel_files)]
+        join (input_file_name() is single-source only).
+
+        Column-rename mapping: pass ``snap`` (or explicit ``renames``
+        + per-file ``epochs``) and files written before a RENAME
+        COLUMN are scanned in per-epoch groups, renamed to the
+        CURRENT logical names on the scan, and unioned by name — a
+        rename is metadata-only, no file rewrites. The common case
+        (no renames, or every file current) stays the single
+        multi-path scan."""
+        if snap is not None:
+            renames = snap.get("renames") or []
+            epochs = snap.get("file_epoch") or {}
+        renames = renames or []
+        epochs = epochs or {}
+        n_rn = len(renames)
+        groups: dict[int, list[str]] = {}
+        for rel in sorted(rel_files):
+            groups.setdefault(
+                min(int(epochs.get(rel, n_rn)), n_rn), []
+            ).append(rel)
+        need_lineage = keep_lineage or any(
+            dvs.get(rel) for rel in rel_files
         )
+        frames = []
+        for ep in sorted(groups):
+            f = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, rel) for rel in groups[ep]]
+            )
+            if need_lineage:
+                # capture on THE SCAN, before any rename/union
+                f = f.select(
+                    *f.columns,
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), self._REL_EXTRACT, 1
+                    ).alias("__file_rel"),
+                    F.col("_metadata.row_index").alias("__row_index"),
+                )
+            for old, new in renames[ep:]:
+                f = f.withColumnRenamed(old, new)
+            frames.append(f)
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f, allowMissingColumns=True)
         relevant = sorted(
             {
                 e["file"]
@@ -888,16 +1039,9 @@ class TxLogTable:
                 for e in dvs.get(rel, [])
             }
         )
-        if not relevant and not keep_lineage:
-            return df
-        data_cols = df.columns
-        df = df.select(
-            *data_cols,
-            F.regexp_extract(
-                F.col("_metadata.file_path"), self._REL_EXTRACT, 1
-            ).alias("__file_rel"),
-            F.col("_metadata.row_index").alias("__row_index"),
-        )
+        data_cols = [
+            c for c in df.columns if c not in ("__file_rel", "__row_index")
+        ]
         if relevant:
             dv = (
                 self.spark.read.parquet(
@@ -931,7 +1075,8 @@ class TxLogTable:
             return base["version"]
         self._refuse_external_refs(base, "delete_where_dv")
         live = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         hits = (
             live.filter(F.expr(predicate))
@@ -970,7 +1115,8 @@ class TxLogTable:
         # DV-aware lineage scan: rows already deleted by a deletion
         # vector must neither count as hits nor survive into rewrites
         df = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         hit_rel = sorted(
             r["__file_rel"]
@@ -989,7 +1135,9 @@ class TxLogTable:
             c for c in df.columns if c not in ("__file_rel", "__row_index")
         ]
         survivors = (
-            self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+            self._read_with_dvs(
+                hit_rel, base["dvs"], keep_lineage=True, snap=base
+            )
             .filter(~pred | pred.isNull())
             .select(*data_cols)
         )
@@ -1053,7 +1201,8 @@ class TxLogTable:
         # lineage columns come from _metadata ON the scan, before the
         # semi-join brings in the source relation
         tgt = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         src_keys = src.select(*keys).distinct()
         hit_rel = sorted(
@@ -1072,7 +1221,9 @@ class TxLogTable:
                 if c not in ("__file_rel", "__row_index")
             ]
             survivors = (
-                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                self._read_with_dvs(
+                hit_rel, base["dvs"], keep_lineage=True, snap=base
+            )
                 .select(*data_cols)
                 .join(F.broadcast(src_keys), keys, "left_anti")
             )
@@ -1164,7 +1315,8 @@ class TxLogTable:
             return self.append(new_rows)
 
         tgt = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         data_cols = [
             c for c in tgt.columns if c not in ("__file_rel", "__row_index")
@@ -1198,7 +1350,9 @@ class TxLogTable:
         survivors = None
         if hit_rel:
             hit = (
-                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                self._read_with_dvs(
+                hit_rel, base["dvs"], keep_lineage=True, snap=base
+            )
                 .alias("t")
                 .join(src, join_on, "left")
             )
@@ -1309,7 +1463,8 @@ class TxLogTable:
             return base["version"]
         self._refuse_external_refs(base, "update_where")
         df = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         data_cols = [
             c for c in df.columns if c not in ("__file_rel", "__row_index")
@@ -1330,7 +1485,7 @@ class TxLogTable:
         fires = F.coalesce(F.expr(predicate), F.lit(False))
         tgt_types = dict(df.dtypes)
         rewritten = self._read_with_dvs(
-            hit_rel, base["dvs"], keep_lineage=True
+            hit_rel, base["dvs"], keep_lineage=True, snap=base
         ).select(*self._apply_set(set_exprs, data_cols, tgt_types, fires))
         rewritten = self._regen(rewritten, base["generated"])
         self._validate_constraints(rewritten, base["constraints"])
@@ -1367,7 +1522,8 @@ class TxLogTable:
             return base["version"]
         self._refuse_external_refs(base, "update_where_mor")
         live = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         data_cols = [
             c
@@ -1443,7 +1599,8 @@ class TxLogTable:
         if base["version"] < 0 or not base["files"]:
             return self.append(df)
         live = self._read_with_dvs(
-            sorted(base["files"]), base["dvs"], keep_lineage=True
+            sorted(base["files"]), base["dvs"], keep_lineage=True,
+            snap=base,
         )
         hit_rel = sorted(
             r["__file_rel"]
@@ -1460,7 +1617,9 @@ class TxLogTable:
         adds: list[dict] = []
         if hit_rel:
             survivors = (
-                self._read_with_dvs(hit_rel, base["dvs"], keep_lineage=True)
+                self._read_with_dvs(
+                hit_rel, base["dvs"], keep_lineage=True, snap=base
+            )
                 .filter(~pred | pred.isNull())
                 .select(*data_cols)
             )
@@ -1514,7 +1673,7 @@ class TxLogTable:
             return base["version"]
         total = sum(base["files"][rel]["bytes"] for rel in small)
         n_out = max(1, -(-total // target_file_bytes))
-        packed = self._read_with_dvs(small, base["dvs"])
+        packed = self._read_with_dvs(small, base["dvs"], snap=base)
         if zorder_by:
             from aiports_data_warehouse_etl_spark.functions.zorder import (
                 morton_interleave,
@@ -1629,6 +1788,13 @@ class TxLogTable:
             "add": adds,
             "remove": removes,
             "schema": old["schema"],
+            "renames": old["renames"],
+            "epochs": {
+                a["path"]: int(
+                    old["file_epoch"].get(a["path"], len(old["renames"]))
+                )
+                for a in adds
+            },
             "dvs": old["dvs"],
             # memoized (possibly empty) so _try_commit never recomputes
             # filters for files whose restored blooms we already carry
@@ -1691,6 +1857,13 @@ class TxLogTable:
             "constraints": dict(snap["constraints"]),
             "bloom_cols": dict(snap["bloom_cols"]),
             "generated": dict(snap["generated"]),
+            "renames": [list(r) for r in snap["renames"]],
+            "epochs": {
+                _abs(rel): int(
+                    snap["file_epoch"].get(rel, len(snap["renames"]))
+                )
+                for rel in snap["files"]
+            },
             "blooms": {
                 col: {_abs(rel): f for rel, f in filt.items()}
                 for col, filt in snap["blooms"].items()
@@ -1713,7 +1886,7 @@ class TxLogTable:
             )
             if not ext:
                 return base["version"]
-            local = self._read_with_dvs(ext, base["dvs"])
+            local = self._read_with_dvs(ext, base["dvs"], snap=base)
             adds, _ = self._stage(local)
             commit = {
                 "op": "materialize",
@@ -1899,6 +2072,21 @@ class TxLogTable:
             schema = T.StructType.fromJson(json.loads(base["schema"]))
             if col not in schema.fieldNames():
                 raise ValueError(f"add_bloom_index: no column {col!r}")
+        rn = base["renames"]
+        stale = [
+            rel
+            for rel in base["files"]
+            if _physical_name(
+                col, int(base["file_epoch"].get(rel, len(rn))), rn
+            )
+            != col
+        ]
+        if stale:
+            raise ValueError(
+                f"add_bloom_index: {len(stale)} live file(s) carry a "
+                f"pre-rename physical name for {col!r} — compact() "
+                "first so every file stores the current name"
+            )
         filters = self._build_blooms(base["files"], col, fpp)
         commit = {
             "op": "bloom_index",
@@ -1996,9 +2184,23 @@ class TxLogTable:
             )
         files = snap["files"]
         if prune:
+            # translate each logical prune column to the file's
+            # PHYSICAL name (pre-rename files carry old names in
+            # their footer stats)
+            rn = snap["renames"]
+            fe = snap["file_epoch"]
             files = {
-                rel: st for rel, st in files.items()
-                if _stats_may_match(st, prune)
+                rel: st
+                for rel, st in files.items()
+                if _stats_may_match(
+                    st,
+                    {
+                        _physical_name(
+                            c, int(fe.get(rel, len(rn))), rn
+                        ): rng
+                        for c, rng in prune.items()
+                    },
+                )
             }
         if prune_eq:
             for col, value in prune_eq.items():
@@ -2024,7 +2226,7 @@ class TxLogTable:
         # after a column was added — the union schema (missing columns
         # null) is the additive-evolution contract. Deletion vectors
         # (merge-on-read deletes) are applied inside _read_with_dvs.
-        return self._read_with_dvs(sorted(files), snap["dvs"])
+        return self._read_with_dvs(sorted(files), snap["dvs"], snap=snap)
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """File-diff change feed: every row inserted or deleted between
@@ -2049,16 +2251,19 @@ class TxLogTable:
         # DV state active BEFORE the commit being scanned (i.e. at
         # v-1), seeded from the snapshot at from_version and folded
         # forward with the same transitions as _snapshot().
+        seed = (
+            None if from_version < 0 else self._snapshot(from_version)
+        )
         dvs: dict = (
             {}
-            if from_version < 0
-            else {
-                k: list(entries)
-                for k, entries in self._snapshot(from_version)[
-                    "dvs"
-                ].items()
-            }
+            if seed is None
+            else {k: list(e) for k, e in seed["dvs"].items()}
         )
+        # rename state folds forward the same way: rn = the renames
+        # list active at v-1, fe = per-file epoch into THAT list, so
+        # every emission reads a file under its correct logical names
+        rn: list = [] if seed is None else [list(r) for r in seed["renames"]]
+        fe: dict = {} if seed is None else dict(seed["file_epoch"])
         frames = []
         for v in range(from_version + 1, to_version + 1):
             c = self._read_commit(v)
@@ -2067,6 +2272,14 @@ class TxLogTable:
                 # and dropped the removed files' DVs, so fold the state
                 for rel in c.get("remove", []):
                     dvs.pop(rel, None)
+                    fe.pop(rel, None)
+                for add in c.get("add", []):
+                    fe[add["path"]] = len(rn)
+                continue
+            if c.get("op") == "rename_column":
+                # metadata-only: no rows change; the feed keeps
+                # emitting under each commit's then-current names
+                rn = rn + [[c["old"], c["new"]]]
                 continue
             if c.get("dv_targets"):
                 # merge-on-read commit (delete_dv, update_mor): the
@@ -2090,31 +2303,26 @@ class TxLogTable:
                         "— the feed cannot be reconstructed past the "
                         "retention window"
                     )
-                data = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, t) for t in targets]
+                data = self._read_with_dvs(
+                    targets, {}, keep_lineage=True, renames=rn, epochs=fe
                 )
-                data_cols = data.columns
+                data_cols = [
+                    col
+                    for col in data.columns
+                    if col not in ("__file_rel", "__row_index")
+                ]
                 dv = self.spark.read.parquet(dv_abs).select(
                     F.col("file_rel").alias("__file_rel"),
                     F.col("row_index").alias("__row_index"),
                 )
-                deleted = (
-                    data.select(
-                        *data_cols,
-                        F.regexp_extract(
-                            F.col("_metadata.file_path"),
-                            self._REL_EXTRACT,
-                            1,
-                        ).alias("__file_rel"),
-                        F.col("_metadata.row_index").alias("__row_index"),
-                    )
-                    .join(dv, ["__file_rel", "__row_index"], "left_semi")
-                    .select(*data_cols)
-                )
-                frames.append(
+                deleted = data.join(
+                    dv, ["__file_rel", "__row_index"], "left_semi"
+                ).select(*data_cols)
+                frames.append((
                     deleted.withColumn("_change_type", F.lit("delete"))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                )
+                    .withColumn("_commit_version", F.lit(v).cast("long")),
+                    len(rn),
+                ))
                 for data_rel, n in c["dv_targets"].items():
                     dvs.setdefault(data_rel, []).append(
                         {"file": c["dv_file"], "rows": int(n)}
@@ -2160,18 +2368,40 @@ class TxLogTable:
                     continue
                 if kind == "delete":
                     # exclude rows a DV active at v-1 already deleted
-                    frame = self._read_with_dvs(rels, dvs)
+                    frame = self._read_with_dvs(
+                        rels, dvs, renames=rn, epochs=fe
+                    )
                 else:
                     # ins_dvs is {} except for restore commits, where
                     # _read_with_dvs degrades to the plain read anyway
-                    frame = self._read_with_dvs(rels, ins_dvs)
-                frames.append(
+                    ins_rn = (
+                        [list(r) for r in c["renames"]]
+                        if c.get("op") in ("restore", "clone")
+                        and "renames" in c
+                        else rn
+                    )
+                    ins_fe = {
+                        rel: c.get("epochs", {}).get(rel, len(ins_rn))
+                        for rel in rels
+                    }
+                    frame = self._read_with_dvs(
+                        rels, ins_dvs, renames=ins_rn, epochs=ins_fe
+                    )
+                frames.append((
                     frame.withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                )
+                    .withColumn("_commit_version", F.lit(v).cast("long")),
+                    len(ins_rn) if kind == "insert" else len(rn),
+                ))
             for rel in c.get("remove", []):
                 # the rewrite applied the removed files' DVs
                 dvs.pop(rel, None)
+                fe.pop(rel, None)
+            if c.get("op") in ("restore", "clone") and "renames" in c:
+                rn = [list(r) for r in c["renames"]]
+            for add in c.get("add", []):
+                fe[add["path"]] = c.get("epochs", {}).get(
+                    add["path"], len(rn)
+                )
             if c.get("op") in ("restore", "clone"):
                 # fold state follows the snapshot's replacement rule
                 dvs = {k: list(e) for k, e in c["dvs"].items()}
@@ -2184,8 +2414,20 @@ class TxLogTable:
                 "_commit_version", T.LongType()
             )
             return self.spark.createDataFrame([], schema)
-        out = frames[0]
-        for f in frames[1:]:
+        # Emit the WHOLE feed under the logical names active at
+        # to_version: frames emitted before a rename are renamed
+        # forward so a fold over the feed cancels exactly. (A feed
+        # crossing a RESTORE that reverts renames keeps commit-time
+        # names for the reverted span — the restore replaced the
+        # mapping wholesale, so no forward chain exists.)
+        final_rn = self._snapshot(to_version)["renames"]
+        lifted = []
+        for f, k in frames:
+            for old_c, new_c in final_rn[min(k, len(final_rn)):]:
+                f = f.withColumnRenamed(old_c, new_c)
+            lifted.append(f)
+        out = lifted[0]
+        for f in lifted[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 

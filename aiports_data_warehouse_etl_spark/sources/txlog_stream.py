@@ -135,6 +135,39 @@ def _dvs_at(path: str, version: int) -> dict[str, list[str]]:
     return dvs
 
 
+def _rename_state_at(path: str, version: int) -> tuple[list, dict]:
+    """(renames, file_epoch) active at ``version`` — same
+    checkpoint-seeded fold as ``TxLogTable._snapshot`` (see that
+    method for the epoch semantics)."""
+    if version < 0:
+        return [], {}
+    start = 0
+    rn: list = []
+    fe: dict = {}
+    for v in range(version, -1, -1):
+        cp = os.path.join(path, _LOG_DIR, f"{v:020d}.checkpoint.json")
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                state = json.load(fh)
+            rn = [list(r) for r in state.get("renames", [])]
+            fe = dict(state.get("file_epoch", {}))
+            start = v + 1
+            break
+    for v in range(start, version + 1):
+        c = _read_commit(path, v)
+        if c.get("op") == "rename_column":
+            rn = rn + [[c["old"], c["new"]]]
+        if c.get("op") in ("restore", "clone") and "renames" in c:
+            rn = [list(r) for r in c["renames"]]
+        for rel in c.get("remove", []):
+            fe.pop(rel, None)
+        for add in c.get("add", []):
+            fe[add["path"]] = c.get("epochs", {}).get(
+                add["path"], len(rn)
+            )
+    return rn, fe
+
+
 class _CDFPartition(InputPartition):
     """One executor task = one data file of one commit.
 
@@ -147,11 +180,22 @@ class _CDFPartition(InputPartition):
                      single DV file in ``dv_rels`` as 'delete'
     """
 
-    def __init__(self, kind: str, rel: str, version: int, dv_rels: list):
+    def __init__(
+        self,
+        kind: str,
+        rel: str,
+        version: int,
+        dv_rels: list,
+        chain: list | None = None,
+    ):
         self.kind = kind
         self.rel = rel
         self.version = version
         self.dv_rels = dv_rels
+        # renames to apply on read: the file predates these RENAME
+        # COLUMN commits, so its physical names walk forward through
+        # the chain to the stream's declared (logical) schema
+        self.chain = chain or []
 
 
 class _TxLogCDFReader(DataSourceStreamReader):
@@ -162,6 +206,9 @@ class _TxLogCDFReader(DataSourceStreamReader):
         self.start = int(options.get("start_version", -1))
         self.fields = [name for name, _ in _table_fields(self.path)]
         self.schema_json = _table_schema_json(self.path)
+        self.renames, _ = _rename_state_at(
+            self.path, _latest_version(self.path)
+        )
         self._hwm: int | None = None  # newest offset handed to Spark
 
     # -- offsets (driver) ------------------------------------------------
@@ -197,15 +244,44 @@ class _TxLogCDFReader(DataSourceStreamReader):
         # keep pacing monotone across replays/restarts
         self._hwm = v1 if self._hwm is None else max(self._hwm, v1)
         dvs = _dvs_at(self.path, v0)
+        # rename state: every emitted file walks its physical names
+        # forward to the stream's DECLARED schema (fixed at reader
+        # construction); a rename landing MID-STREAM changes the
+        # logical schema and must fail the query loudly (the standard
+        # streaming schema-change contract: restart picks it up)
+        target_rn = self.renames
+        rn, fe = _rename_state_at(self.path, v0)
+
+        def chain_for(rel: str) -> list:
+            ep = min(int(fe.get(rel, len(rn))), len(target_rn))
+            return [list(r) for r in target_rn[ep:]]
+
         parts: list[InputPartition] = []
         for v in range(v0 + 1, v1 + 1):
             c = _read_commit(self.path, v)
             op = c.get("op")
+            if op == "rename_column":
+                step = [c["old"], c["new"]]
+                if (
+                    len(rn) < len(target_rn)
+                    and list(target_rn[len(rn)]) == step
+                ):
+                    rn = rn + [step]  # known at construction: fine
+                    continue
+                raise ValueError(
+                    f"txlog_cdf: commit {v} renamed column "
+                    f"{c['old']!r} -> {c['new']!r} after this stream "
+                    "started — the declared schema is stale; restart "
+                    "the streaming query to pick up the new schema"
+                )
             if op == "compact":
                 # pure layout: no rows change; the rewrite applied and
                 # dropped the removed files' DVs
                 for rel in c.get("remove", []):
                     dvs.pop(rel, None)
+                    fe.pop(rel, None)
+                for add in c.get("add", []):
+                    fe[add["path"]] = len(rn)
                 continue
             if c.get("dv_targets"):
                 # MoR commit (delete_dv, update_mor): the DV-addressed
@@ -215,7 +291,10 @@ class _TxLogCDFReader(DataSourceStreamReader):
                 for rel in sorted(c["dv_targets"]):
                     self._require(rel, v0, v1)
                     parts.append(
-                        _CDFPartition("dv_delete", rel, v, [c["dv_file"]])
+                        _CDFPartition(
+                            "dv_delete", rel, v, [c["dv_file"]],
+                            chain=chain_for(rel),
+                        )
                     )
                     dvs.setdefault(rel, []).append(c["dv_file"])
                 if op == "delete_dv":
@@ -235,16 +314,36 @@ class _TxLogCDFReader(DataSourceStreamReader):
                 excl = list(dvs.get(rel, []))
                 for p in [rel, *excl]:
                     self._require(p, v0, v1)
-                parts.append(_CDFPartition("delete", rel, v, excl))
+                parts.append(
+                    _CDFPartition(
+                        "delete", rel, v, excl, chain=chain_for(rel)
+                    )
+                )
             for add in c.get("add", []):
                 excl = list(restore_dvs.get(add["path"], []))
                 for p in [add["path"], *excl]:
                     self._require(p, v0, v1)
-                parts.append(_CDFPartition("insert", add["path"], v, excl))
+                ep_ins = min(
+                    int(c.get("epochs", {}).get(add["path"], len(rn))),
+                    len(target_rn),
+                )
+                parts.append(
+                    _CDFPartition(
+                        "insert", add["path"], v, excl,
+                        chain=[list(r) for r in target_rn[ep_ins:]],
+                    )
+                )
             for rel in c.get("remove", []):
                 dvs.pop(rel, None)
+                fe.pop(rel, None)
+            for add in c.get("add", []):
+                fe[add["path"]] = c.get("epochs", {}).get(
+                    add["path"], len(rn)
+                )
             if op in ("restore", "clone"):
                 dvs = {rel: list(fs) for rel, fs in restore_dvs.items()}
+                if "renames" in c:
+                    rn = [list(r) for r in c["renames"]]
         return parts
 
     # -- decode (EXECUTORS: pyarrow → Arrow RecordBatches) ---------------
@@ -272,6 +371,13 @@ class _TxLogCDFReader(DataSourceStreamReader):
             excl = self._dv_indices(partition.dv_rels, partition.rel)
             tbl = tbl.take([i for i in range(tbl.num_rows) if i not in excl])
         ctype = "insert" if partition.kind == "insert" else "delete"
+        if getattr(partition, "chain", None):
+            # walk pre-rename physical names forward to the declared
+            # logical schema (metadata-only RENAME COLUMN support)
+            names = list(tbl.column_names)
+            for old_c, new_c in partition.chain:
+                names = [new_c if n == old_c else n for n in names]
+            tbl = tbl.rename_columns(names)
 
         # schema-align to the declared stream schema: reorder, cast,
         # null-fill missing columns (the mergeSchema additive-evolution

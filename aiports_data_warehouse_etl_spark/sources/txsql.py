@@ -149,6 +149,8 @@ class TxSql:
             return self._create(stmt)
         if head == "RESTORE":
             return self._restore(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
         raise ValueError(f"TxSql: unsupported statement: {stmt}")
 
     # -- DML ---------------------------------------------------------------
@@ -377,6 +379,21 @@ class TxSql:
             )
         name, version = m.groups()
         return self._table(name, stmt).restore(int(version))
+
+    def _alter(self, stmt: str) -> int:
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_IDENT})\s+TO\s+({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "TxSql: expected 'ALTER TABLE <table> RENAME COLUMN "
+                f"<old> TO <new>', got: {stmt}"
+            )
+        name, old, new = m.groups()
+        return self._table(name, stmt).rename_column(old, new)
 
     def _create(self, stmt: str) -> int:
         """``CREATE TABLE <name> PATH '<dir>' AS <select>`` — creates

@@ -3180,3 +3180,221 @@ def test_write_stream_upsert_folds_changelog(spark, tbl, tmp_path):
     tbl.write_stream_upsert(src2, ckpt, keys=["id"]).awaitTermination(120)
     assert tbl.latest_version() == v
     assert tbl.read().count() == 11
+
+
+# -- RENAME COLUMN (metadata-only column mapping) -----------------------
+
+
+def test_rename_column_metadata_only(spark, tbl):
+    """RENAME COLUMN rewrites no data files: pre-rename files keep
+    their physical names on disk, the snapshot read resolves both
+    epochs into one logical view, and time travel before the rename
+    still shows the old name."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, val double"
+    )
+    tbl.append(df.repartition(2))  # v0: epoch-0 files
+    files_before = set(tbl._snapshot()["files"])
+    v = tbl.rename_column("val", "amount")
+    assert set(tbl._snapshot()["files"]) == files_before, "no rewrites"
+    got = tbl.read()
+    assert got.columns == ["id", "amount"]
+    assert got.agg(F.sum("amount")).collect()[0][0] == sum(range(50))
+    # post-rename append writes the NEW physical name; both unify
+    tbl.append(
+        spark.createDataFrame([(100, 1.5)], "id long, amount double")
+    )
+    got = tbl.read()
+    assert got.count() == 51
+    assert got.filter("amount = 1.5").collect()[0]["id"] == 100
+    # time travel: the pre-rename version still reads as 'val'
+    assert tbl.read(version=v - 1).columns == ["id", "val"]
+
+
+def test_rename_column_dml_pruning_and_compact_upgrade(spark, tbl):
+    """DML predicates on the NEW name reach pre-rename files; stats
+    pruning translates the logical prune column to each file's
+    physical name; compact() upgrades old files to current names,
+    unblocking add_bloom_index."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, val double"
+    )
+    tbl.append(df, cluster_by=["id"], cluster_partitions=4)
+    tbl.rename_column("val", "amount")
+    # UPDATE through the new name touches old-epoch files
+    tbl.update_where("amount < 10", {"amount": "amount + 1000"})
+    got = tbl.read()
+    assert got.filter("amount >= 1000").count() == 10
+    # prune on the RENAMED clustered column... prune key is logical
+    pruned = tbl.read(prune={"id": (90, 95)})
+    assert pruned.filter("id BETWEEN 90 AND 95").count() == 6
+    # bloom on a column whose old files carry the old physical name
+    with pytest.raises(ValueError, match="compact"):
+        tbl.add_bloom_index("amount")
+    tbl.compact(target_file_bytes=1 << 30)
+    tbl.add_bloom_index("amount")  # post-compact: all files current
+    assert tbl.read().count() == 100
+
+
+def test_rename_column_rename_of_clustered_prune_col(spark, tbl):
+    """Pruning on a column that was ITSELF renamed: the logical name
+    translates per-file to the old physical name, so stats pruning
+    still skips files."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    tbl.append(df, cluster_by=["k"], cluster_partitions=5)
+    n_files = len(tbl._snapshot()["files"])
+    tbl.rename_column("k", "key")
+    snap = tbl._snapshot()
+    rn, fe = snap["renames"], snap["file_epoch"]
+    # metadata-level check: the prune translation keeps only a strict
+    # subset of files for a narrow range on the renamed column
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        _physical_name,
+        _stats_may_match,
+    )
+
+    kept = [
+        rel
+        for rel, st in snap["files"].items()
+        if _stats_may_match(
+            st,
+            {_physical_name("key", int(fe[rel]), rn): (0, 100)},
+        )
+    ]
+    assert 0 < len(kept) < n_files, "translated prune must skip files"
+    got = tbl.read(prune={"key": (0, 100)})
+    assert got.filter("key <= 100").count() == 101
+
+
+def test_rename_column_guards(spark, tbl):
+    df = spark.createDataFrame([(1, 2.0)], "id long, val double")
+    tbl.append(df)
+    with pytest.raises(ValueError, match="no column"):
+        tbl.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("val", "id")
+    tbl.add_check("val_pos", "val > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        tbl.rename_column("val", "amount")
+    tbl.drop_check("val_pos")
+    tbl.add_bloom_index("val")
+    with pytest.raises(ValueError, match="bloom"):
+        tbl.rename_column("val", "amount")
+    tbl.drop_bloom_index("val")
+    tbl.rename_column("val", "amount")
+    assert tbl.read().columns == ["id", "amount"]
+
+
+def test_rename_column_change_feed_lifts_to_final_names(spark, tbl):
+    """A feed crossing the rename emits everything under the names at
+    to_version, so a signed fold cancels exactly."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, val double"
+    )
+    tbl.append(df.coalesce(1))           # v0
+    tbl.delete_where("id >= 18")          # v1 (pre-rename rewrite)
+    tbl.rename_column("val", "amount")    # v2
+    tbl.update_where("id < 3", {"amount": "amount + 100"})  # v3
+    ch = tbl.changes(-1, tbl.latest_version())
+    assert "amount" in ch.columns and "val" not in ch.columns
+    net = {
+        r["id"]: r["net"]
+        for r in ch.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .collect()
+    }
+    live = {r["id"] for r in tbl.read().collect()}
+    assert all(n in (0, 1) for n in net.values()), f"negative: {net}"
+    assert {i for i, n in net.items() if n == 1} == live
+    s = ch.filter("_change_type = 'insert'").agg(
+        F.sum("amount")
+    ).collect()[0][0]
+    assert s is not None  # values actually landed under 'amount'
+
+
+def test_rename_column_streaming_cdf(spark, tbl, tmp_path):
+    """The streaming CDF source applies per-file rename chains (a
+    pre-rename file emits under the declared post-rename schema), and
+    a rename landing AFTER the stream started fails loudly."""
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        register_txlog_cdf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, val double"
+    )
+    tbl.append(df.coalesce(1))
+    tbl.rename_column("val", "amount")
+    tbl.append(
+        spark.createDataFrame([(100, 5.0)], "id long, amount double")
+    )
+    register_txlog_cdf(spark)
+    out = str(tmp_path / "out")
+    (
+        spark.readStream.format("txlog_cdf")
+        .option("path", tbl.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    assert "amount" in got.columns
+    assert got.count() == 31
+    assert got.agg(F.sum("amount")).collect()[0][0] == pytest.approx(
+        sum(range(30)) + 5.0
+    )
+    # mid-stream rename: new reader constructed BEFORE the rename
+    # must refuse the commit
+    from aiports_data_warehouse_etl_spark.sources.txlog_stream import (
+        _TxLogCDFReader,
+    )
+
+    reader = _TxLogCDFReader({"path": tbl.path})
+    tbl.rename_column("amount", "price")
+    with pytest.raises(ValueError, match="restart the streaming query"):
+        reader.partitions(
+            {"v": -1}, {"v": tbl.latest_version()}
+        )
+
+
+def test_rename_column_clone_and_restore(spark, tbl, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, val double"
+    )
+    tbl.append(df)                       # v0 (epoch 0)
+    v_pre = tbl.latest_version()
+    tbl.rename_column("val", "amount")   # v1
+    tbl.append(
+        spark.createDataFrame([(50, 5.0)], "id long, amount double")
+    )                                    # v2 (epoch 1)
+    # clone carries the mapping + per-file epochs
+    c = tbl.shallow_clone(str(tmp_path / "c"))
+    got = c.read()
+    assert got.columns == ["id", "amount"] and got.count() == 11
+    # restore to the pre-rename version reverts schema AND mapping
+    tbl.restore(v_pre)
+    got = tbl.read()
+    assert got.columns == ["id", "val"] and got.count() == 10
+    # and a post-restore re-rename works from the reverted state
+    tbl.rename_column("val", "price")
+    assert tbl.read().columns == ["id", "price"]
+
+
+def test_txsql_alter_rename(spark, txsql, tbl):
+    txsql.sql("ALTER TABLE t RENAME COLUMN v TO score")
+    got = txsql.sql(
+        "SELECT round(sum(score), 1) AS s FROM t"
+    ).collect()[0]["s"]
+    assert got == float(sum(range(100)))
+    with pytest.raises(ValueError, match="expected 'ALTER"):
+        txsql.sql("ALTER TABLE t ADD COLUMN x INT")
