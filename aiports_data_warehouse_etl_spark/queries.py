@@ -85,7 +85,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     # ACID transaction-log feature demos
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
     "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
-    "tlog_sql_dml", "tlog_generated_columns", "tlog_rename_column",
+    "tlog_sql_dml", "tlog_generated_columns", "tlog_rename_column", "tlog_drop_column",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -5293,6 +5293,67 @@ def tlog_rename_column(spark, sf_dir):
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_orders"),
                 F.sum(cents).alias("amount_cents"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_drop_column",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS late_cents,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 0 END)
+                AS BIGINT) AS resurfaced
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tlog_drop_column(spark, sf_dir):
+    """Metadata-only DROP COLUMN + same-name re-add (sources/txlog.py
+    drop_column — a rename into a reserved tombstone the readers
+    exclude): the even-key half loads WITH o_totalprice, the column
+    is dropped (zero rewrites), then the odd-key half loads with a
+    fresh o_totalprice. The buried even-key values must NEVER
+    resurface under the re-added name (`resurfaced` counts non-NULL
+    prices on even keys — 0 in both engines by construction), while
+    the odd-key values aggregate normally. DuckDB replays the
+    value-visibility rule with CASE filters over the raw parquet."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_drop_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.drop_column("o_totalprice")
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).alias("late_cents"),
+                F.sum(
+                    F.when(
+                        (F.col("o_orderkey") % 2 == 0)
+                        & F.col("o_totalprice").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("resurfaced"),
             )
         )
         rows = out.collect()

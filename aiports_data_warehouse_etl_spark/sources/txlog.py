@@ -732,12 +732,18 @@ class TxLogTable:
                     f"{kind}(s) {hits} — drop and re-register them "
                     "with the new name"
                 )
-        fields = [
-            T.StructField(
-                new if f.name == old else f.name, f.dataType, f.nullable
-            )
-            for f in schema.fields
-        ]
+        if new.startswith("__dropped_"):
+            # DROP COLUMN path: the logical schema loses the field
+            fields = [f for f in schema.fields if f.name != old]
+        else:
+            fields = [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
         commit = {
             "op": "rename_column",
             "old": old,
@@ -750,6 +756,23 @@ class TxLogTable:
                 "rename_column: table advanced past base snapshot"
             )
         return base["version"] + 1
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN without rewriting a single data file: recorded
+        as a rename to a reserved TOMBSTONE name
+        (``__dropped_<version>_<name>``) that every reader excludes
+        from the logical view — the epoch machinery built for
+        ``rename_column`` does all the work. Old files keep the
+        physical values until their next rewrite (compact/DML) purges
+        them; the name is immediately free for a fresh additive
+        column, and old files' buried values can never resurface
+        under it (their physical name walked into the tombstone).
+        Same refusal guards as rename: bloom-indexed or
+        constraint/generated-referenced columns must be un-registered
+        first. Time travel before the drop still reads the column."""
+        base = self._snapshot()
+        tomb = f"__dropped_{base['version'] + 1}_{name}"
+        return self.rename_column(name, tomb)
 
     def _apply_generated(
         self, df: DataFrame, generated: dict[str, str] | None, op: str
@@ -1039,9 +1062,18 @@ class TxLogTable:
                 for e in dvs.get(rel, [])
             }
         )
+        # DROP COLUMN tombstones (a drop is a rename to
+        # __dropped_<v>_<name> — see drop_column) never reach the
+        # logical view; the physical values purge naturally on the
+        # next rewrite of their file
         data_cols = [
-            c for c in df.columns if c not in ("__file_rel", "__row_index")
+            c
+            for c in df.columns
+            if c not in ("__file_rel", "__row_index")
+            and not c.startswith("__dropped_")
         ]
+        if keep_lineage:
+            df = df.select(*data_cols, "__file_rel", "__row_index")
         if relevant:
             dv = (
                 self.spark.read.parquet(
@@ -2429,7 +2461,9 @@ class TxLogTable:
         out = lifted[0]
         for f in lifted[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        return out.select(
+            *[c for c in out.columns if not c.startswith("__dropped_")]
+        )
 
     def changes_keyed(
         self,

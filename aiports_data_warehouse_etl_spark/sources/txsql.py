@@ -387,13 +387,23 @@ class TxSql:
             stmt,
             re.IGNORECASE,
         )
-        if not m:
-            raise ValueError(
-                "TxSql: expected 'ALTER TABLE <table> RENAME COLUMN "
-                f"<old> TO <new>', got: {stmt}"
-            )
-        name, old, new = m.groups()
-        return self._table(name, stmt).rename_column(old, new)
+        if m:
+            name, old, new = m.groups()
+            return self._table(name, stmt).rename_column(old, new)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+"
+            rf"({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name, col = m.groups()
+            return self._table(name, stmt).drop_column(col)
+        raise ValueError(
+            "TxSql: expected 'ALTER TABLE <table> RENAME COLUMN "
+            "<old> TO <new>' or 'ALTER TABLE <table> DROP COLUMN "
+            f"<col>', got: {stmt}"
+        )
 
     def _create(self, stmt: str) -> int:
         """``CREATE TABLE <name> PATH '<dir>' AS <select>`` — creates

@@ -3398,3 +3398,65 @@ def test_txsql_alter_rename(spark, txsql, tbl):
     assert got == float(sum(range(100)))
     with pytest.raises(ValueError, match="expected 'ALTER"):
         txsql.sql("ALTER TABLE t ADD COLUMN x INT")
+
+
+def test_drop_column_metadata_only_and_readd(spark, tbl):
+    """DROP COLUMN rewrites nothing; the name frees immediately for a
+    fresh additive column, and old files' buried values can never
+    resurface under it; time travel before the drop still reads it;
+    compact purges the tombstone physically."""
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(20)],
+        "id long, v double, tag string",
+    )
+    tbl.append(df.repartition(2))
+    files_before = set(tbl._snapshot()["files"])
+    v = tbl.drop_column("tag")
+    assert set(tbl._snapshot()["files"]) == files_before, "no rewrites"
+    got = tbl.read()
+    assert got.columns == ["id", "v"]
+    # time travel: pre-drop version still has the column
+    assert tbl.read(version=v - 1).columns == ["id", "v", "tag"]
+    # re-add the SAME name additively: old buried values stay buried
+    tbl.append(
+        spark.createDataFrame(
+            [(100, 1.0, "NEW")], "id long, v double, tag string"
+        )
+    )
+    got = tbl.read()
+    tags = {r["tag"] for r in got.collect()}
+    assert tags == {None, "NEW"}, f"buried values resurfaced: {tags}"
+    assert got.count() == 21
+    # compact purges the tombstone from the physical files
+    tbl.compact(target_file_bytes=1 << 30)
+    import pyarrow.parquet as pq
+
+    snap = tbl._snapshot()
+    for rel in snap["files"]:
+        cols = pq.ParquetFile(
+            os.path.join(tbl.path, rel)
+        ).schema_arrow.names
+        assert not any(c.startswith("__dropped_") for c in cols)
+    assert tbl.read().count() == 21
+
+
+def test_drop_column_feed_and_sql(spark, txsql, tbl):
+    """The change feed never emits tombstone columns, and the SQL
+    frontend routes ALTER TABLE ... DROP COLUMN."""
+    txsql.sql("ALTER TABLE t DROP COLUMN g")
+    assert tbl.read().columns == ["id", "v"]
+    txsql.sql("UPDATE t SET v = v + 1 WHERE id < 5")
+    ch = tbl.changes(-1, tbl.latest_version())
+    assert not [c for c in ch.columns if c.startswith("__dropped_")]
+    assert "g" not in ch.columns  # lifted into the tombstone, excluded
+    net = {
+        r["id"]: r["net"]
+        for r in ch.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .collect()
+    }
+    assert all(n in (0, 1) for n in net.values())
