@@ -86,6 +86,7 @@ FEATURE_DEMOS: frozenset[str] = frozenset({
     "tlog_acid_table", "tlog_merge_upsert", "tlog_merge_conditional",
     "tlog_update_where", "tlog_update_mor", "tlog_replace_where",
     "tlog_sql_dml", "tlog_generated_columns", "tlog_rename_column", "tlog_drop_column",
+    "tlog_identity_column",
     "tlog_change_feed",
     "tlog_delete_dv", "tlog_clustered_prune", "tlog_cdc_updates",
     "tlog_bloom_prune", "tlog_zorder_prune", "tlog_time_travel_asof",
@@ -5355,6 +5356,59 @@ def tlog_drop_column(spark, sf_dir):
                 .cast("long")
                 .alias("resurfaced"),
             )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "tlog_identity_column",
+    """
+    WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT n,
+           CAST(1000 AS BIGINT) AS min_uid,
+           CAST(1000 + (n - 1) * 3 AS BIGINT) AS max_uid,
+           CAST(n * (2 * 1000 + (n - 1) * 3) / 2 AS BIGINT) AS sum_uid,
+           n AS n_distinct
+    FROM c
+    """,
+)
+def tlog_identity_column(spark, sf_dir):
+    """GENERATED ALWAYS AS IDENTITY (sources/txlog.py
+    add_identity_column): two appends omit the `uid` column and the
+    log-based sequence allocator assigns ids — each write lands a
+    tiny metadata-only reserve_identity commit claiming its range, so
+    concurrent writers get disjoint ids with no coordination service.
+    WHICH row gets WHICH id is deliberately unspecified (identity
+    promises uniqueness, not order), so the oracle checks the
+    order-independent closed forms instead: with start=1000 / step=3
+    and two crash-free appends the id multiset is exactly the
+    arithmetic sequence — count, min, max, sum, and distinct-count
+    all follow from n alone, and DuckDB computes them from the raw
+    orders row count."""
+    import shutil
+    import tempfile
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="tlog_ident_")
+    try:
+        t = TxLogTable(spark, root + "/orders_t")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        t.append(
+            o.limit(0).withColumn("uid", F.lit(None).cast("long"))
+        )
+        t.add_identity_column("uid", start=1000, step=3)
+        t.append(o.filter("o_orderkey % 2 = 0").repartition(2))
+        t.append(o.filter("o_orderkey % 2 = 1").repartition(2))
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("uid").cast("long").alias("min_uid"),
+            F.max("uid").cast("long").alias("max_uid"),
+            F.sum("uid").cast("long").alias("sum_uid"),
+            F.countDistinct("uid").cast("long").alias("n_distinct"),
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -40,7 +40,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,6 +179,7 @@ class TxLogTable:
                 "bloom_cols": {},
                 "blooms": {},
                 "generated": {},
+                "identity": {},
                 "renames": [],
                 "file_epoch": {},
                 "protocol": {"min_reader": 1, "min_writer": 1},
@@ -192,6 +193,7 @@ class TxLogTable:
             "bloom_cols": {},
             "blooms": {},
             "generated": {},
+            "identity": {},
             "renames": [],
             "file_epoch": {},
             "protocol": {"min_reader": 1, "min_writer": 1},
@@ -206,6 +208,7 @@ class TxLogTable:
                 state.setdefault("bloom_cols", {})
                 state.setdefault("blooms", {})
                 state.setdefault("generated", {})
+                state.setdefault("identity", {})
                 state.setdefault("renames", [])
                 state.setdefault("file_epoch", {})
                 state.setdefault(
@@ -225,6 +228,19 @@ class TxLogTable:
                 state["generated"][commit["name"]] = commit["expr"]
             elif commit.get("op") == "drop_generated":
                 state["generated"].pop(commit["name"], None)
+            elif commit.get("op") == "set_identity":
+                state["identity"][commit["name"]] = {
+                    "step": int(commit["step"]),
+                    "next": int(commit["next"]),
+                }
+            elif commit.get("op") == "drop_identity":
+                state["identity"].pop(commit["name"], None)
+            elif commit.get("op") == "reserve_identity":
+                ident = state["identity"].get(commit["name"])
+                if ident is not None:
+                    ident["next"] = max(
+                        int(ident["next"]), int(commit["upto"])
+                    )
             elif commit.get("op") == "rename_column":
                 state["renames"] = state["renames"] + [
                     [commit["old"], commit["new"]]
@@ -279,6 +295,10 @@ class TxLogTable:
                 state["constraints"] = dict(commit.get("constraints", {}))
                 state["bloom_cols"] = dict(commit.get("bloom_cols", {}))
                 state["generated"] = dict(commit.get("generated", {}))
+                state["identity"] = {
+                    k: dict(v)
+                    for k, v in commit.get("identity", {}).items()
+                }
             if commit.get("op") == "bloom_index":
                 state["bloom_cols"][commit["col"]] = {"fpp": commit["fpp"]}
                 state["blooms"].setdefault(commit["col"], {}).update(
@@ -380,6 +400,7 @@ class TxLogTable:
                 "bloom_cols": snap["bloom_cols"],
                 "blooms": snap["blooms"],
                 "generated": snap["generated"],
+                "identity": snap["identity"],
                 "renames": snap["renames"],
                 "file_epoch": snap["file_epoch"],
                 "protocol": snap["protocol"],
@@ -441,6 +462,8 @@ class TxLogTable:
             iv_schema = False
             for i in range(v, latest + 1):
                 c = self._read_commit(i)
+                if c.get("op") == "reserve_identity":
+                    continue  # pure metadata: touches no files
                 if (
                     c.get("op") != "append"
                     or c.get("remove")
@@ -528,6 +551,7 @@ class TxLogTable:
         generated per-bit gather (functions/zorder.py morton_n_col)
         with bits-per-column shrunk to fit one 64-bit lane."""
         pol = self._snapshot()
+        df = self._assign_identity(df, pol["identity"], "append")
         df = self._apply_generated(df, pol["generated"], "append")
         self._validate_constraints(df, pol["constraints"])
         if cluster_by and zorder_by:
@@ -681,6 +705,148 @@ class TxLogTable:
         ):
             raise TxConflict("drop_generated_column: commit race lost")
         return v
+
+    # -- identity columns (GENERATED ALWAYS AS IDENTITY) ------------------
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Declare ``name`` as GENERATED ALWAYS AS IDENTITY: every
+        row-adding write that OMITS the column gets globally-unique
+        ids assigned from a log-based sequence allocator; writes that
+        SUPPLY it are refused (the ALWAYS contract — uniqueness can't
+        be guaranteed for caller-chosen values without a global
+        check). Allocation protocol: before staging, the writer lands
+        a tiny metadata-only ``reserve_identity`` commit claiming
+        [next, next + n·step) — reservation is serialized by the
+        commit log itself, so concurrent writers get DISJOINT ranges
+        with no coordination service and no re-staging on races; a
+        crash between reserve and append just leaves a gap (sequences
+        have gaps). On a table with existing rows the sequence seeds
+        from max(existing) + step so new ids never collide."""
+        if step == 0:
+            raise ValueError("add_identity_column: step must be nonzero")
+        base = self._snapshot()
+        if base["schema"] is None:
+            raise ValueError(
+                "add_identity_column: table has no schema yet"
+            )
+        schema = T.StructType.fromJson(json.loads(base["schema"]))
+        if name not in schema.fieldNames():
+            raise ValueError(
+                f"add_identity_column: no column {name!r} (declare the "
+                "schema first — e.g. append the table's empty frame)"
+            )
+        nxt = int(start)
+        if base["files"]:
+            mx = (
+                self.read().agg(F.max(name).cast("long")).collect()[0][0]
+            )
+            if mx is not None:
+                nxt = int(mx) + int(step)
+        v = base["version"] + 1
+        if not self._try_commit(
+            v,
+            {
+                "op": "set_identity",
+                "name": name,
+                "step": int(step),
+                "next": nxt,
+            },
+        ):
+            raise TxConflict(
+                "add_identity_column: table advanced past base snapshot"
+            )
+        return v
+
+    def drop_identity_column(self, name: str) -> int:
+        v = self.latest_version() + 1
+        if not self._try_commit(
+            v, {"op": "drop_identity", "name": name}
+        ):
+            raise TxConflict("drop_identity_column: commit race lost")
+        return v
+
+    def _reserve_identity(
+        self, name: str, n: int, max_retries: int = 50
+    ) -> tuple[int, int]:
+        """Claim the next ``n`` sequence values: returns (first, step).
+        One atomic metadata commit; a lost race re-reads and retries
+        (reservations always commute — the log serializes them)."""
+        for _ in range(max_retries):
+            ident = self._snapshot()["identity"][name]
+            hw, step = int(ident["next"]), int(ident["step"])
+            commit = {
+                "op": "reserve_identity",
+                "name": name,
+                "from": hw,
+                "upto": hw + n * step,
+            }
+            if self._try_commit(self.latest_version() + 1, commit):
+                return hw, step
+        raise TxConflict(
+            f"_reserve_identity({name}): lost {max_retries} races"
+        )
+
+    def _assign_identity(
+        self, df: DataFrame, identity: dict, op: str
+    ) -> DataFrame:
+        """Assign reserved ids to every identity column absent from
+        ``df``; refuse supplied ones (ALWAYS). Numbering is
+        partition-local row_number + broadcast per-partition offsets —
+        NO extra shuffle, no global window; the id a row gets is
+        arbitrary within the batch (identity promises uniqueness, not
+        order)."""
+        if not identity:
+            return df
+        supplied = sorted(set(identity) & set(df.columns))
+        if supplied:
+            raise ValueError(
+                f"{op}: column(s) {supplied} are GENERATED ALWAYS AS "
+                "IDENTITY — the engine assigns them; drop them from "
+                "the incoming frame"
+            )
+        stamped = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        counts = stamped.groupBy("__pid").count().collect()
+        total = int(sum(r["count"] for r in counts))
+        if total == 0:
+            out = stamped.drop("__pid")
+            for name in sorted(identity):
+                out = out.withColumn(name, F.lit(None).cast("long"))
+            return out.limit(0)
+        w = Window.partitionBy("__pid").orderBy(
+            F.monotonically_increasing_id()
+        )
+        out = stamped
+        seq = None
+        for name in sorted(identity):
+            first, step = self._reserve_identity(name, total)
+            if seq is None:
+                offsets, running = [], 0
+                for r in sorted(counts, key=lambda r: r["__pid"]):
+                    offsets.append((int(r["__pid"]), running))
+                    running += int(r["count"])
+                values = ", ".join(
+                    f"({p}, {o}L)" for p, o in offsets
+                )
+                off = self.spark.sql(
+                    f"SELECT * FROM VALUES {values} AS t(__pid, __off)"
+                )
+                out = out.join(F.broadcast(off), "__pid").withColumn(
+                    "__seq",
+                    (F.row_number().over(w) - 1 + F.col("__off")).cast(
+                        "long"
+                    ),
+                )
+                seq = F.col("__seq")
+            out = out.withColumn(
+                name,
+                (F.lit(first) + F.lit(step) * seq).cast("long"),
+            )
+        return out.drop("__pid", "__off", "__seq")
 
     # -- column rename (metadata-only, Delta column-mapping shape) -------
 
@@ -866,6 +1032,9 @@ class TxLogTable:
         if self.txn_seen(txn_app, txn_id):
             return None
         pol = self._snapshot()
+        df = self._assign_identity(
+            df, pol["identity"], "append_batch_txn"
+        )
         df = self._apply_generated(df, pol["generated"], "append_batch_txn")
         self._validate_constraints(df, pol["constraints"])
         adds, schema = self._stage(df)
@@ -896,6 +1065,9 @@ class TxLogTable:
         if self.txn_seen(txn_app, txn_id):
             return None
         base = self._snapshot()
+        df = self._assign_identity(
+            df, base["identity"], "overwrite_batch_txn"
+        )
         df = self._apply_generated(
             df, base["generated"], "overwrite_batch_txn"
         )
@@ -978,6 +1150,7 @@ class TxLogTable:
         commit — the caller asked for 'the table becomes exactly df',
         which is undefined if the base moved."""
         base = self._snapshot()
+        df = self._assign_identity(df, base["identity"], "overwrite")
         df = self._apply_generated(df, base["generated"], "overwrite")
         self._validate_constraints(df, base["constraints"])
         adds, schema = self._stage(df)
@@ -1221,6 +1394,14 @@ class TxLogTable:
         """
         base = self._snapshot()
         self._refuse_external_refs(base, "merge_upsert")
+        missing_ident = sorted(set(base["identity"]) - set(source.columns))
+        if missing_ident:
+            raise ValueError(
+                "merge_upsert: whole-row upsert needs every column, but "
+                f"{missing_ident} are GENERATED ALWAYS AS IDENTITY and "
+                "absent from the source — use merge() (its NOT MATCHED "
+                "INSERT assigns ids; matched rows keep theirs)"
+            )
         src = self._apply_generated(
             source, base["generated"], "merge_upsert"
         )
@@ -1329,6 +1510,17 @@ class TxLogTable:
         self._refuse_generated_assignment(
             update_set, base["generated"], "merge"
         )
+        bad_ident = sorted(set(update_set or {}) & set(base["identity"]))
+        if bad_ident:
+            raise ValueError(
+                f"merge: cannot assign IDENTITY column(s) {bad_ident}"
+            )
+        if set(base["identity"]) & set(source.columns):
+            raise ValueError(
+                "merge: the source supplies GENERATED ALWAYS AS "
+                "IDENTITY column(s) — drop them (matched rows keep "
+                "their ids; NOT MATCHED inserts get fresh ones)"
+            )
         source = self._apply_generated(source, base["generated"], "merge")
         self._require_unique_keys(source, keys, "merge")
 
@@ -1419,9 +1611,16 @@ class TxLogTable:
                             else F.lit(None).cast(tgt_types[c])
                         ).alias(c)
                         for c in data_cols
+                        if c not in base["identity"]
                     ]
                 )
             )
+            if base["identity"]:
+                # NOT MATCHED inserts get freshly reserved ids; the
+                # matched/survivor rows keep theirs untouched
+                inserts = self._assign_identity(
+                    inserts, base["identity"], "merge"
+                ).select(*data_cols)
         if survivors is not None and inserts is not None:
             new_data = survivors.unionByName(inserts)
         else:
@@ -1505,6 +1704,11 @@ class TxLogTable:
         self._refuse_generated_assignment(
             set_exprs, base["generated"], "update_where"
         )
+        bad_ident = sorted(set(set_exprs) & set(base["identity"]))
+        if bad_ident:
+            raise ValueError(
+                f"update_where: cannot assign IDENTITY column(s) {bad_ident}"
+            )
         hit_rel = sorted(
             r["__file_rel"]
             for r in df.filter(F.expr(predicate))
@@ -1566,6 +1770,11 @@ class TxLogTable:
         self._refuse_generated_assignment(
             set_exprs, base["generated"], "update_where_mor"
         )
+        bad_ident = sorted(set(set_exprs) & set(base["identity"]))
+        if bad_ident:
+            raise ValueError(
+                f"update_where_mor: cannot assign IDENTITY column(s) {bad_ident}"
+            )
         hits = live.filter(F.expr(predicate))
         per_file = {
             r["__file_rel"]: r["n"]
@@ -1618,6 +1827,9 @@ class TxLogTable:
         by reference."""
         base = self._snapshot()
         self._refuse_external_refs(base, "replace_where")
+        df = self._assign_identity(
+            df, base["identity"], "replace_where"
+        )
         df = self._apply_generated(df, base["generated"], "replace_where")
         self._validate_constraints(df, base["constraints"])
         pred = F.expr(predicate)
@@ -1889,6 +2101,7 @@ class TxLogTable:
             "constraints": dict(snap["constraints"]),
             "bloom_cols": dict(snap["bloom_cols"]),
             "generated": dict(snap["generated"]),
+            "identity": {k: dict(v) for k, v in snap["identity"].items()},
             "renames": [list(r) for r in snap["renames"]],
             "epochs": {
                 _abs(rel): int(

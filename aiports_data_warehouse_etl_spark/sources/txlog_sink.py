@@ -179,6 +179,17 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             self._reclaim(messages)
             return
         snap = t._snapshot()
+        if snap.get("identity"):
+            # id assignment needs reservation + a Spark job; the sink's
+            # commit worker has neither — fail shut, point at the
+            # foreachBatch sink which routes through append_batch_txn
+            self._reclaim(messages)
+            raise ValueError(
+                "txlog sink: table has GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {sorted(snap['identity'])} — use "
+                "TxLogTable.write_stream (foreachBatch) for identity "
+                "tables; this sink cannot assign ids"
+            )
         checks = dict(snap["constraints"])
         for name, expr in snap.get("generated", {}).items():
             # generated columns validate as equality CHECKs here; the

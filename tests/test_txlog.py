@@ -3460,3 +3460,110 @@ def test_drop_column_feed_and_sql(spark, txsql, tbl):
         .collect()
     }
     assert all(n in (0, 1) for n in net.values())
+
+
+# -- identity columns (GENERATED ALWAYS AS IDENTITY) --------------------
+
+
+def test_identity_assignment_unique_and_guarded(spark, tbl):
+    """Appends omitting the identity column get globally-unique ids
+    (disjoint reserved ranges across commits); supplying the column
+    or SETting it is refused (ALWAYS)."""
+    empty = spark.createDataFrame([], "uid long, v double")
+    tbl.append(empty)
+    tbl.add_identity_column("uid", start=10, step=2)
+    tbl.append(spark.createDataFrame([(float(i),) for i in range(40)], "v double"))
+    tbl.append(spark.createDataFrame([(float(i),) for i in range(25)], "v double"))
+    got = tbl.read()
+    ids = [r["uid"] for r in got.select("uid").collect()]
+    assert len(ids) == 65 and len(set(ids)) == 65, "ids must be unique"
+    assert min(ids) == 10 and all((i - 10) % 2 == 0 for i in ids)
+    assert max(ids) == 10 + 2 * 64  # dense: no crash-gaps in this run
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        tbl.append(
+            spark.createDataFrame([(999, 1.0)], "uid long, v double")
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tbl.update_where("v = 0.0", {"uid": "0"})
+    # policy survives checkpointed replay (checkpoint_every=4)
+    t2 = TxLogTable(spark, tbl.path)
+    assert "uid" in t2._snapshot()["identity"]
+
+
+def test_identity_concurrent_reservations_disjoint(spark, tbl):
+    """A reservation race retries from a fresh high-water mark: two
+    writers interleaving never share ids, and a reservation commit
+    landing mid-DML does NOT conflict DML rebases (pure metadata)."""
+    tbl.append(spark.createDataFrame([], "uid long, v double"))
+    tbl.add_identity_column("uid")
+    other = TxLogTable(spark, tbl.path)
+    orig = tbl._try_commit
+    injected = []
+
+    def racy(version, commit):
+        if not injected and commit.get("op") == "reserve_identity":
+            injected.append(1)
+            # the other writer reserves + appends first
+            other.append(
+                spark.createDataFrame([(9.0,), (8.0,)], "v double")
+            )
+        return orig(version, commit)
+
+    tbl._try_commit = racy
+    tbl.append(spark.createDataFrame([(1.0,), (2.0,)], "v double"))
+    tbl._try_commit = orig
+    assert injected
+    ids = [r["uid"] for r in tbl.read().collect()]
+    assert len(ids) == 4 and len(set(ids)) == 4, f"id collision: {ids}"
+    # reserve commits are rebase-transparent for DML
+    tbl.delete_where("v = 9.0")
+    assert tbl.read().count() == 3
+
+
+def test_identity_seeds_from_existing_and_merge_inserts(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, 1.0), (7, 2.0)], "uid long, v double"
+    )
+    tbl.append(df)
+    tbl.add_identity_column("uid", start=1, step=1)
+    # seeded past the existing max
+    src = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tbl.merge_upsert(
+            spark.createDataFrame([(5.0,)], "v double"), keys=["v"]
+        )
+    tbl.merge(src, keys=["v"], update_set=None, insert=True)
+    got = {r["uid"]: r["v"] for r in tbl.read().collect()}
+    assert got[1] == 1.0 and got[7] == 2.0, "existing ids untouched"
+    new_ids = sorted(set(got) - {1, 7})
+    assert new_ids == [8, 9], f"seed must start past max: {new_ids}"
+    # rows keep their ids through an UPDATE of another column
+    id_of_3 = {r["v"]: r["uid"] for r in tbl.read().collect()}[3.0]
+    tbl.update_where("v = 3.0", {"v": "v + 100"})
+    got = {r["v"]: r["uid"] for r in tbl.read().collect()}
+    assert got[103.0] == id_of_3, "row keeps its id through UPDATE"
+
+
+def test_identity_native_sink_refuses(spark, tbl, tmp_path):
+    tbl.append(spark.createDataFrame([], "uid long, v double"))
+    tbl.add_identity_column("uid")
+    ingest = str(tmp_path / "in")
+    spark.createDataFrame([(1.0,)], "v double").write.parquet(ingest)
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        register_txlog_sink,
+    )
+
+    register_txlog_sink(spark)
+    q = (
+        spark.readStream.schema("v double")
+        .parquet(ingest)
+        .writeStream.format("txlog")
+        .option("path", tbl.path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "IDENTITY" in str(ei.value)
+    assert tbl.read().count() == 0
