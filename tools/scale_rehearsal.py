@@ -55,6 +55,7 @@ FAMILIES = [
     "tlog_merge_conditional", "tlog_update_where", "tlog_update_mor",
     "tlog_replace_where", "stream_txlog_native_sink",
     "tlog_sql_dml", "tlog_generated_columns", "split_leakage_safe",
+    "tlog_rename_column", "tlog_drop_column", "tlog_identity_column",
     "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
