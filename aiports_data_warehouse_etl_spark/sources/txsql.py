@@ -399,10 +399,55 @@ class TxSql:
         if m:
             name, col = m.groups()
             return self._table(name, stmt).drop_column(col)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"({_IDENT})\s+CHECK\s*\((.+)\)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, cname, check = m.groups()
+            return self._table(name, stmt).add_check(
+                cname, check.strip()
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name, cname = m.groups()
+            return self._table(name, stmt).drop_check(cname)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+SET\s+GENERATED\s+AS\s*\((.+)\)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, col, expr = m.groups()
+            return self._table(name, stmt).add_generated_column(
+                col, expr.strip()
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+SET\s+IDENTITY"
+            rf"(?:\s*\(\s*START\s+(-?\d+)\s+STEP\s+(-?\d+)\s*\))?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name, col, start, step = m.groups()
+            return self._table(name, stmt).add_identity_column(
+                col, start=int(start or 1), step=int(step or 1)
+            )
         raise ValueError(
-            "TxSql: expected 'ALTER TABLE <table> RENAME COLUMN "
-            "<old> TO <new>' or 'ALTER TABLE <table> DROP COLUMN "
-            f"<col>', got: {stmt}"
+            "TxSql: supported ALTER forms: RENAME COLUMN <old> TO "
+            "<new> | DROP COLUMN <col> | ADD CONSTRAINT <name> CHECK "
+            "(<expr>) | DROP CONSTRAINT <name> | ALTER COLUMN <col> "
+            "SET GENERATED AS (<expr>) | ALTER COLUMN <col> SET "
+            f"IDENTITY [(START n STEP m)] — got: {stmt}"
         )
 
     def _create(self, stmt: str) -> int:

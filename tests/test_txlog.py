@@ -3567,3 +3567,37 @@ def test_identity_native_sink_refuses(spark, tbl, tmp_path):
         q.awaitTermination(120)
     assert "IDENTITY" in str(ei.value)
     assert tbl.read().count() == 0
+
+
+def test_txsql_ddl_constraint_generated_identity(spark, txsql, tbl):
+    """The SQL frontend routes the full DDL surface: CHECK
+    constraints, generated columns, identity columns."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    txsql.sql("ALTER TABLE t ADD CONSTRAINT v_small CHECK (v < 1000)")
+    with pytest.raises(ConstraintViolation, match="v_small"):
+        txsql.sql("INSERT INTO t VALUES (500, 5000.0, 'X')")
+    txsql.sql("ALTER TABLE t DROP CONSTRAINT v_small")
+    txsql.sql("INSERT INTO t VALUES (500, 5000.0, 'X')")
+    assert tbl.read().count() == 101
+    # generated column over the existing data (register truth)
+    txsql.sql(
+        "ALTER TABLE t ALTER COLUMN v SET GENERATED AS (v * 1.0)"
+    )
+    assert tbl._snapshot()["generated"] == {"v": "v * 1.0"}
+    tbl.drop_generated_column("v")
+    # identity on a fresh table through SQL end-to-end
+    txsql.sql(
+        f"CREATE TABLE t3 PATH '{tbl.path}_t3' AS "
+        "SELECT CAST(NULL AS LONG) AS uid, v FROM t WHERE 1 = 0"
+    )
+    txsql.sql(
+        "ALTER TABLE t3 ALTER COLUMN uid SET IDENTITY (START 5 STEP 5)"
+    )
+    txsql.sql("INSERT INTO t3 SELECT v FROM t WHERE id < 10")
+    ids = sorted(
+        r["uid"] for r in txsql.sql("SELECT uid FROM t3").collect()
+    )
+    assert ids == list(range(5, 55, 5))
