@@ -3396,7 +3396,7 @@ def test_txsql_alter_rename(spark, txsql, tbl):
         "SELECT round(sum(score), 1) AS s FROM t"
     ).collect()[0]["s"]
     assert got == float(sum(range(100)))
-    with pytest.raises(ValueError, match="expected 'ALTER"):
+    with pytest.raises(ValueError, match="supported ALTER forms"):
         txsql.sql("ALTER TABLE t ADD COLUMN x INT")
 
 
