@@ -85,6 +85,29 @@ def vector_cosine(a: Column, b: Column) -> Column:
     return pandas_udf(_vector_cosine_kernel, "double")(a, b)
 
 
+def vector_cosine_with_prefix(a: Column, b: Column, prefix_dims: int) -> Column:
+    """One Arrow round-trip computing BOTH the full-dimension cosine
+    and the cosine of the first ``prefix_dims`` coordinates, returned
+    as struct<cos_full:double, cos_trunc:double>. Matryoshka-style
+    evaluations need both scores per pair; fusing them ships each
+    vector across Arrow once instead of twice (and the prefix slice is
+    a free numpy view, not a second array build)."""
+
+    def kernel(av: pd.Series, bv: pd.Series) -> pd.DataFrame:
+        A = np.stack(av.to_numpy())
+        B = np.stack(bv.to_numpy())
+        full = np.einsum("ij,ij->i", A, B) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        Ap, Bp = A[:, :prefix_dims], B[:, :prefix_dims]
+        trunc = np.einsum("ij,ij->i", Ap, Bp) / (
+            np.linalg.norm(Ap, axis=1) * np.linalg.norm(Bp, axis=1)
+        )
+        return pd.DataFrame({"cos_full": full, "cos_trunc": trunc})
+
+    return pandas_udf(kernel, "cos_full double, cos_trunc double")(a, b)
+
+
 def _as_double(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = ()) -> DataFrame:
     # float32 → double BEFORE any arithmetic: keeps Spark and the
     # DuckDB oracle numerically identical (both fold in list order).

@@ -11823,7 +11823,14 @@ def emb_matryoshka_truncate(spark, sf_dir):
     two-stage ANN deployment). Both rankings are brute-force with a
     broadcast 20-row probe side (declared-exact yardstick, same
     pattern as sim_bruteforce_topk); tie-broken on vec_id so the
-    DuckDB twin is bit-exact."""
+    DuckDB twin is bit-exact.
+
+    Both cosines come from ONE Arrow kernel call
+    (``S.vector_cosine_with_prefix``: one einsum pair per batch, each
+    vector shipped across Arrow once) — the per-pair
+    ``aggregate(zip_with(...))`` HOF form this replaced runs on the
+    interpreted expression path at ~60µs/pair, the exact trap
+    SCALE.md documents (VERDICT r6 #2)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -11832,35 +11839,16 @@ def emb_matryoshka_truncate(spark, sf_dir):
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     )
 
-    def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.transform(b, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return dot / (na * nb)
-
     pairs = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
-    trunc = lambda c: F.slice(c, 1, 16)  # noqa: E731
     scored = pairs.select(
         "qid",
         "vec_id",
-        cos(F.col("qv"), F.col("v")).alias("cos_full"),
-        cos(trunc(F.col("qv")), trunc(F.col("v"))).alias("cos_trunc"),
+        S.vector_cosine_with_prefix(F.col("qv"), F.col("v"), 16).alias("cc"),
+    ).select(
+        "qid",
+        "vec_id",
+        F.col("cc.cos_full").alias("cos_full"),
+        F.col("cc.cos_trunc").alias("cos_trunc"),
     )
     wf = Window.partitionBy("qid").orderBy(
         F.desc("cos_full"), F.asc("vec_id")
