@@ -58,6 +58,24 @@ _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"  # in-flight writer intent markers (see _stage)
 _VERSION_WIDTH = 20
 
+#: Commit ops a STAGED BLIND APPEND may rebase over: none of these
+#: change the column-naming epoch, the write policy (CHECK /
+#: generated / identity), or the protocol, so a file staged and
+#: validated against an older policy snapshot is still truthful on
+#: the newer one. Everything else — rename/drop epoch bumps, new
+#: constraints or generated/identity registrations, protocol bumps,
+#: overwrite/restore/clone — invalidates either the staged file's
+#: physical column names or its pre-stage validation, and must
+#: surface as TxConflict so the writer re-validates from fresh state
+#: (Delta raises MetadataChangedException here; ADVICE r6 #2).
+#: Default-deny: ops not in this set conflict.
+_APPEND_REBASE_SAFE = frozenset({
+    "append", "reserve_identity", "compact", "delete", "delete_dv",
+    "update", "update_mor", "merge", "replace_where", "materialize",
+    "bloom_index", "drop_bloom_index", "drop_constraint",
+    "drop_generated", "drop_identity",
+})
+
 
 def _version_path(table_path: str, version: int) -> str:
     return os.path.join(
@@ -481,6 +499,20 @@ class TxLogTable:
             commit["rebased_onto"] = latest
             v = latest + 1
 
+    def _append_policy_conflict(
+        self, since: int, upto: int
+    ) -> str | None:
+        """First commit in ``(since, upto]`` a staged blind append may
+        NOT rebase over (see ``_APPEND_REBASE_SAFE``), rendered as
+        ``"v<version>:<op>"``; ``None`` when every intervener is safe.
+        ``since`` is the version of the policy snapshot the append
+        validated against."""
+        for i in range(since + 1, upto + 1):
+            op = self._read_commit(i).get("op")
+            if op not in _APPEND_REBASE_SAFE:
+                return f"v{i}:{op}"
+        return None
+
     def _marker_path(self, token: str) -> str:
         return os.path.join(self.path, _STAGING_DIR, token)
 
@@ -589,6 +621,16 @@ class TxLogTable:
         adds, schema = self._stage(df)
         for _ in range(max_retries):
             v = self.latest_version() + 1
+            # a rebase is only legal over interveners that change no
+            # policy/epoch — a concurrent rename/constraint/identity/
+            # protocol commit since the policy snapshot means the
+            # staged file or its validation is stale (ADVICE r6 #2)
+            bad = self._append_policy_conflict(pol["version"], v - 1)
+            if bad is not None:
+                raise TxConflict(
+                    f"append: concurrent schema/policy commit {bad} "
+                    "since the policy snapshot — re-read and retry"
+                )
             if self._try_commit(v, {"op": "append", "add": adds,
                                     "schema": schema}):
                 return v
@@ -772,9 +814,17 @@ class TxLogTable:
     ) -> tuple[int, int]:
         """Claim the next ``n`` sequence values: returns (first, step).
         One atomic metadata commit; a lost race re-reads and retries
-        (reservations always commute — the log serializes them)."""
+        (reservations always commute — the log serializes them).
+
+        The commit MUST target the same snapshot the high-water mark
+        was read from: committing at ``latest_version()+1`` re-read
+        after the snapshot would let a reservation that landed in
+        between go unseen — this writer would claim a later log slot
+        with a stale ``from`` and both writers would hand out the same
+        id range (ADVICE r6 #1)."""
         for _ in range(max_retries):
-            ident = self._snapshot()["identity"][name]
+            snap = self._snapshot()
+            ident = snap["identity"][name]
             hw, step = int(ident["next"]), int(ident["step"])
             commit = {
                 "op": "reserve_identity",
@@ -782,7 +832,7 @@ class TxLogTable:
                 "from": hw,
                 "upto": hw + n * step,
             }
-            if self._try_commit(self.latest_version() + 1, commit):
+            if self._try_commit(snap["version"] + 1, commit):
                 return hw, step
         raise TxConflict(
             f"_reserve_identity({name}): lost {max_retries} races"
@@ -883,6 +933,16 @@ class TxLogTable:
                 f"rename_column: {old!r} has a bloom file index keyed "
                 "by the physical name — drop_bloom_index first, "
                 "re-add on the new name after"
+            )
+        if old in base["identity"]:
+            # the identity registry is keyed by column NAME: renaming
+            # or dropping underneath it would leave every later append
+            # injecting fresh ids under the old (gone) name — silently
+            # resurrecting a dropped column (ADVICE r6 #3)
+            raise ValueError(
+                f"rename_column: {old!r} is GENERATED ALWAYS AS "
+                "IDENTITY — drop_identity_column first, re-add on "
+                "the new name after"
             )
         word = re.compile(rf"\b{re.escape(old)}\b")
         for kind, exprs in (
@@ -1042,6 +1102,13 @@ class TxLogTable:
             if self.txn_seen(txn_app, txn_id):
                 return None  # another attempt of the same batch won
             v = self.latest_version() + 1
+            bad = self._append_policy_conflict(pol["version"], v - 1)
+            if bad is not None:
+                raise TxConflict(
+                    f"append_batch_txn: concurrent schema/policy "
+                    f"commit {bad} since the policy snapshot — "
+                    "re-read and retry"
+                )
             commit = {
                 "op": "append",
                 "add": adds,
@@ -1879,7 +1946,64 @@ class TxLogTable:
             "schema": schema,
             "base_version": base["version"],
         }
-        return self._commit_or_rebase(base["version"], commit, "replace_where")
+        # NOT _commit_or_rebase: a rebase over a concurrent blind
+        # append is only sound here if the appended rows lie OUTSIDE
+        # the replaced slice — rebasing over an append INTO the slice
+        # would break the "table becomes exactly df for the slice"
+        # idempotent-reload contract (Delta raises
+        # ConcurrentAppendException when concurrently added files
+        # match replaceWhere; ADVICE r6 #5). So each intervening blind
+        # append's files are probed against the predicate (one
+        # limit(1) scan of just those files); a hit — or anything
+        # unprovable (schema drift, unreadable) — conflicts.
+        v = base["version"] + 1
+        while True:
+            if self._try_commit(v, commit):
+                return v
+            latest = self.latest_version()
+            iv_schema = False
+            new_rel: list[str] = []
+            for i in range(v, latest + 1):
+                c = self._read_commit(i)
+                if c.get("op") == "reserve_identity":
+                    continue
+                if (
+                    c.get("op") != "append"
+                    or c.get("remove")
+                    or c.get("dv_targets")
+                ):
+                    raise TxConflict(
+                        f"replace_where: conflicting concurrent commit "
+                        f"{i} (op={c.get('op')!r}) — retry from a "
+                        "fresh snapshot"
+                    )
+                if c.get("schema"):
+                    iv_schema = True
+                new_rel += [a["path"] for a in c.get("add", [])]
+            if new_rel:
+                paths = [
+                    r if os.path.isabs(r) else os.path.join(self.path, r)
+                    for r in sorted(set(new_rel))
+                ]
+                try:
+                    appended_hit = bool(
+                        self.spark.read.parquet(*paths)
+                        .filter(pred)
+                        .limit(1)
+                        .collect()
+                    )
+                except Exception:
+                    appended_hit = True  # can't prove disjoint
+                if appended_hit:
+                    raise TxConflict(
+                        "replace_where: concurrent append added rows "
+                        f"inside the replaced slice {predicate!r} — "
+                        "retry from a fresh snapshot"
+                    )
+            if iv_schema:
+                commit.pop("schema", None)
+            commit["rebased_onto"] = latest
+            v = latest + 1
 
     def compact(
         self,

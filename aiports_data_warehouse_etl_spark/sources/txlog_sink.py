@@ -213,7 +213,20 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             "txn_id": int(batchId),
         }
         for _ in range(20):
-            if t._try_commit(t.latest_version() + 1, commit):
+            v = t.latest_version() + 1
+            # same rebase discipline as TxLogTable.append: a
+            # concurrent rename/constraint/identity/protocol commit
+            # since the policy snapshot invalidates this batch's
+            # staged file or its validation — fail shut, the stream
+            # restarts the batch against fresh state (ADVICE r6 #2)
+            bad = t._append_policy_conflict(snap["version"], v - 1)
+            if bad is not None:
+                self._reclaim(messages)
+                raise TxConflict(
+                    f"txlog sink: concurrent schema/policy commit "
+                    f"{bad} since the batch's policy snapshot"
+                )
+            if t._try_commit(v, commit):
                 return
             if t.txn_seen(self.app, int(batchId)):
                 self._reclaim(messages)  # a concurrent replay won

@@ -264,11 +264,23 @@ class TxSql:
             action = cm.group(3).strip()
             act_head = action.split(None, 1)[0].upper()
             if matched and act_head == "DELETE":
-                if delete_cond is not None or (
-                    cond is None and update_set is not None
-                ):
+                if delete_cond is not None:
                     raise ValueError(
-                        f"TxSql: duplicate/ambiguous DELETE clause: {stmt}"
+                        f"TxSql: duplicate DELETE clause: {stmt}"
+                    )
+                if update_set is not None:
+                    # ANSI/Delta MATCHED clauses fire in WRITTEN order
+                    # (first match wins) but the engine always
+                    # evaluates DELETE before UPDATE — accepting
+                    # 'UPDATE ... DELETE' order would silently delete
+                    # rows the written order says to update. Loud
+                    # refusal, same policy as the other unsupported
+                    # shapes (ADVICE r6 #4).
+                    raise ValueError(
+                        "TxSql: WHEN MATCHED ... DELETE must be "
+                        "written BEFORE the UPDATE clause (the engine "
+                        "evaluates DELETE first; ANSI fires clauses "
+                        f"in written order): {stmt}"
                     )
                 delete_cond = cond or "TRUE"
             elif matched and act_head == "UPDATE":

@@ -2670,6 +2670,120 @@ def test_replace_where_refuses_stray_rows(spark, tbl):
     assert t2.read().count() == o.filter("o_orderkey < 500").count()
 
 
+def test_replace_where_concurrent_append_into_slice_conflicts(spark, tbl):
+    """A concurrent blind append whose rows land INSIDE the replaced
+    slice must raise TxConflict (Delta: ConcurrentAppendException) —
+    rebasing over it would break the 'table becomes exactly df for
+    the slice' idempotent-reload contract. Appends OUTSIDE the slice
+    still rebase freely (ADVICE r6 #5)."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 5 else "B") for i in range(10)],
+        "id long, g string",
+    )
+    tbl.append(df)
+    other = TxLogTable(spark, tbl.path)
+    orig = tbl._try_commit
+    injected = []
+
+    def racy_inside(version, commit):
+        if not injected and commit.get("op") == "replace_where":
+            injected.append(1)
+            other.append(
+                spark.createDataFrame([(100, "A")], "id long, g string")
+            )
+        return orig(version, commit)
+
+    tbl._try_commit = racy_inside
+    with pytest.raises(TxConflict, match="inside the replaced slice"):
+        tbl.replace_where(
+            spark.createDataFrame([(50, "A")], "id long, g string"),
+            "g = 'A'",
+        )
+    tbl._try_commit = orig
+    assert injected
+    # retry-from-read sees the appended row and replaces it too
+    injected2 = []
+
+    def racy_outside(version, commit):
+        if not injected2 and commit.get("op") == "replace_where":
+            injected2.append(1)
+            other.append(
+                spark.createDataFrame([(200, "B")], "id long, g string")
+            )
+        return orig(version, commit)
+
+    tbl._try_commit = racy_outside
+    tbl.replace_where(
+        spark.createDataFrame([(51, "A")], "id long, g string"),
+        "g = 'A'",
+    )
+    tbl._try_commit = orig
+    assert injected2
+    got = {r["id"] for r in tbl.read().collect()}
+    assert got == {5, 6, 7, 8, 9, 51, 200}, got
+
+
+def test_append_refuses_rebase_over_policy_commit(spark, tbl):
+    """A staged append must NOT blindly rebase over a concurrent
+    schema/policy commit: the staged file carries pre-rename physical
+    names and was validated against the pre-commit policy. Delta
+    raises MetadataChangedException; we raise TxConflict (ADVICE r6
+    #2). Pure-data interveners (DML) still rebase."""
+    tbl.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    other = TxLogTable(spark, tbl.path)
+    orig_stage = tbl._stage
+
+    def stage_then_rename(df):
+        out = orig_stage(df)
+        other.rename_column("v", "val")
+        return out
+
+    tbl._stage = stage_then_rename
+    with pytest.raises(TxConflict, match="rename_column"):
+        tbl.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    tbl._stage = orig_stage
+    assert tbl.read().columns == ["id", "val"]
+    assert tbl.read().count() == 1, "conflicted append must not land"
+
+    def stage_then_check(df):
+        out = orig_stage(df)
+        other.add_check("v_cap", "val < 100")
+        return out
+
+    tbl._stage = stage_then_check
+    with pytest.raises(TxConflict, match="set_constraint"):
+        tbl.append(
+            spark.createDataFrame([(3, 3.0)], "id long, val double")
+        )
+    tbl._stage = orig_stage
+
+    def stage_then_delete(df):
+        out = orig_stage(df)
+        other.delete_where("id = 1")
+        return out
+
+    tbl._stage = stage_then_delete
+    tbl.append(spark.createDataFrame([(4, 4.0)], "id long, val double"))
+    tbl._stage = orig_stage
+    got = {r["id"] for r in tbl.read().collect()}
+    assert got == {4}, "DML intervener rebases; conflicted appends gone"
+
+
+def test_rename_and_drop_refuse_identity_column(spark, tbl):
+    """Renaming or dropping a column registered GENERATED ALWAYS AS
+    IDENTITY is refused (the identity registry is keyed by name —
+    ADVICE r6 #3); drop the identity policy first, then rename."""
+    tbl.append(spark.createDataFrame([], "uid long, v double"))
+    tbl.add_identity_column("uid")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tbl.rename_column("uid", "uid2")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tbl.drop_column("uid")
+    tbl.drop_identity_column("uid")
+    tbl.rename_column("uid", "uid2")
+    assert tbl.read().columns == ["uid2", "v"]
+
+
 # -- native streaming sink (Python Data Source write API) -------------
 
 
@@ -2860,6 +2974,29 @@ def test_txsql_merge_full_statement(spark, txsql, tbl):
     assert 6 not in got, "delete clause fires first"
     assert got[999] == 9.0, "not-matched row inserts"
     assert len(got) == 100  # 100 - 1 delete + 1 insert
+
+
+def test_txsql_merge_refuses_delete_after_update(spark, txsql, tbl):
+    """ANSI/Delta fire MATCHED clauses in WRITTEN order; the engine
+    always evaluates DELETE first — so a DELETE clause written AFTER
+    an UPDATE clause is refused loudly rather than silently deleting
+    rows the written order says to update (ADVICE r6 #4)."""
+    spark.createDataFrame(
+        [(5, 500.0, "A")], "id long, v double, g string"
+    ).createOrReplaceTempView("upd_order")
+    with pytest.raises(ValueError, match="BEFORE the UPDATE"):
+        txsql.sql(
+            "MERGE INTO t AS t USING upd_order AS s ON t.id = s.id "
+            "WHEN MATCHED AND t.v < 10 THEN UPDATE SET v = s.v "
+            "WHEN MATCHED AND t.v >= 10 THEN DELETE"
+        )
+    # written delete-first matches engine evaluation order: accepted
+    txsql.sql(
+        "MERGE INTO t AS t USING upd_order AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.v >= 1000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert tbl.read().filter("id = 5").collect()[0]["v"] == 500.0
 
 
 def test_txsql_merge_subquery_source_and_conditions(spark, txsql, tbl):
@@ -3518,6 +3655,39 @@ def test_identity_concurrent_reservations_disjoint(spark, tbl):
     # reserve commits are rebase-transparent for DML
     tbl.delete_where("v = 9.0")
     assert tbl.read().count() == 3
+
+
+def test_identity_race_between_snapshot_and_commit(spark, tbl):
+    """The reservation commit must target the version of the SNAPSHOT
+    the high-water mark was read from. A concurrent reservation that
+    lands after this writer's snapshot but before its commit must
+    force a retry — committing at a re-read latest_version()+1 would
+    succeed with a stale 'from' and hand both writers the same id
+    range (ADVICE r6 #1: the window the older test never hit, because
+    it injected only after the commit version was already computed)."""
+    tbl.append(spark.createDataFrame([], "uid long, v double"))
+    tbl.add_identity_column("uid")
+    other = TxLogTable(spark, tbl.path)
+    orig_snap = tbl._snapshot
+    injected = []
+
+    def racy_snapshot(version=None):
+        snap = orig_snap(version)
+        if not injected and version is None:
+            injected.append(1)
+            # the other writer's reservation lands INSIDE the window
+            other._reserve_identity("uid", 5)
+        return snap
+
+    tbl._snapshot = racy_snapshot
+    first, step = tbl._reserve_identity("uid", 3)
+    tbl._snapshot = orig_snap
+    assert injected
+    other_first = 1  # other reserved [1, 1+5) before ours committed
+    ours = set(range(first, first + 3 * step, step))
+    theirs = set(range(other_first, other_first + 5 * step, step))
+    assert not ours & theirs, f"overlapping id ranges: {ours & theirs}"
+    assert first == 6, f"stale high-water mark survived: from={first}"
 
 
 def test_identity_seeds_from_existing_and_merge_inserts(spark, tbl):
