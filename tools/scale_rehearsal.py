@@ -59,6 +59,10 @@ FAMILIES = [
     "stream_txlog_cdf_source", "stream_foreachbatch_txlog",
     "matview_incremental_refresh", "matview_minmax_refresh",
     "matview_streaming_maintenance", "matview_distinct_refresh",
+    # r7 (VERDICT r6 #4): the heavy event-analytics windows — the one
+    # family in the never-swept backlog with no scale row yet
+    "evt_peak_concurrency", "evt_funnel_conversion",
+    "evt_rolling_zscore", "evt_transition_matrix",
 ]
 
 SF01 = "/root/testdata/sf0.1"
