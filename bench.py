@@ -51,6 +51,22 @@ HEADLINE = [
 ]
 
 
+def _cpu_busy_seconds() -> float | None:
+    """Aggregate non-idle CPU seconds from /proc/stat (all cpus).
+    Throttle forensics: for the SAME query the busy core-seconds are
+    an invariant of the work, so a rep whose wall time balloons while
+    its busy core-seconds stay flat was stalled by the HOST (vCPU
+    descheduling shows up as guest idle here, steal stays 0 on this
+    box — BENCH_NOTES.md), not by the engine. None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _family(name: str) -> str:
     for fam in ("tpch", "dedup", "sim", "emb", "text", "win", "evt",
                 "agg", "graph", "ts", "skew", "stream"):
@@ -94,8 +110,12 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    busy_frac: dict[str, float] = {}
+    throttled: set[str] = set()
+    ncpu = os.cpu_count() or 1
     for name in sorted(QUERIES):
         samples: list[float] = []
+        busies: list[float] = []
         # Adaptive tail: when the recorded reps disagree >2× on a
         # non-trivial query, the box was in a CPU-throttle window (the
         # dominant noise source here — see BENCH_NOTES.md) and even the
@@ -106,9 +126,31 @@ def main() -> None:
             and min(samples) > 1.0
             and max(samples) > 2 * min(samples)
         ):
+            b0 = _cpu_busy_seconds()
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+            b1 = _cpu_busy_seconds()
+            busies.append(
+                b1 - b0 if b0 is not None and b1 is not None else -1.0
+            )
+        # Throttle bit (VERDICT r6 #5): walls spread >2× on a >1s
+        # query while the busy core-seconds stay flat (<1.5× spread)
+        # means the same work took wildly different wall time — an
+        # external stall, not a plan property. Recorded per query so
+        # regressions self-annotate instead of needing a narrative.
+        if (
+            min(samples) > 1.0
+            and max(samples) > 2 * min(samples)
+            and min(busies) >= 0
+            and max(busies) < 1.5 * max(min(busies), 0.05)
+        ):
+            throttled.add(name)
+        best_i = samples.index(min(samples))
+        if busies[best_i] >= 0:
+            busy_frac[name] = round(
+                busies[best_i] / (max(samples[best_i], 1e-9) * ncpu), 3
+            )
         # Drop internal persists AFTER the query's reps (not between
         # them — rep 2 then measures the warm plan and best-of keeps
         # it) so cached blocks don't pile up across the registry and
@@ -117,7 +159,8 @@ def main() -> None:
         # (sources/io.py / operators/dedup.py storageLevel check).
         spark.catalog.clearCache()
         timings[name] = round(min(samples), 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        tag = " [throttled]" if name in throttled else ""
+        print(f"  {name}: {timings[name]}s{tag}", file=sys.stderr)
 
     # Host-level CPU-throttle windows can outlast even the adaptive
     # rep tail (observed: one query recording ~10× its clean-window
@@ -132,6 +175,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
         if dt < timings[name]:
+            if dt < timings[name] / 1.5:
+                # the in-loop best was itself a stalled measurement
+                throttled.add(name)
             print(
                 f"  re-probe {name}: {timings[name]}s -> {round(dt, 3)}s",
                 file=sys.stderr,
@@ -146,7 +192,14 @@ def main() -> None:
     )
     with open(full_path, "w") as f:
         json.dump(
-            {"total": total, "sf": sf, "reps": reps, "queries": timings},
+            {
+                "total": total,
+                "sf": sf,
+                "reps": reps,
+                "queries": timings,
+                "throttled": sorted(throttled),
+                "busy_frac": busy_frac,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -162,6 +215,7 @@ def main() -> None:
                 "queries": compact,
                 "sf": sf,
                 "reps": reps,
+                "throttled_n": len(throttled),
             }
         )
     )
