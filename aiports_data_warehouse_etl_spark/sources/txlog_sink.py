@@ -73,6 +73,21 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
         self.path = options["path"]
         self.app = options.get("txn_app", f"txlog_sink:{self.path}")
         self.schema_json = schema.json()
+        # The sink's write schema is frozen at STREAM START, so a
+        # rename/drop epoch bump landing any time during the stream's
+        # life makes every later staged file carry stale physical
+        # names. The per-commit policy inspection below only sees the
+        # window since its own snapshot; this start marker lets each
+        # commit scan (incrementally) for rename commits since stream
+        # start and fail the stream for a restart — Delta's
+        # schema-change-stops-the-stream behavior.
+        from aiports_data_warehouse_etl_spark.sources.txlog import (
+            TxLogTable,
+        )
+
+        self._rename_checked_upto = TxLogTable(
+            None, self.path
+        ).latest_version()
 
     # -- executors: Arrow batches -> one staged parquet file per task --
 
@@ -179,6 +194,21 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             self._reclaim(messages)
             return
         snap = t._snapshot()
+        # rename/drop since STREAM START (not just since this batch's
+        # snapshot): staged files carry the stream-start physical
+        # names, so any epoch bump in the stream's lifetime means this
+        # and every later batch would land stale names under the new
+        # epoch. Incremental scan — each commit only reads the log
+        # suffix it hasn't inspected yet.
+        for i in range(self._rename_checked_upto + 1, snap["version"] + 1):
+            if t._read_commit(i).get("op") == "rename_column":
+                self._reclaim(messages)
+                raise TxConflict(
+                    f"txlog sink: column rename/drop at table version "
+                    f"{i} during the stream's lifetime — the sink's "
+                    "write schema is stale; restart the stream"
+                )
+        self._rename_checked_upto = snap["version"]
         if snap.get("identity"):
             # id assignment needs reservation + a Spark job; the sink's
             # commit worker has neither — fail shut, point at the

@@ -2872,6 +2872,37 @@ def test_txlog_native_sink_replayed_batch_is_noop(spark, tmp_path):
     assert not os.path.exists(staging) or not os.listdir(staging)
 
 
+def test_txlog_native_sink_refuses_rename_during_stream(spark, tmp_path):
+    """The sink's write schema freezes at stream start; a rename/drop
+    epoch bump during the stream's lifetime must fail the batch for a
+    restart (Delta's schema-change-stops-the-stream), otherwise every
+    later staged file lands stale physical names under the new epoch."""
+    import pyarrow as pa
+
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        _TxLogStreamWriter,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable(spark, path)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    w = _TxLogStreamWriter({"path": path}, t.read().schema)
+    t.rename_column("v", "val")
+    msg = w.write(
+        iter([pa.RecordBatch.from_pydict({"id": [2], "v": [2.0]})])
+    )
+    with pytest.raises(TxConflict, match="restart the stream"):
+        w.commit([msg], 0)
+    assert t.read().count() == 1, "failed batch must leave no rows"
+    # a NEW stream (fresh writer, post-rename schema) proceeds
+    w2 = _TxLogStreamWriter({"path": path}, t.read().schema)
+    msg2 = w2.write(
+        iter([pa.RecordBatch.from_pydict({"id": [3], "val": [3.0]})])
+    )
+    w2.commit([msg2], 0)
+    assert t.read().count() == 2
+
+
 def test_txlog_native_sink_validates_constraints(spark, tmp_path):
     from aiports_data_warehouse_etl_spark.sources.txlog import (
         ConstraintViolation,

@@ -2,6 +2,12 @@
 registry query on Spark and DuckDB at a given sf dir, compare, and time.
 
 Usage: python tools/replica_sweep.py [sf_dir] [query_name ...]
+                                     [--out=FILE.json]
+
+With --out, the full per-query result map (status / sec / problems)
+is written as a committed-artifact-shaped JSON — the interim
+evidence VERDICT r6 #1 asked for while the driver's 50-slot windows
+catch up with the registry.
 """
 from __future__ import annotations
 
@@ -19,8 +25,13 @@ from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    out_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     qs = entry.queries()
     oracles = entry.oracle_sql()
     # mirror bench.py's heap: the local-mode default 1g driver is too
@@ -61,6 +72,21 @@ def main() -> None:
     print(f"\nTOTAL {total:.1f}s  {len(results)} queries  {len(fails)} failures")
     if fails:
         print(json.dumps(fails, indent=2))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total_sec": round(total, 1),
+                    "n_queries": len(results),
+                    "n_failures": len(fails),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
