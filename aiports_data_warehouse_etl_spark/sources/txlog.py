@@ -822,7 +822,13 @@ class TxLogTable:
         between go unseen — this writer would claim a later log slot
         with a stale ``from`` and both writers would hand out the same
         id range (ADVICE r6 #1)."""
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
+            if attempt:
+                # deterministic linear backoff (capped): under N-writer
+                # contention a tight loop makes every writer replay a
+                # snapshot per lost race; a few ms of spacing lets the
+                # winner's commit land and cuts the retry storm
+                time.sleep(min(0.002 * attempt, 0.05))
             snap = self._snapshot()
             ident = snap["identity"][name]
             hw, step = int(ident["next"]), int(ident["step"])
