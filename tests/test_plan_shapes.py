@@ -1013,3 +1013,14 @@ def test_simhash_pairs_have_no_postjoin_dedup(spark, sf_small):
     p = plan(simhash_pairs(docs))
     assert "keys=[id_a" not in p and "keys=[id_b" not in p
     assert p.count("HashAggregate") == 0
+
+
+def test_matryoshka_uses_arrow_kernel_not_hof(spark, sf_small):
+    """r7 rewrite (VERDICT r6 #2): both matryoshka cosine rankings go
+    through ONE fused Arrow kernel — the plan must show exactly one
+    Python boundary (ArrowEvalPython) and no interpreted HOF
+    aggregate over the candidate pairs."""
+    p = plan(QUERIES["emb_matryoshka_truncate"].fn(spark, sf_small))
+    assert "ArrowEvalPython" in p
+    assert "aggregate(" not in p and "zip_with(" not in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
