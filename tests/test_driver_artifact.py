@@ -136,6 +136,17 @@ def test_feature_demo_set_is_valid():
     assert len(FEATURE_DEMOS) <= len(QUERIES) * 0.15
 
 
+def test_force_list_stays_small():
+    """VERDICT r6 #1: every _FORCE_THIS_ROUND pin eats a certification
+    slot for the never-swept backlog; the r6 window's 11 pins left
+    only 21 rotation slots and broke the ≥25 floor. Cap the list so
+    a round can't silently starve the rotation again — new queries
+    should land a few at a time, not in batches of ten."""
+    import __spark_entry__ as e
+
+    assert len(e._FORCE_THIS_ROUND) <= 5, e._FORCE_THIS_ROUND
+
+
 def test_sweep_window_rotates_to_unswept():
     """Rotation actually rotates: given the recorded artifacts, the
     window must contain a meaningful slice of never-driver-swept
