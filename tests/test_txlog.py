@@ -2903,6 +2903,47 @@ def test_txlog_native_sink_refuses_rename_during_stream(spark, tmp_path):
     assert t.read().count() == 2
 
 
+def test_txlog_native_sink_refuses_policy_race(spark, tmp_path, monkeypatch):
+    """A CHECK constraint landing between the sink batch's policy
+    snapshot and its commit must conflict the batch (the staged file
+    was validated against the pre-constraint policy — ADVICE r6 #2's
+    sink wiring), with the stage reclaimed."""
+    import pyarrow as pa
+
+    from aiports_data_warehouse_etl_spark.sources.txlog_sink import (
+        _TxLogStreamWriter,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable(spark, path)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    w = _TxLogStreamWriter({"path": path}, t.read().schema)
+    msg = w.write(
+        iter([pa.RecordBatch.from_pydict({"id": [2], "v": [2.0]})])
+    )
+    orig = TxLogTable._try_commit
+    state = {"done": False}
+
+    def racy(self, version, commit):
+        if (
+            not state["done"]
+            and commit.get("op") == "append"
+            and self.spark is None  # the sink's own metadata handle
+        ):
+            state["done"] = True
+            t.add_check("v_pos", "v > 0")  # takes this commit's slot
+        return orig(self, version, commit)
+
+    monkeypatch.setattr(TxLogTable, "_try_commit", racy)
+    with pytest.raises(TxConflict, match="set_constraint"):
+        w.commit([msg], 0)
+    monkeypatch.undo()
+    assert state["done"]
+    assert t.read().count() == 1, "conflicted batch must leave no rows"
+    staging = os.path.join(path, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
 def test_txlog_native_sink_validates_constraints(spark, tmp_path):
     from aiports_data_warehouse_etl_spark.sources.txlog import (
         ConstraintViolation,
