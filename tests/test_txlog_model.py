@@ -27,6 +27,7 @@ _OP = st.one_of(
     st.tuples(st.just("merge"), st.integers(1, 4)),
     st.tuples(st.just("compact"), st.just(0)),
     st.tuples(st.just("rename"), st.just(0)),
+    st.tuples(st.just("replace"), st.integers(0, 4)),
 )
 
 
@@ -78,6 +79,14 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
             next_id += len(fresh)
             rows = [(i, i % 23 + 7) for i in existing + fresh]
             t.merge_upsert(_df(rows), keys=["id"])
+            model.update(dict(rows))
+        elif op == "replace":
+            # predicate-scoped overwrite: slice = rows with val%5==arg;
+            # incoming rows all inside the slice (contract)
+            rows = [(next_id + j, arg + 5 * j) for j in range(2)]
+            next_id += 2
+            t.replace_where(_df(rows), f"{val_col} % 5 = {arg}")
+            model = {i: v for i, v in model.items() if v % 5 != arg}
             model.update(dict(rows))
         elif op == "compact":
             t.compact()
