@@ -8,8 +8,9 @@ mid-load sees half a table. This module gives the curated layer the
 modern fix, built only on public log-structured-table ideas (the
 Delta-Lake/Iceberg model): data files are immutable parquet, table
 state is an ordered JSON action log, and a commit is ONE atomic
-`O_CREAT|O_EXCL` create of `_txlog/<version>.json` — readers resolve a
-version and only ever see complete commits.
+create of `_txlog/<version>.json` (fully-written tmp file hard-linked
+into place, so the claim AND the content are atomic together) —
+readers resolve a version and only ever see complete commits.
 
 Scale design (100 TB):
 - Data files never rewrite on append; delete-where is copy-on-write of
@@ -27,9 +28,11 @@ Scale design (100 TB):
   read-modify-write ops (overwrite/delete/compact) raise `TxConflict`
   when the table moved under them.
 
-Single-JVM local mode uses POSIX `O_EXCL` atomicity; on an object
-store the same protocol runs on a putIfAbsent / DynamoDB-style
-log-commit primitive — the log format is transport-agnostic.
+Single-JVM local mode uses POSIX `link(2)` EEXIST atomicity (content
+written and fsync'd before the name appears); on an object store the
+same protocol runs on a putIfAbsent / DynamoDB-style log-commit
+primitive (content-atomic by construction) — the log format is
+transport-agnostic.
 """
 
 from __future__ import annotations
@@ -396,18 +399,31 @@ class TxLogTable:
             except (OSError, ValueError, KeyError):
                 pass  # unreadable predecessor: raw clock stamp
         payload = json.dumps(commit, sort_keys=True).encode()
-        try:
-            fd = os.open(
-                _version_path(self.path, version),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
-        except FileExistsError:
-            return False
+        # Two-step atomic create: write the FULL payload to a private
+        # tmp file (fsync'd), then hard-link it to the version path.
+        # link(2) fails with EEXIST when another writer holds the slot
+        # — the same putIfAbsent semantics as O_CREAT|O_EXCL — but the
+        # version file now appears with complete content, never empty.
+        # (The earlier O_EXCL-on-final-name protocol made the file
+        # VISIBLE at create time and wrote the JSON after; a concurrent
+        # reader could open the claimed-but-unwritten file and crash on
+        # empty/partial JSON — caught by the multiprocess stress test
+        # under load. Object-store conditional-put is content-atomic by
+        # construction; this makes the local protocol match.)
+        final = _version_path(self.path, version)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         try:
             os.write(fd, payload)
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
             cp = {
