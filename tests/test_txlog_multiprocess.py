@@ -145,9 +145,28 @@ def test_multiprocess_writers_serial_equivalent(spark, tmp_path):
         )
         for w in range(n_procs)
     ]
+    # while the writers run, land a CHECK constraint from the parent:
+    # any child append staged before this commit must hit the
+    # policy-conflict path (TxConflict) and retry from a fresh
+    # snapshot with re-validation — the ADVICE r6 #2 rule under REAL
+    # cross-process timing. Retried until it wins its own race.
+    import time as _time
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxConflict
+
+    _time.sleep(2.0)
+    for _ in range(400):
+        try:
+            t.add_check("val_ok", "val >= 0")
+            break
+        except TxConflict:
+            _time.sleep(0.05)
+    else:
+        raise AssertionError("add_check never landed under contention")
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"writer failed: {err[-3000:]}"
+    assert "val_ok" in TxLogTable(spark, path)._snapshot()["constraints"]
 
     got = TxLogTable(spark, path).read()
     rows = got.collect()
