@@ -116,18 +116,58 @@ class IncrementalAggView:
             .agg(*aggs)
         )
 
-    def _fold(self, feed: DataFrame) -> DataFrame:
+    #: commit ops that can never remove a ROW — appends add rows,
+    #: compact only relocates them, the rest are metadata. Anything
+    #: else (delete/delete_dv/merge/update/overwrite/replace_where/
+    #: restore/clone/...) is conservatively treated as delete-capable.
+    _ROW_ADD_ONLY_OPS = frozenset({
+        "append", "compact", "set_constraint", "drop_constraint",
+        "set_generated", "drop_generated", "set_identity",
+        "drop_identity", "reserve_identity", "rename_column",
+        "bloom_index", "drop_bloom_index", "set_protocol",
+    })
+
+    def _slice_may_delete(self, lo: int, hi: int) -> bool:
+        """Driver-side (commit-JSON only, no Spark job): can the feed
+        slice (lo, hi] contain 'delete' rows? False means the fold can
+        take the insert-only fast path — constant +1 sign, no __del_
+        bound aggregates, and NO rescan join in the plan at all (the
+        dominant per-refresh cost for min/max views on append-heavy
+        sources)."""
+        for v in range(lo + 1, hi + 1):
+            c = self.source._read_commit(v)
+            if c.get("op") not in self._ROW_ADD_ONLY_OPS or c.get(
+                "dv_targets"
+            ):
+                return True
+        return False
+
+    def _fold(
+        self, feed: DataFrame, may_delete: bool = True, with_hi: bool = False
+    ) -> DataFrame:
         ins = F.col("_change_type") == "insert"
-        sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+        sign = (
+            F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+            if may_delete
+            else F.lit(1)
+        )
         aggs = [F.sum(sign).cast("long").alias("n_rows")]
         for c in self.sum_cols:
             aggs.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
         for c in self.min_cols:
             aggs.append(F.min(F.when(ins, F.col(c))).alias(f"__ins_min_{c}"))
-            aggs.append(F.min(F.when(~ins, F.col(c))).alias(f"__del_min_{c}"))
+            if may_delete:
+                aggs.append(
+                    F.min(F.when(~ins, F.col(c))).alias(f"__del_min_{c}")
+                )
         for c in self.max_cols:
             aggs.append(F.max(F.when(ins, F.col(c))).alias(f"__ins_max_{c}"))
-            aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"__del_max_{c}"))
+            if may_delete:
+                aggs.append(
+                    F.max(F.when(~ins, F.col(c))).alias(f"__del_max_{c}")
+                )
+        if with_hi:
+            aggs.append(F.max("_commit_version").alias("__hi"))
         return feed.groupBy(*self.group_cols).agg(*aggs)
 
     def refresh(self) -> int | None:
@@ -136,7 +176,9 @@ class IncrementalAggView:
         current. One pass over the CHANGED rows + a keyed full-outer
         merge against the (aggregate-cardinality) view state; min/max
         trigger one additional source scan restricted (broadcast
-        semi-join) to the groups whose stored bound a delete hit."""
+        semi-join) to the groups whose stored bound a delete hit —
+        and insert-only slices (decided from the commit log on the
+        driver, no extra job) skip the rescan machinery entirely."""
         last = self.last_applied_version()
         cur = self.source.latest_version()
         if cur <= last:
@@ -147,7 +189,11 @@ class IncrementalAggView:
             # feed identity, and the only sound way to seed min/max)
             merged = self._snapshot_agg(cur).filter(F.col("n_rows") > 0)
             return self.view.overwrite_batch_txn(merged, self._APP, cur)
-        return self._apply(self.source.changes(last, cur), cur)
+        return self._apply(
+            self.source.changes(last, cur),
+            cur,
+            may_delete=self._slice_may_delete(last, cur),
+        )
 
     def maintain_streaming(self, checkpoint_dir: str):
         """Continuous maintenance FROM the txlog_cdf streaming source
@@ -172,10 +218,10 @@ class IncrementalAggView:
             # partially overlaps after out-of-band refresh() calls)
             last = self.last_applied_version()
             fresh = df.filter(F.col("_commit_version") > F.lit(last))
-            hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
-            if hi is None:
-                return  # empty or fully-replayed batch
             if self.view.latest_version() < 0:
+                hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
+                if hi is None:
+                    return  # empty or fully-replayed batch
                 # initial build: the snapshot at hi is correct even if
                 # the stream started mid-log (start_version > -1)
                 merged = self._snapshot_agg(int(hi)).filter(
@@ -183,7 +229,18 @@ class IncrementalAggView:
                 )
                 self.view.overwrite_batch_txn(merged, self._APP, int(hi))
             else:
-                self._apply(fresh, int(hi))
+                # (last, latest] insert-only ⇒ any sub-slice is too —
+                # a driver-side check that never runs a job; `hi` is
+                # folded into the deltas aggregation so the feed is
+                # scanned ONCE per batch, not once for the max and
+                # again for the fold
+                self._apply(
+                    fresh,
+                    cur=None,
+                    may_delete=self._slice_may_delete(
+                        last, self.source.latest_version()
+                    ),
+                )
 
         return (
             self.spark.readStream.format("txlog_cdf")
@@ -196,11 +253,33 @@ class IncrementalAggView:
             .start()
         )
 
-    def _apply(self, feed: DataFrame, cur: int) -> int:
-        """Merge one change-feed slice ending at source version
-        ``cur`` into the stored view (the shared core of batch
-        refresh and streaming maintenance)."""
-        deltas = self._fold(feed)
+    def _apply(
+        self, feed: DataFrame, cur: int | None, may_delete: bool = True
+    ) -> int | None:
+        """Merge one change-feed slice into the stored view (the
+        shared core of batch refresh and streaming maintenance).
+        ``cur`` is the slice's end version; pass None (streaming) to
+        derive it from the feed itself — the max commit version is
+        folded into the same aggregation and the aggregate-cardinality
+        deltas are persisted, so the feed is scanned exactly once.
+        ``may_delete=False`` (decided driver-side from the commit log)
+        elides the delete-side bound aggregates and the min/max rescan
+        join from the plan."""
+        deltas = self._fold(feed, may_delete, with_hi=cur is None)
+        if cur is None:
+            deltas = deltas.persist()
+            try:
+                hi = deltas.agg(F.max("__hi")).collect()[0][0]
+                if hi is None:
+                    return None  # empty or fully-replayed batch
+                return self._merge(deltas.drop("__hi"), int(hi), may_delete)
+            finally:
+                deltas.unpersist()
+        return self._merge(deltas, cur, may_delete)
+
+    def _merge(
+        self, deltas: DataFrame, cur: int, may_delete: bool
+    ) -> int | None:
         old = self.view.read()
         sum_names = [f"sum_{c}" for c in self.sum_cols]
         o = old.select(
@@ -228,26 +307,32 @@ class IncrementalAggView:
         # min/max: fast-path fold, plus a per-group rescan flag when a
         # delete ties-or-beats the stored bound (or hits a group the
         # view doesn't carry — only possible on inconsistent feeds,
-        # handled conservatively by rescanning)
+        # handled conservatively by rescanning). Insert-only slices
+        # (may_delete=False) fold bounds purely — no delete columns
+        # exist and no rescan subplan is built.
         rescan = F.lit(False)
         for c in self.min_cols:
-            o_min, d_del = F.col(f"__o_min_{c}"), F.col(f"__del_min_{c}")
+            o_min = F.col(f"__o_min_{c}")
             cols.append(
                 F.least(o_min, F.col(f"__ins_min_{c}")).alias(f"min_{c}")
             )
-            rescan = rescan | (
-                d_del.isNotNull() & (o_min.isNull() | (d_del <= o_min))
-            )
+            if may_delete:
+                d_del = F.col(f"__del_min_{c}")
+                rescan = rescan | (
+                    d_del.isNotNull() & (o_min.isNull() | (d_del <= o_min))
+                )
         for c in self.max_cols:
-            o_max, d_del = F.col(f"__o_max_{c}"), F.col(f"__del_max_{c}")
+            o_max = F.col(f"__o_max_{c}")
             cols.append(
                 F.greatest(o_max, F.col(f"__ins_max_{c}")).alias(f"max_{c}")
             )
-            rescan = rescan | (
-                d_del.isNotNull() & (o_max.isNull() | (d_del >= o_max))
-            )
+            if may_delete:
+                d_del = F.col(f"__del_max_{c}")
+                rescan = rescan | (
+                    d_del.isNotNull() & (o_max.isNull() | (d_del >= o_max))
+                )
         merged = j.select(*self.group_cols, *cols, rescan.alias("__rescan"))
-        if self.min_cols or self.max_cols:
+        if may_delete and (self.min_cols or self.max_cols):
             affected = merged.filter(F.col("__rescan")).select(
                 *self.group_cols
             )
