@@ -39,15 +39,35 @@ def _repersist_if_cleared(df: DataFrame) -> DataFrame:
     driver sweep) evicts the attached shared materializations but
     leaves the attribute pointing at a now-uncached plan — which would
     silently recompute on EVERY use inside the multi-use LSH plans.
-    Re-mark it persisted; the next action rebuilds the blocks once."""
+    Re-mark it persisted; the next action rebuilds the blocks once.
+
+    Introspection failure is warned ONCE (VERDICT r7 #3): the worst
+    case is exactly the silent every-use recompute cliff this helper
+    exists to prevent, so it must be visible in bench logs, not
+    swallowed."""
     try:
         if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
             from pyspark import StorageLevel
 
             df.persist(StorageLevel.MEMORY_AND_DISK)
-    except Exception:
-        pass  # storage introspection is best-effort; worst case: recompute
+    except Exception as exc:  # noqa: BLE001 — py4j surface is broad
+        global _REPERSIST_WARNED
+        if not _REPERSIST_WARNED:
+            _REPERSIST_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "dedup: storage-level introspection failed "
+                f"({type(exc).__name__}: {exc}) — shared LSH blocks may "
+                "recompute on every use (performance cliff, results "
+                "unaffected)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return df
+
+
+_REPERSIST_WARNED = False
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -11808,14 +11808,14 @@ def ts_anomaly_zscore(spark, sf_dir):
       SELECT q.qid, e.vec_id,
              row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY {_COS_SQL.format(a='q.qv', b='CAST(e.embedding AS DOUBLE[])')} DESC,
+               ORDER BY round({_COS_SQL.format(a='q.qv', b='CAST(e.embedding AS DOUBLE[])')}, 9) DESC,
                         e.vec_id) AS rnk
       FROM q JOIN embeddings e ON e.vec_id <> q.qid),
     trunc_rank AS (
       SELECT q.qid, e.vec_id,
              row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY {_COS_SQL.format(a='list_slice(q.qv, 1, 16)', b='list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16)')} DESC,
+               ORDER BY round({_COS_SQL.format(a='list_slice(q.qv, 1, 16)', b='list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16)')}, 9) DESC,
                         e.vec_id) AS rnk
       FROM q JOIN embeddings e ON e.vec_id <> q.qid)
     SELECT f.qid,
@@ -11834,8 +11834,13 @@ def emb_matryoshka_truncate(spark, sf_dir):
     (truncate -> coarse search -> full-dim re-rank is the standard
     two-stage ANN deployment). Both rankings are brute-force with a
     broadcast 20-row probe side (declared-exact yardstick, same
-    pattern as sim_bruteforce_topk); tie-broken on vec_id so the
-    DuckDB twin is bit-exact.
+    pattern as sim_bruteforce_topk). Rankings order on the cosine
+    ROUNDED to 9 decimals with a vec_id tiebreak (ADVICE r7: the
+    numpy einsum kernel sums pairwise/SIMD while DuckDB folds in list
+    order — a ULP divergence near a rank boundary could otherwise
+    flip row_number between engines; rounding absorbs it except in
+    the astronomically unlikely case of true cosines straddling a
+    5e-10 boundary).
 
     Both cosines come from ONE Arrow kernel call
     (``S.vector_cosine_with_prefix``: one einsum pair per batch, each
@@ -11863,10 +11868,10 @@ def emb_matryoshka_truncate(spark, sf_dir):
         F.col("cc.cos_trunc").alias("cos_trunc"),
     )
     wf = Window.partitionBy("qid").orderBy(
-        F.desc("cos_full"), F.asc("vec_id")
+        F.desc(F.round("cos_full", 9)), F.asc("vec_id")
     )
     wt = Window.partitionBy("qid").orderBy(
-        F.desc("cos_trunc"), F.asc("vec_id")
+        F.desc(F.round("cos_trunc", 9)), F.asc("vec_id")
     )
     ranked = scored.select(
         "qid",

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import re
 import os
+import shutil
 import time
 import uuid
 
@@ -532,6 +533,29 @@ class TxLogTable:
     def _marker_path(self, token: str) -> str:
         return os.path.join(self.path, _STAGING_DIR, token)
 
+    def _reclaim_stage(self, adds: list[dict]) -> None:
+        """Remove a staged-but-never-committed write immediately —
+        the writer is alive and KNOWS the stage is dead, so its data
+        dir and ``_staging`` marker need not linger for vacuum's
+        ``abandoned_seconds`` (ADVICE r7: append paths raised
+        TxConflict after ``_stage`` without reclaiming, while the
+        native sink's ``_TxLogStreamWriter._reclaim`` already did).
+        Tokens are recovered from the add paths (``data/<token>/…``)."""
+        prefix = "data" + os.sep
+        tokens = {
+            a["path"].split(os.sep)[1]
+            for a in adds
+            if a.get("path", "").startswith(prefix)
+        }
+        for token in tokens:
+            shutil.rmtree(
+                os.path.join(self.path, "data", token), ignore_errors=True
+            )
+            try:
+                os.remove(self._marker_path(token))
+            except OSError:
+                pass
+
     def _stage(self, df: DataFrame) -> tuple[list[dict], str]:
         """Write ``df``'s parquet files into a fresh staging dir and
         return their add-actions. Files are invisible until a commit
@@ -643,6 +667,7 @@ class TxLogTable:
             # staged file or its validation is stale (ADVICE r6 #2)
             bad = self._append_policy_conflict(pol["version"], v - 1)
             if bad is not None:
+                self._reclaim_stage(adds)
                 raise TxConflict(
                     f"append: concurrent schema/policy commit {bad} "
                     "since the policy snapshot — re-read and retry"
@@ -650,6 +675,7 @@ class TxLogTable:
             if self._try_commit(v, {"op": "append", "add": adds,
                                     "schema": schema}):
                 return v
+        self._reclaim_stage(adds)
         raise TxConflict(f"append lost {max_retries} commit races")
 
     # -- CHECK constraints ---------------------------------------------
@@ -1122,10 +1148,12 @@ class TxLogTable:
         adds, schema = self._stage(df)
         for _ in range(max_retries):
             if self.txn_seen(txn_app, txn_id):
+                self._reclaim_stage(adds)
                 return None  # another attempt of the same batch won
             v = self.latest_version() + 1
             bad = self._append_policy_conflict(pol["version"], v - 1)
             if bad is not None:
+                self._reclaim_stage(adds)
                 raise TxConflict(
                     f"append_batch_txn: concurrent schema/policy "
                     f"commit {bad} since the policy snapshot — "
@@ -1140,6 +1168,7 @@ class TxLogTable:
             }
             if self._try_commit(v, commit):
                 return v
+        self._reclaim_stage(adds)
         raise TxConflict(f"append_batch_txn lost {max_retries} commit races")
 
     def overwrite_batch_txn(
@@ -1172,6 +1201,7 @@ class TxLogTable:
             "txn_id": txn_id,
         }
         if not self._try_commit(base["version"] + 1, commit):
+            self._reclaim_stage(adds)
             if self.txn_seen(txn_app, txn_id):
                 return None  # a concurrent attempt of the same batch won
             raise TxConflict("overwrite_batch_txn: base snapshot moved")
@@ -3051,6 +3081,24 @@ class TxLogTable:
                         pass
                 else:
                     in_flight.add(token)
+        # -- orphaned commit tmp files (ADVICE r7): a writer crashing
+        # between creating <version>.json.tmp.<uuid> and the
+        # link/remove pair leaves the tmp file forever — readers
+        # ignore it (name doesn't end with .json) but nothing else
+        # ever deletes it. A tmp older than abandoned_seconds can
+        # belong to no in-flight commit (commits hold the tmp only
+        # for one write+link), so it is reaped here.
+        log_root = os.path.join(self.path, _LOG_DIR)
+        if os.path.isdir(log_root):
+            for name in sorted(os.listdir(log_root)):
+                if ".tmp." not in name:
+                    continue
+                tmp = os.path.join(log_root, name)
+                try:
+                    if now - os.path.getmtime(tmp) >= abandoned_seconds:
+                        os.remove(tmp)
+                except OSError:
+                    pass  # raced with the writer or a parallel vacuum
         deleted = []
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):

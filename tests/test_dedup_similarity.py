@@ -443,3 +443,30 @@ def test_leakage_safe_split_invariant(spark, corpus):
              big.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     frac = sizes.get("train", 0) / max(sum(sizes.values()), 1)
     assert 0.8 < frac < 0.97, f"train share {frac} far from 90%"
+
+
+def test_repersist_warning_path(spark):
+    """VERDICT r7 #3: an introspection failure in _repersist_if_cleared
+    warns (once) instead of silently risking the LSH recompute cliff."""
+    import warnings
+
+    from aiports_data_warehouse_etl_spark.operators import dedup as D
+
+    class Boom:
+        @property
+        def storageLevel(self):
+            raise RuntimeError("no JVM")
+
+    D._REPERSIST_WARNED = False
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = D._repersist_if_cleared(Boom())
+            assert isinstance(out, Boom)
+            assert any("recompute" in str(x.message) for x in w), w
+            # second failure: silent (warn-once)
+            n = len(w)
+            D._repersist_if_cleared(Boom())
+            assert len(w) == n
+    finally:
+        D._REPERSIST_WARNED = False

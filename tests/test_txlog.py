@@ -3843,3 +3843,101 @@ def test_txsql_ddl_constraint_generated_identity(spark, txsql, tbl):
         r["uid"] for r in txsql.sql("SELECT uid FROM t3").collect()
     )
     assert ids == list(range(5, 55, 5))
+
+
+# -- conflict-path staging reclaim + log-tmp vacuum (ADVICE r7) --------
+
+
+def _staged_tokens(tbl):
+    data_root = os.path.join(tbl.path, "data")
+    staging = os.path.join(tbl.path, "_staging")
+    committed = tbl._committed_tokens(tbl.latest_version())
+    orphans = (
+        {d for d in os.listdir(data_root) if d not in committed}
+        if os.path.isdir(data_root)
+        else set()
+    )
+    markers = set(os.listdir(staging)) if os.path.isdir(staging) else set()
+    return orphans, markers - committed
+
+
+def test_append_lost_races_reclaims_staging(spark, tbl):
+    """append() exhausting its commit retries must remove the staged
+    data dir AND the _staging marker immediately (the writer knows
+    the stage is dead) instead of leaving them for vacuum's
+    abandoned_seconds window."""
+    tbl.append(_orders(spark).limit(5))
+    orig = tbl._try_commit
+    tbl._try_commit = lambda v, c: False  # always lose the race
+    try:
+        with pytest.raises(TxConflict, match="lost 2 commit races"):
+            tbl.append(_orders(spark).limit(5), max_retries=2)
+    finally:
+        tbl._try_commit = orig
+    orphans, markers = _staged_tokens(tbl)
+    assert orphans == set(), f"staged data leaked: {orphans}"
+    assert markers == set(), f"staging markers leaked: {markers}"
+
+
+def test_append_policy_conflict_reclaims_staging(spark, tbl):
+    """The policy-conflict TxConflict path (concurrent rename since
+    the policy snapshot) reclaims its stage too."""
+    tbl.append(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+    )
+    other = TxLogTable(spark, tbl.path)
+    orig_stage = tbl._stage
+
+    def stage_then_rename(df):
+        out = orig_stage(df)
+        other.rename_column("v", "v2")  # policy commit lands mid-write
+        return out
+
+    tbl._stage = stage_then_rename
+    try:
+        with pytest.raises(TxConflict, match="schema/policy"):
+            tbl.append(
+                spark.createDataFrame([(2, 2.0)], "id long, v double")
+            )
+    finally:
+        tbl._stage = orig_stage
+    orphans, markers = _staged_tokens(tbl)
+    assert orphans == set(), f"staged data leaked: {orphans}"
+    assert markers == set(), f"staging markers leaked: {markers}"
+
+
+def test_append_batch_txn_conflict_reclaims_staging(spark, tbl):
+    tbl.append(_orders(spark).limit(5))
+    orig = tbl._try_commit
+    tbl._try_commit = lambda v, c: False
+    try:
+        with pytest.raises(TxConflict, match="lost 2 commit races"):
+            tbl.append_batch_txn(
+                _orders(spark).limit(5), "app", 1, max_retries=2
+            )
+    finally:
+        tbl._try_commit = orig
+    orphans, markers = _staged_tokens(tbl)
+    assert orphans == set() and markers == set()
+
+
+def test_vacuum_reaps_orphaned_log_tmp(spark, tbl):
+    """A writer crashing between tmp-create and link/remove leaves
+    <version>.json.tmp.<uuid> in _txlog/ — readers ignore it, but
+    only vacuum can collect it (older than abandoned_seconds); a
+    FRESH tmp (possibly an in-flight commit) must survive."""
+    tbl.append(_orders(spark).limit(5))
+    log_dir = os.path.join(tbl.path, "_txlog")
+    old = os.path.join(log_dir, "00000000000000000009.json.tmp.dead")
+    new = os.path.join(log_dir, "00000000000000000009.json.tmp.live")
+    for p in (old, new):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    import time as _time
+
+    back = _time.time() - 8 * 24 * 3600
+    os.utime(old, (back, back))
+    tbl.vacuum(grace_seconds=0.0)
+    assert not os.path.exists(old), "abandoned log tmp not reaped"
+    assert os.path.exists(new), "fresh (possibly in-flight) tmp reaped"
+    os.remove(new)
