@@ -152,6 +152,26 @@ def brute_force_topk(
     )
 
 
+def auto_planes(
+    n_corpus: int, dim: int, target_bucket: int = 128
+) -> list[tuple[int, int]]:
+    """Corpus-sized plane list: enough sign bits that the EXPECTED
+    bucket population stays ≈``target_bucket`` as the corpus grows
+    (n_planes = ⌈log2(N / target)⌉, clamped to [2, dim/2]) — the same
+    fix as the IVF √N cell count (VERDICT r7: any fixed bucket count
+    degenerates toward a full scan at 100×). Pairs are
+    (i, i + dim/2): deterministic, reproducible in any engine, and
+    distinct coordinates per plane. Recall at a fixed probe budget
+    shrinks as buckets split — compensate with
+    ``lsh_multiprobe_topk``, whose Hamming-1 probe count grows with
+    the plane count automatically."""
+    import math
+
+    n_planes = max(2, math.ceil(math.log2(max(2, n_corpus) / target_bucket)))
+    n_planes = min(n_planes, dim // 2)
+    return [(i, i + dim // 2) for i in range(n_planes)]
+
+
 def lsh_bucket(v: Column, planes: list[tuple[int, int]] = DEFAULT_PLANES) -> Column:
     """Deterministic sign-LSH bucket key: one bit per plane,
     bit = (v[i] > v[j]). element_at is 1-based.
@@ -176,9 +196,15 @@ def lsh_bucket_topk(
     """Approximate top-k: rank only within the query's LSH bucket.
 
     The candidate join is an equi-join on the bucket key — shuffle
-    partitioned by bucket, skew bounded by bucket population (add
-    planes to split hot buckets at scale).
+    partitioned by bucket, skew bounded by bucket population. Pass
+    ``planes="auto"`` to size the plane count from a cheap corpus
+    count (expected bucket ≈128 rows at any scale — see
+    ``auto_planes``); the explicit default stays fixed so the DuckDB
+    oracle twins remain engine-reproducible.
     """
+    if isinstance(planes, str) and planes == "auto":
+        first = df.select(vec_col).first()
+        planes = auto_planes(df.count(), len(first[0]) if first else 2)
     base = _as_double(df, vec_col, id_col).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     q = base
     if max_query_id is not None:
@@ -217,7 +243,13 @@ def lsh_multiprobe_topk(
     recall is a strict superset of the single-probe ranking (pinned in
     tests). Plan shape unchanged: the probe list explodes query-side
     (tiny) and the join is still ONE bucket equi-join — each candidate
-    lives in exactly one bucket, so no dedup is needed."""
+    lives in exactly one bucket, so no dedup is needed.
+    ``planes="auto"`` sizes the plane count from the corpus (see
+    ``auto_planes``); the probe list then grows with it, holding the
+    scanned fraction ≈(n+1)/2^n as buckets split."""
+    if isinstance(planes, str) and planes == "auto":
+        first = df.select(vec_col).first()
+        planes = auto_planes(df.count(), len(first[0]) if first else 2)
     n = len(planes)
     base = _as_double(df, vec_col, id_col).withColumn(
         "bucket", lsh_bucket(F.col("v"), planes)

@@ -470,3 +470,30 @@ def test_repersist_warning_path(spark):
             assert len(w) == n
     finally:
         D._REPERSIST_WARNED = False
+
+
+def test_auto_planes_bounds_bucket_population(spark, sf_small):
+    """planes='auto' sizes the sign-LSH index to the corpus (the same
+    scale fix as the IVF sqrt(N) cell count): plane count grows with
+    N, expected bucket population stays near the target, and the
+    auto-sized multiprobe search still returns k-deep rankings."""
+    from aiports_data_warehouse_etl_spark.operators.similarity import (
+        auto_planes,
+        lsh_multiprobe_topk,
+    )
+
+    # monotone plane growth, bounded expected bucket size
+    for n, lo in [(500, 2), (2_000, 4), (2_000_000, 14), (10**9, 23)]:
+        planes = auto_planes(n, dim=64)
+        assert len(planes) >= lo
+        assert n / (2 ** len(planes)) <= 256, (n, len(planes))
+        assert len({p for p in planes}) == len(planes)  # distinct
+        assert all(0 <= i < 64 and 0 <= j < 64 and i != j for i, j in planes)
+    # dim clamp: never more planes than dim/2
+    assert len(auto_planes(10**12, dim=8)) == 4
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = lsh_multiprobe_topk(emb, k=5, planes="auto", max_query_id=10).collect()
+    assert rows and all(r.rnk <= 5 for r in rows)
+    again = lsh_multiprobe_topk(emb, k=5, planes="auto", max_query_id=10).collect()
+    assert {(r.qid, r.cand_id) for r in rows} == {(r.qid, r.cand_id) for r in again}
