@@ -164,3 +164,34 @@ def test_sweep_window_rotates_to_unswept():
     assert len(fresh) >= 25, (
         f"only {len(fresh)} never-swept queries in the sweep window"
     )
+
+
+def test_sweep_ledger_write_is_fixed_point():
+    """The build-time ledger write must not feed back into the very
+    selection it records: _ledger_selected ignores ledger rounds newer
+    than the latest landed CORRECTNESS artifact (the in-progress
+    round's own entry), so re-computing the window after SWEEP_LEDGER
+    gains this round's entry yields the identical window. Regression:
+    in r8 the freshly written round-8 entry gave its own 5 tail slots
+    sel=8 and shifted them out of the recomputed window."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    hist = e._sweep_history()
+    max_round = max(hist.values(), default=0)
+    sel = e._ledger_selected(max_round)
+    assert all(r <= max_round for r in sel.values())
+
+    ledger_path = os.path.join(os.path.dirname(e.__file__), "SWEEP_LEDGER.json")
+    if not os.path.exists(ledger_path):
+        pytest.skip("no ledger written yet")
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    window = list(e.queries())[: e._SWEEP_BUDGET]
+    in_progress = [r for r in ledger if r.isdigit() and int(r) > max_round]
+    for rnd in in_progress:
+        assert ledger[rnd] == window, (
+            f"ledger round {rnd} entry is not the fixed-point window"
+        )
