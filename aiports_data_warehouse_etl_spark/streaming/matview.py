@@ -142,6 +142,43 @@ class IncrementalAggView:
                 return True
         return False
 
+    #: Pin (persist) the merged-deltas subtree during a delete-refresh
+    #: only when the change-feed slice is big enough that planning it
+    #: twice (once under the rescan's broadcast build, once as the
+    #: final probe — Spark plans no ReusedExchange across that join)
+    #: costs more than one cache round-trip. Well above any test/demo
+    #: slice — there the persist round-trip measurably LOSES (+8% on
+    #: the sf0.1 bench) — and well below the multi-GB slices where a
+    #: doubled feed scan dominates.
+    _PIN_FEED_BYTES = 256 << 20
+
+    def _slice_change_bytes(self, lo: int, hi: int) -> int:
+        """Driver-side over-estimate (commit JSON only, no Spark job)
+        of the bytes the change feed (lo, hi] must read: bytes added
+        across the slice, plus the bytes of files a slice commit
+        removes or DV-targets (a delete's feed rows are reconstructed
+        from those files)."""
+        total = 0
+        known: dict[str, int] = {}
+        base: dict | None = None
+        for v in range(lo + 1, hi + 1):
+            c = self.source._read_commit(v)
+            for a in c.get("add", []):
+                b = int(a.get("stats", {}).get("bytes", 0))
+                known[a["path"]] = b
+                total += b
+            victims = list(c.get("remove", [])) + sorted(
+                c.get("dv_targets", {})
+            )
+            for rel in victims:
+                if rel in known:
+                    total += known[rel]
+                    continue
+                if base is None:
+                    base = self.source._snapshot(lo)["files"]
+                total += int(base.get(rel, {}).get("bytes", 0))
+        return total
+
     def _fold(
         self, feed: DataFrame, may_delete: bool = True, with_hi: bool = False
     ) -> DataFrame:
@@ -189,10 +226,14 @@ class IncrementalAggView:
             # feed identity, and the only sound way to seed min/max)
             merged = self._snapshot_agg(cur).filter(F.col("n_rows") > 0)
             return self.view.overwrite_batch_txn(merged, self._APP, cur)
+        may = self._slice_may_delete(last, cur)
+        pin = bool(
+            may
+            and (self.min_cols or self.max_cols)
+            and self._slice_change_bytes(last, cur) >= self._PIN_FEED_BYTES
+        )
         return self._apply(
-            self.source.changes(last, cur),
-            cur,
-            may_delete=self._slice_may_delete(last, cur),
+            self.source.changes(last, cur), cur, may_delete=may, pin=pin
         )
 
     def maintain_streaming(self, checkpoint_dir: str):
@@ -254,7 +295,11 @@ class IncrementalAggView:
         )
 
     def _apply(
-        self, feed: DataFrame, cur: int | None, may_delete: bool = True
+        self,
+        feed: DataFrame,
+        cur: int | None,
+        may_delete: bool = True,
+        pin: bool = False,
     ) -> int | None:
         """Merge one change-feed slice into the stored view (the
         shared core of batch refresh and streaming maintenance).
@@ -272,13 +317,19 @@ class IncrementalAggView:
                 hi = deltas.agg(F.max("__hi")).collect()[0][0]
                 if hi is None:
                     return None  # empty or fully-replayed batch
+                # deltas is already pinned here, so the merged plan's
+                # double use re-reads the cache — no feed re-scan
                 return self._merge(deltas.drop("__hi"), int(hi), may_delete)
             finally:
                 deltas.unpersist()
-        return self._merge(deltas, cur, may_delete)
+        return self._merge(deltas, cur, may_delete, pin=pin)
 
     def _merge(
-        self, deltas: DataFrame, cur: int, may_delete: bool
+        self,
+        deltas: DataFrame,
+        cur: int,
+        may_delete: bool,
+        pin: bool = False,
     ) -> int | None:
         old = self.view.read()
         sum_names = [f"sum_{c}" for c in self.sum_cols]
@@ -332,7 +383,20 @@ class IncrementalAggView:
                     d_del.isNotNull() & (o_max.isNull() | (d_del >= o_max))
                 )
         merged = j.select(*self.group_cols, *cols, rescan.alias("__rescan"))
+        pinned = None
         if may_delete and (self.min_cols or self.max_cols):
+            # `merged` feeds BOTH the rescan build side (via `affected`)
+            # and the final join probe side; unpersisted, Spark plans
+            # the whole subtree (change-feed fold + full-outer view
+            # merge) twice — no ReusedExchange across that join. When
+            # the slice is big (``pin``, decided driver-side from
+            # commit-log byte stats), pin the aggregate-cardinality
+            # result so the feed is folded exactly once; for small
+            # slices the doubled fold is cheaper than a cache
+            # round-trip.
+            if pin:
+                pinned = merged.persist()
+                merged = pinned
             affected = merged.filter(F.col("__rescan")).select(
                 *self.group_cols
             )
@@ -371,7 +435,11 @@ class IncrementalAggView:
             merged = merged.drop("__rescan")
         # groups whose rows all vanished leave the view entirely
         merged = merged.filter(F.col("n_rows") > 0)
-        return self.view.overwrite_batch_txn(merged, self._APP, cur)
+        try:
+            return self.view.overwrite_batch_txn(merged, self._APP, cur)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
 
 
 class IncrementalDistinctView:

@@ -1880,6 +1880,98 @@ def test_matview_minmax_interior_delete_skips_rescan(spark, tbl, tmp_path):
     } == {("a", 5.0, 5.0), ("b", 1.0, 9.0)}
 
 
+def test_matview_delete_refresh_pins_large_slices(spark, tbl, tmp_path):
+    """The delete-refresh plan uses the merged-deltas subtree twice
+    (rescan build side + final probe); for LARGE change slices the
+    refresh must persist it (fold the feed once), for small slices it
+    must not (a cache round-trip costs more than the doubled fold at
+    demo scale). The decision is driver-side from commit-log byte
+    stats — _slice_change_bytes must count both adds and the files a
+    delete removes/DV-targets — and the pinned path must produce the
+    same view as the unpinned one, with the cache released after."""
+    import unittest.mock as um
+
+    from aiports_data_warehouse_etl_spark.streaming.matview import (
+        IncrementalAggView,
+    )
+
+    mv = IncrementalAggView(
+        spark, tbl, str(tmp_path / "view"),
+        group_cols=["k"], sum_cols=["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 5.0), ("b", 10.0)], "k string, val double"
+        )
+    )
+    mv.refresh()
+    # slice = one append + one bound-hitting COW delete
+    tbl.append(spark.createDataFrame([("b", 20.0)], "k string, val double"))
+    tbl.delete_where("k = 'a' AND val = 5.0")
+
+    est = mv._slice_change_bytes(
+        mv.last_applied_version(), tbl.latest_version()
+    )
+    # counts the appended file AND the delete's removed-file bytes
+    assert est > 0
+    snap = tbl._snapshot()
+    live_bytes = sum(st["bytes"] for st in snap["files"].values())
+    assert est > live_bytes - live_bytes // 2  # more than adds alone
+
+    pins: list = []
+    orig_merge = IncrementalAggView._merge
+
+    def spy_merge(self, deltas, cur, may_delete, pin=False):
+        pins.append(pin)
+        return orig_merge(self, deltas, cur, may_delete, pin=pin)
+
+    # small slice (default threshold): no pin
+    with um.patch.object(IncrementalAggView, "_merge", spy_merge):
+        mv.refresh()
+    assert pins == [False]
+    expect = {
+        (r.k, r.n_rows, r.min_val, r.max_val)
+        for r in mv.read().collect()
+    }
+
+    # same slice shape with the threshold forced to 0: pinned path,
+    # identical result, cache released afterwards
+    tbl.delete_where("k = 'b' AND val = 20.0")
+    mv2 = IncrementalAggView(
+        spark, tbl, str(tmp_path / "view2"),
+        group_cols=["k"], sum_cols=["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    with um.patch.object(IncrementalAggView, "_PIN_FEED_BYTES", 0):
+        mv2.refresh()  # initial build (no pin path)
+        tbl.append(
+            spark.createDataFrame([("a", 2.0)], "k string, val double")
+        )
+        tbl.delete_where("k = 'b'")  # bound hit -> rescan + pin
+        baseline_cached = jsc.getPersistentRDDs().size()
+        pins.clear()
+        with um.patch.object(IncrementalAggView, "_merge", spy_merge):
+            mv2.refresh()
+    assert pins == [True]
+    assert jsc.getPersistentRDDs().size() == baseline_cached
+    full = {
+        (r.k, r.n, r.lo, r.hi)
+        for r in tbl.read().groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        ).collect()
+    }
+    got = {
+        (r.k, r.n_rows, r.min_val, r.max_val)
+        for r in mv2.read().collect()
+    }
+    assert got == full
+    assert expect  # first view still intact/readable
+
+
 def test_matview_streaming_maintenance(spark, tbl, tmp_path):
     """maintain_streaming: the view follows the txlog_cdf stream —
     each micro-batch delta-applies with its end version as the txn
