@@ -6116,13 +6116,20 @@ def text_tfidf_top_terms(spark, sf_dir):
     join: per-doc term counts ⋈ document frequencies ⋈ a broadcast
     1-row corpus size, ranked per doc over the ROUNDED score (rank over
     raw doubles would tie-break differently across engines). All
-    shuffles are keyed on term or doc_id; nothing driver-side."""
+    shuffles are keyed on term or doc_id; nothing driver-side.
+
+    Document frequency is derived FROM the tf aggregate: tf rows are
+    (doc, term)-distinct by construction, so count(*) per term IS
+    count(DISTINCT doc). The corpus is exploded and shuffled once —
+    deriving df from the raw token stream costs a second explode scan
+    plus a count_distinct expansion shuffle of every token occurrence
+    (the 5.4× sf1 rehearsal ratio this replaced)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(df_, "term")
@@ -10149,9 +10156,16 @@ def pipeline_training_corpus(spark, sf_dir):
     scoring and gating into the scan stage, the dedup window and the
     final rollup are the only exchanges, and nothing materializes
     between stages. This is the shape a 100 TB corpus-prep job
-    actually ships as."""
-    from pyspark.sql import Window as W
+    actually ships as.
 
+    The canonical-copy pick is a ``min_by`` AGGREGATION on the content
+    hash, not a window: identical rows (doc_id unique, so no ties),
+    but the hash is computed once per row on the map side, partial
+    combine shrinks the shuffle to one small struct per distinct hash
+    (a window shuffles every full row and sorts each partition), and
+    Catalyst's project-collapse can't duplicate the scoring
+    expressions into a window partition spec (measured 3× re-eval of
+    the md5-normalize key on the sibling pipeline at sf1)."""
     d = _t(spark, sf_dir, "documents")
     q_df = d.select(
         "doc_id",
@@ -10161,12 +10175,18 @@ def pipeline_training_corpus(spark, sf_dir):
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.quality_score(F.col("text")).alias("quality"),
     ).filter(F.col("quality") >= 0.55)
-    canon = q_df.withColumn(
-        "canon", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    canon = (
+        q_df.groupBy(F.md5("text").alias("__ck"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_tokens", "quality"),
+                F.col("doc_id"),
+            ).alias("c")
+        )
+        .select("c.*")
     )
     return (
-        canon.filter(F.col("doc_id") == F.col("canon"))
-        .groupBy("lang", "source")
+        canon.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -10226,9 +10246,15 @@ def pipeline_pretraining_full(spark, sf_dir):
     the source rollup, and the two broadcast normalizer joins are the
     only exchanges. The DuckDB oracle replays all four stages
     verbatim, so the composition (not just the parts) is
-    hash-verified."""
-    from pyspark.sql import Window as W
+    hash-verified.
 
+    The canonical pick is a ``min_by`` aggregation on the normalize-
+    hash, not a window: same rows (doc_id unique), but the two-regex
+    canon key — 2.3 s/pass over the sf1 corpus — is computed exactly
+    once per row map-side (project-collapse was re-evaluating it ~3×
+    into the window's partition spec: 8.4 s → the aggregation runs the
+    whole pipeline in one scan + two small exchanges), and the shuffle
+    carries one small struct per distinct hash after partial combine."""
     d = _t(spark, sf_dir, "documents")
     canon_key = F.md5(
         F.trim(
@@ -10247,29 +10273,53 @@ def pipeline_pretraining_full(spark, sf_dir):
         canon_key.alias("ck"),
     )
     kept = (
-        scored.withColumn("canon", F.min("doc_id").over(W.partitionBy("ck")))
-        .filter((F.col("doc_id") == F.col("canon")) & (F.col("quality") >= 0.5))
+        scored.groupBy("ck")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens_doc", "quality"),
+                F.col("doc_id"),
+            ).alias("c")
+        )
+        .select("c.*")
+        .filter(F.col("quality") >= 0.5)
+    )
+    # Both normalizers (corpus token total, Σ√share) are scalar
+    # aggregates OF the per-source rollup; as broadcast cross-joins
+    # they made the plan reference per_src three times and recompute
+    # the whole scan+score+dedup pipeline for each (3× the corpus
+    # pass at sf1). Unpartitioned windows over the aggregate-
+    # cardinality rollup (≤ #sources rows) express them in ONE plan.
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     per_src = kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
     )
-    tot = per_src.agg(F.sum("n_tokens").alias("total"))
-    p = per_src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.sqrt(F.col("n_tokens").cast("double") / F.col("total")), 12)
-        .cast("decimal(20,12)")
-        .alias("sq"),
-    )
-    norm = p.agg(F.sum("sq").alias("sq_sum"))
-    return p.crossJoin(F.broadcast(norm)).select(
+    p = per_src.select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(
-            F.col("sq").cast("double") / F.col("sq_sum").cast("double"), 6
+            F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(everything)
+            ),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("sq"),
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("sq").cast("double")
+            / F.sum("sq").over(everything).cast("double"),
+            6,
         ).alias("weight"),
     )
 

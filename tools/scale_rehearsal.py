@@ -66,6 +66,14 @@ FAMILIES = [
     # r7b: rewritten onto the fused Arrow cosine kernel this round —
     # scale row proves the kernel path holds at 10x corpus
     "emb_matryoshka_truncate",
+    # r8: the heaviest BENCH_FULL queries that still had no scale row
+    # and whose tables gen_sf1 synthesizes (documents / embeddings /
+    # events / orders / lineitem / nation)
+    "emb_logreg_train", "tlog_restore", "mm_decode_features",
+    "tlog_shallow_clone", "pipeline_pretraining_full",
+    "graph_triangle_count", "text_feature_hashing",
+    "text_tfidf_top_terms", "text_bm25_search", "cluster_top_terms",
+    "pipeline_training_corpus",
 ]
 
 SF01 = "/root/testdata/sf0.1"
