@@ -102,11 +102,15 @@ def scd2_merge(
     - no-op updates (identical tracked attributes) change nothing;
     - brand-new keys insert as current rows effective ``as_of``.
 
-    Plan: every step is a key-partitioned hash join or a union — the
-    same three-branch decomposition a transactional MERGE performs, in
-    plain exchanges, so it runs on raw parquet at any scale (swap in
-    Delta/Iceberg MERGE where the table format provides it). Null-safe
-    attribute comparison via ``eqNullSafe``.
+    Plan: ONE null-safe full-outer equi-join of current-rows × updates,
+    then a per-row case expansion (array-of-structs explode) emits the
+    right output rows for each MERGE branch — untouched, expired +
+    re-insert, or brand-new insert. Both inputs are scanned exactly
+    once (the classic filter-per-branch decomposition re-plans the
+    join for every branch plus an anti-join for inserts — 6 scans of
+    each input before the union), so it runs on raw parquet at any
+    scale (swap in Delta/Iceberg MERGE where the table format provides
+    it). Null-safe attribute comparison via ``eqNullSafe``.
     """
     tracked = tracked or [
         c
@@ -127,44 +131,43 @@ def scd2_merge(
     )
     changed_cond = functools.reduce(
         operator.or_,
-        [~cur[c].eqNullSafe(F.col(f"__u_{c}")) for c in tracked],
+        [~F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in tracked],
     )
+    joined = cur.join(upd, key_cond, "full_outer")
 
-    joined = cur.join(upd, key_cond, "left")
-    untouched = joined.filter(
-        F.col(f"__u_{keys[0]}").isNull() | ~changed_cond
-    ).select(*current.columns)
-    expired = (
-        joined.filter(F.col(f"__u_{keys[0]}").isNotNull() & changed_cond)
-        .select(
-            *[c for c in current.columns if c not in ("valid_to", "is_current")],
-            as_of_lit.alias("valid_to"),
-            F.lit(False).alias("is_current"),
-        )
-        .select(*current.columns)
+    # side markers: cur rows all carry is_current=true (filtered
+    # above), so a null means the row came from the updates side; a
+    # null update business key means no update matched (same
+    # assumption as a MERGE ON clause: business keys are non-null)
+    has_cur = F.col("is_current").isNotNull()
+    has_upd = F.col(f"__u_{keys[0]}").isNotNull()
+
+    def _from_upd(c: str):
+        if c == "valid_from":
+            return as_of_lit
+        if c == "valid_to":
+            return F.lit(None).cast("date")
+        if c == "is_current":
+            return F.lit(True)
+        return F.col(f"__u_{c}")
+
+    keep = F.struct(*[F.col(c).alias(c) for c in current.columns])
+    expire = F.struct(
+        *[
+            (
+                as_of_lit
+                if c == "valid_to"
+                else F.lit(False) if c == "is_current" else F.col(c)
+            ).alias(c)
+            for c in current.columns
+        ]
     )
-    fresh = (
-        joined.filter(F.col(f"__u_{keys[0]}").isNotNull() & changed_cond)
-        .select(
-            *[F.col(f"__u_{k}").alias(k) for k in keys],
-            *[F.col(f"__u_{c}").alias(c) for c in tracked],
-        )
+    insert = F.struct(*[_from_upd(c).alias(c) for c in current.columns])
+
+    cases = (
+        F.when(~has_cur, F.array(insert))
+        .when(has_upd & changed_cond, F.array(expire, insert))
+        .otherwise(F.array(keep))
     )
-    new_keys = upd.join(
-        cur,
-        functools.reduce(
-            operator.and_, [cur[k].eqNullSafe(F.col(f"__u_{k}")) for k in keys]
-        ),
-        "left_anti",
-    ).select(
-        *[F.col(f"__u_{k}").alias(k) for k in keys],
-        *[F.col(f"__u_{c}").alias(c) for c in tracked],
-    )
-    inserts = (
-        fresh.unionByName(new_keys)
-        .withColumn("valid_from", as_of_lit)
-        .withColumn("valid_to", F.lit(None).cast("date"))
-        .withColumn("is_current", F.lit(True))
-        .select(*current.columns)
-    )
-    return closed.unionByName(untouched).unionByName(expired).unionByName(inserts)
+    merged = joined.select(F.explode(cases).alias("__r")).select("__r.*")
+    return closed.unionByName(merged)
