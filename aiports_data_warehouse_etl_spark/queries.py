@@ -6871,13 +6871,20 @@ def domain_balance_sample(spark, sf_dir):
     shuffle of the corpus itself, no RNG — identical output across
     engines, runs, and partitionings. At 100 TB the rate table is
     O(#sources) and the filter is map-side only."""
+    from pyspark.sql import Window as W
+
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    min_n = counts.agg(F.min("n_total").alias("min_n"))
-    rates = counts.join(F.broadcast(min_n)).select(
+    # min as an unpartitioned window over the #sources-row rollup: the
+    # broadcast cross-join form made every `rates` reference recompute
+    # the corpus count pass for the scalar too
+    min_n = F.min("n_total").over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    rates = counts.select(
         "source",
         "n_total",
-        F.floor(256.0 * F.col("min_n") / F.col("n_total")).cast("long").alias(
+        F.floor(256.0 * min_n / F.col("n_total")).cast("long").alias(
             "keep_buckets"
         ),
     )
@@ -10871,21 +10878,36 @@ def corpus_mixture_weights(spark, sf_dir):
     exactly-rounded IEEE op (unlike pow/exp) and the cross-source
     normalizer is summed as DECIMAL(20,12) of pre-rounded terms, so
     both engines sum exactly the same values order-free."""
+    # Normalizers as unpartitioned windows over the per-source rollup
+    # (≤ #sources rows): as broadcast cross-joined scalar aggs the
+    # plan referenced per_src three times and re-tokenized the corpus
+    # for each (same fix as pipeline_pretraining_full).
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     d = _t(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
         F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
     )
-    tot = per_src.agg(F.sum("n_tokens").alias("total"))
-    p = per_src.crossJoin(F.broadcast(tot)).select(
+    p = per_src.select(
         "source",
         "n_tokens",
-        F.round(F.sqrt(F.col("n_tokens").cast("double") / F.col("total")), 12)
+        F.round(
+            F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(everything)
+            ),
+            12,
+        )
         .cast("decimal(20,12)")
         .alias("sq"),
     )
-    norm = p.agg(F.sum("sq").alias("sq_sum"))
-    w = F.col("sq").cast("double") / F.col("sq_sum").cast("double")
-    return p.crossJoin(F.broadcast(norm)).select(
+    w = F.col("sq").cast("double") / F.sum("sq").over(everything).cast(
+        "double"
+    )
+    return p.select(
         "source",
         "n_tokens",
         F.round(w, 6).alias("weight"),

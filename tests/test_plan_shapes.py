@@ -347,11 +347,13 @@ _GLOBAL_WINDOW_OK = {
     "null_ordering",          # windows a `l_orderkey < 100` slice
     "share_of_parent",        # windows the 25-row region/nation rollup
     "revenue_mom_growth",     # windows the |months|-row monthly series
-    # windows the |sources|-row per-source rollup: the two scalar
-    # normalizers as windows keep the plan referencing the corpus
-    # pipeline ONCE (as cross-joined scalar aggs it recomputed the
-    # whole scan+score+dedup three times — 3× the sf1 corpus pass)
+    # window the |sources|-row per-source rollup: scalar normalizers
+    # as windows keep each plan referencing the corpus pipeline ONCE
+    # (as cross-joined scalar aggs they recomputed the whole corpus
+    # scan per reference — 3× the sf1 pass in pipeline_pretraining_full)
     "pipeline_pretraining_full",
+    "corpus_mixture_weights",
+    "domain_balance_sample",
 }
 
 
