@@ -2190,7 +2190,19 @@ class TxLogTable:
             if rel not in base["files"]
         ]
         removes = [rel for rel in base["files"] if rel not in old["files"]]
-        if not adds and not removes and old["dvs"] == base["dvs"]:
+        if (
+            not adds
+            and not removes
+            and old["dvs"] == base["dvs"]
+            # metadata-only history (rename epochs, schema evolution)
+            # must restore even when the FILE set is identical — a
+            # rename relocates no bytes, so a files-and-DVs-only
+            # comparison mistakes "same files, different schema" for
+            # "already at the restored state" (caught by the
+            # model-based restore op: append → rename → restore(0))
+            and old["renames"] == base["renames"]
+            and old["schema"] == base["schema"]
+        ):
             return base["version"]  # already at the restored state
         re_added = {a["path"] for a in adds}
         blooms = {}

@@ -2326,6 +2326,23 @@ def test_restore_preserves_table_policy(spark, tbl):
         tbl.append(spark.createDataFrame([(-1,)], "id int"))
 
 
+def test_restore_reverts_metadata_only_history(spark, tbl):
+    """A rename moves no bytes, so restoring across ONE metadata-only
+    commit leaves the file set identical — the no-op short-circuit
+    must still commit, reverting the logical schema (regression: the
+    files-and-DVs-only comparison returned 'already at the restored
+    state' and left the renamed schema in place; found by the
+    model-based restore op on the shrunk sequence append → rename →
+    restore(0)). Restoring again IS then a true no-op."""
+    tbl.append(spark.createDataFrame([(1, 10)], "id long, v0 long"))  # v0
+    tbl.rename_column("v0", "v1")                                     # v1
+    assert tbl.restore(0) == 2
+    assert tbl.read().columns == ["id", "v0"]
+    assert [r["id"] for r in tbl.read().collect()] == [1]
+    assert tbl.restore(0) == 2  # no new commit: state truly identical
+    assert tbl.latest_version() == 2
+
+
 def test_restore_raises_after_vacuum_reclaims_point(spark, tbl):
     """A restore point whose files vacuum already reclaimed must fail
     LOUDLY, never produce a partial table."""

@@ -4,12 +4,15 @@ pure-Python reference model.
 The targeted tests in test_txlog.py pin each DML op's semantics in
 isolation; this property test drives RANDOM interleavings of the
 whole surface — append, copy-on-write DELETE, merge-on-read
-(deletion-vector) DELETE, UPDATE, MERGE upsert, compaction, and
-column rename — and checks the table equals the model after EVERY
-op, so interaction bugs (a DV surviving a compact, a rename epoch
-misapplied to a merged file, an update recomputing against a stale
-name) have nowhere to hide. Hypothesis shrinks any failure to a
-minimal op sequence.
+(deletion-vector) DELETE, UPDATE, MERGE upsert, predicate-scoped
+replace, compaction, column rename, and RESTORE to any earlier
+version — and checks the table equals the model after EVERY op, so
+interaction bugs (a DV surviving a compact, a rename epoch misapplied
+to a merged file, an update recomputing against a stale name, a
+restore resurrecting the wrong schema or deletion vectors) have
+nowhere to hide. The model keeps a per-version snapshot history so a
+restore is checked against exactly what that version held — rows AND
+column name. Hypothesis shrinks any failure to a minimal op sequence.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ _OP = st.one_of(
     st.tuples(st.just("compact"), st.just(0)),
     st.tuples(st.just("rename"), st.just(0)),
     st.tuples(st.just("replace"), st.integers(0, 4)),
+    st.tuples(st.just("restore"), st.integers(0, 7)),
 )
 
 
@@ -47,6 +51,9 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
     next_id = 0
     val_col = "v0"
     renames = 0
+    # version -> (rows, val_col): what the table held at each commit,
+    # for checking RESTORE against the real historical state
+    history: dict[int, tuple[dict[int, int], str]] = {}
 
     def _df(rows):
         return spark.createDataFrame(
@@ -90,11 +97,17 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
             model.update(dict(rows))
         elif op == "compact":
             t.compact()
+        elif op == "restore":
+            vs = sorted(history)
+            target = vs[arg % len(vs)]
+            t.restore(target)
+            model, val_col = dict(history[target][0]), history[target][1]
         elif op == "rename":
-            renames += 1
+            renames += 1  # never reuse a name, even across restores
             new = f"v{renames}"
             t.rename_column(val_col, new)
             val_col = new
+        history[t.latest_version()] = (dict(model), val_col)
         got = sorted(
             (r["id"], r[val_col]) for r in t.read().collect()
         )
