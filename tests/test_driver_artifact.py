@@ -166,6 +166,26 @@ def test_sweep_window_rotates_to_unswept():
     )
 
 
+def test_ledger_tiebreaker_survives_lost_artifacts():
+    """ADVICE r8 #3: on a checkout with NO CORRECTNESS artifacts,
+    _ledger_selected(None) must still return past ledger rounds (all
+    but the newest, presumed-in-progress one) so the anti-repeat
+    tiebreaker works in exactly the lost-artifact scenario it exists
+    for — previously max_round defaulted to 0 and every round was
+    silently discarded."""
+    import __spark_entry__ as e
+
+    sel = e._ledger_selected(None)
+    with open(ROOT / "SWEEP_LEDGER.json") as f:
+        ledger = json.load(f)
+    rounds = sorted(int(r) for r in ledger if r.isdigit())
+    if len(rounds) < 2:
+        pytest.skip("need >=2 ledger rounds to observe the fallback")
+    # every round except the newest contributes
+    kept = {r for r in sel.values()}
+    assert kept == set(rounds[:-1]), (kept, rounds)
+
+
 def test_sweep_ledger_write_is_fixed_point():
     """The build-time ledger write must not feed back into the very
     selection it records: _ledger_selected ignores ledger rounds newer
