@@ -111,7 +111,12 @@ def vector_cosine_with_prefix(a: Column, b: Column, prefix_dims: int) -> Column:
 def _as_double(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = ()) -> DataFrame:
     # float32 → double BEFORE any arithmetic: keeps Spark and the
     # DuckDB oracle numerically identical (both fold in list order).
-    return df.select(
+    # NULL vectors are dropped here: they can't be bucketed or scored
+    # (cosine is undefined) and a None among Arrow batch rows makes
+    # np.stack fail with an opaque shape error deep in the kernel
+    # (ADVICE r8 #1). Same semantics as SQL aggregates ignoring NULL;
+    # hash-identical on NULL-free corpora.
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         *[F.col(c) for c in extra],
@@ -172,6 +177,27 @@ def auto_planes(
     return [(i, i + dim // 2) for i in range(n_planes)]
 
 
+def _auto_planes_from(df: DataFrame, vec_col: str) -> list[tuple[int, int]]:
+    """Size ``planes="auto"`` from the corpus in ONE aggregate job:
+    count + max(size(vec)) together, instead of the previous
+    ``df.first()`` + ``df.count()`` pair (ADVICE r8 #1 — two eager
+    jobs at plan-construction time, and ``len(first[0])`` raised a
+    bare TypeError when the first row's vector was NULL). ``F.max``
+    ignores NULL sizes, so a leading NULL vector no longer breaks
+    sizing; an empty or all-NULL corpus fails loudly here instead of
+    deep inside ``lsh_bucket``."""
+    n, dim = df.agg(
+        F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+    ).first()
+    if not n or dim is None or dim < 2:
+        raise ValueError(
+            "planes='auto' needs a non-empty corpus with non-NULL "
+            f"{vec_col!r} vectors of length >= 2 "
+            f"(rows={n}, max vector length={dim})"
+        )
+    return auto_planes(n, dim)
+
+
 def lsh_bucket(v: Column, planes: list[tuple[int, int]] = DEFAULT_PLANES) -> Column:
     """Deterministic sign-LSH bucket key: one bit per plane,
     bit = (v[i] > v[j]). element_at is 1-based.
@@ -203,8 +229,7 @@ def lsh_bucket_topk(
     oracle twins remain engine-reproducible.
     """
     if isinstance(planes, str) and planes == "auto":
-        first = df.select(vec_col).first()
-        planes = auto_planes(df.count(), len(first[0]) if first else 2)
+        planes = _auto_planes_from(df, vec_col)
     base = _as_double(df, vec_col, id_col).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     q = base
     if max_query_id is not None:
@@ -248,8 +273,7 @@ def lsh_multiprobe_topk(
     ``auto_planes``); the probe list then grows with it, holding the
     scanned fraction ≈(n+1)/2^n as buckets split."""
     if isinstance(planes, str) and planes == "auto":
-        first = df.select(vec_col).first()
-        planes = auto_planes(df.count(), len(first[0]) if first else 2)
+        planes = _auto_planes_from(df, vec_col)
     n = len(planes)
     base = _as_double(df, vec_col, id_col).withColumn(
         "bucket", lsh_bucket(F.col("v"), planes)
@@ -370,21 +394,38 @@ def ivf_topk(
     tests/test_dedup_similarity.py::test_ivf_topk_recall.
     """
     base = _as_double(df, vec_col, id_col)
-    n_corpus = base.count()
     if n_clusters is None:
+        # √N sizing needs the corpus count; the same count then sizes
+        # the unbiased hash-residue training slice.
+        n_corpus = base.count()
         n_clusters = int(min(4096, max(8, round(n_corpus ** 0.5))))
-    want = max(train_sample, 32 * n_clusters)
-    if n_corpus > 2 * want:
-        # deterministic pseudo-random slice: keep ~2·want rows by hash
-        # residue, cap with limit. Never collects more than the cap.
-        frac = min(1.0, 2.0 * want / n_corpus)
-        sample = base.filter(
-            F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))
-            < int(frac * 1_000_000)
-        )
+        want = max(train_sample, 32 * n_clusters)
+        if n_corpus > 2 * want:
+            # deterministic pseudo-random slice: keep ~2·want rows by
+            # hash residue, cap with limit. Never collects > the cap.
+            frac = min(1.0, 2.0 * want / n_corpus)
+            sample = base.filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))
+                < int(frac * 1_000_000)
+            )
+        else:
+            sample = base
     else:
+        # Explicit n_clusters: no corpus-count job at all (ADVICE r8
+        # #4 — the count is only needed for √N sizing and for the
+        # residue fraction; a caller pinning the cell count opts into
+        # the one-job limit(want) collection, same as the pre-√N
+        # path). limit() reads a file prefix, so the sketch can be
+        # file-biased — callers who care pass n_clusters=None.
+        want = max(train_sample, 32 * n_clusters)
         sample = base
-    X = np.stack(sample.select("v").limit(want).toPandas()["v"].to_numpy())
+    X_rows = sample.select("v").limit(want).toPandas()["v"].to_numpy()
+    if len(X_rows) == 0:
+        raise ValueError(
+            "ivf_topk: empty corpus — nothing to train the coarse "
+            f"quantizer on (vec_col={vec_col!r}, id_col={id_col!r})"
+        )
+    X = np.stack(X_rows)
     n_clusters = min(n_clusters, len(X))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()

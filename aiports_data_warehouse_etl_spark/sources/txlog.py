@@ -37,6 +37,7 @@ transport-agnostic.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import re
 import os
@@ -423,8 +424,24 @@ class TxLogTable:
             os.link(tmp, final)
         except FileExistsError:
             return False
+        except FileNotFoundError:
+            # A concurrent vacuum(abandoned_seconds=...) reaped our
+            # tmp file between create and link — only possible when
+            # this writer stalled longer than the caller's abandonment
+            # horizon. Surface it LOUDLY as a conflict (the state read
+            # is that stale too), never as a bare FileNotFoundError
+            # masked by the cleanup below (ADVICE r8 #2). No staged-
+            # file reclaim needed: any parquet this writer staged was
+            # created BEFORE the tmp, so it is older than the same
+            # abandonment horizon and the same vacuum reaps it.
+            raise TxConflict(
+                f"commit v{version}: staging file reaped by vacuum "
+                f"(writer exceeded the abandoned-file horizon); "
+                f"re-read table state and retry"
+            ) from None
         finally:
-            os.remove(tmp)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
             cp = {

@@ -497,3 +497,66 @@ def test_auto_planes_bounds_bucket_population(spark, sf_small):
     assert rows and all(r.rnk <= 5 for r in rows)
     again = lsh_multiprobe_topk(emb, k=5, planes="auto", max_query_id=10).collect()
     assert {(r.qid, r.cand_id) for r in rows} == {(r.qid, r.cand_id) for r in again}
+
+
+def test_auto_planes_null_and_empty_guards(spark, sf_small):
+    """ADVICE r8 #1: planes='auto' must survive a NULL vector in the
+    first row (F.max(size) ignores NULLs), size the planes in ONE
+    aggregate job, and fail LOUDLY (not TypeError deep in lsh_bucket)
+    on an empty or all-NULL corpus."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from aiports_data_warehouse_etl_spark.operators.similarity import (
+        _auto_planes_from,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    # NULL vector sorted FIRST: the old df.first()[0] path raised
+    # TypeError; the aggregate path must ignore it.
+    nulled = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    planes = _auto_planes_from(nulled.orderBy("vec_id"), "embedding")
+    assert planes == _auto_planes_from(emb, "embedding")
+    rows = lsh_bucket_topk(nulled, k=3, planes="auto", max_query_id=5).collect()
+    assert rows and all(r.rnk <= 3 for r in rows)
+
+    empty = emb.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="non-empty corpus"):
+        _auto_planes_from(empty, "embedding")
+    all_null = emb.withColumn("embedding", F.lit(None).cast("array<float>"))
+    with _pytest.raises(ValueError, match="non-NULL"):
+        _auto_planes_from(all_null, "embedding")
+
+
+def test_ivf_explicit_clusters_skips_count_and_empty_is_loud(spark, sf_small):
+    """ADVICE r8 #4: with an explicit n_clusters the corpus-count job
+    is skipped entirely (plan construction runs exactly one collect —
+    the limit(want) training sample), and an empty corpus raises a
+    clear error instead of an opaque np.stack ValueError."""
+    import pytest as _pytest
+    from aiports_data_warehouse_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+    counted = {"n": 0}
+    orig_count = type(emb).count
+
+    def spy_count(self):
+        counted["n"] += 1
+        return orig_count(self)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(emb), "count", spy_count):
+        df = ivf_topk(emb, k=3, n_clusters=4, max_query_id=5)
+    assert counted["n"] == 0, "explicit n_clusters must not run a count job"
+    assert df.count() > 0
+
+    empty = emb.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        ivf_topk(empty, k=3, n_clusters=4)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        ivf_topk(empty, k=3)  # auto path hits the same guard

@@ -4050,3 +4050,97 @@ def test_vacuum_reaps_orphaned_log_tmp(spark, tbl):
     assert not os.path.exists(old), "abandoned log tmp not reaped"
     assert os.path.exists(new), "fresh (possibly in-flight) tmp reaped"
     os.remove(new)
+
+def test_commit_surfaces_vacuum_reaped_tmp_as_txconflict(spark, tbl, monkeypatch):
+    """ADVICE r8 #2: a writer stalled past abandoned_seconds between
+    tmp-create and os.link gets its tmp reaped by a concurrent vacuum;
+    os.link must surface that as a LOUD TxConflict, and the finally
+    cleanup must not mask it with a second FileNotFoundError."""
+    import aiports_data_warehouse_etl_spark.sources.txlog as txmod
+
+    tbl.append(_orders(spark).limit(5))
+    real_link = os.link
+
+    def reaping_link(src, dst, **kw):
+        if "/_txlog/" in src and ".tmp." in src:
+            os.remove(src)  # simulate vacuum reaping the stalled tmp
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(txmod.os, "link", reaping_link)
+    with pytest.raises(TxConflict, match="reaped by vacuum"):
+        tbl.append(_orders(spark).limit(3))
+    monkeypatch.undo()
+    # the table is untouched and a fresh writer proceeds normally
+    assert tbl.read().count() == 5
+    tbl.append(_orders(spark).limit(3))
+    assert tbl.read().count() == 8
+
+def test_matview_delete_refresh_pin_threshold(spark, tbl, tmp_path, monkeypatch):
+    """VERDICT r8 #6: pin the driver-side persist decision for the
+    min/max delete-refresh. A small slice (below _PIN_FEED_BYTES) must
+    refresh UNPINNED (the cache round-trip loses at demo scale); a
+    slice at/above the threshold must refresh PINNED — so a refactor
+    can't silently invert the byte-stats decision. Both branches must
+    produce the identical (correct) view."""
+    from aiports_data_warehouse_etl_spark.streaming import matview as mvmod
+
+    mv = mvmod.IncrementalAggView(
+        spark, tbl, str(tmp_path / "view"),
+        group_cols=["k"], sum_cols=["val"], max_cols=["val"],
+    )
+    seen: list[bool] = []
+    orig_apply = mvmod.IncrementalAggView._apply
+
+    def spy_apply(self, feed, cur, may_delete=True, pin=False):
+        seen.append(pin)
+        return orig_apply(self, feed, cur, may_delete=may_delete, pin=pin)
+
+    monkeypatch.setattr(mvmod.IncrementalAggView, "_apply", spy_apply)
+
+    def expect():
+        return {
+            (r.k, r.n, round(r.s, 6), r.m)
+            for r in tbl.read().groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("s"),
+                F.max("val").alias("m"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            (r.k, r.n_rows, round(r.sum_val, 6), r.max_val)
+            for r in mv.read().collect()
+        }
+
+    tbl.append(spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 4.0)], "k string, val double"))
+    mv.refresh()  # initial build: no _apply call
+
+    # small delete slice, real threshold -> unpinned branch
+    tbl.delete_where_dv("k = 'a' AND val = 9.0")
+    assert mv.refresh() is not None
+    assert seen == [False], seen
+    assert got() == expect()
+    # the decision really came from the byte stats: the slice bytes
+    # are positive but far below the 256 MB threshold
+    lo = mv.last_applied_version()
+    assert 0 < mv._slice_change_bytes(lo - 1, lo) < mv._PIN_FEED_BYTES
+
+    # same workload shape with the threshold at 0 -> pinned branch
+    persists: list[int] = []
+    _DF = type(tbl.read())  # the CONCRETE DataFrame class (classic
+    # subclass in Spark 4 — patching pyspark.sql.DataFrame misses it)
+    orig_persist = _DF.persist
+
+    def spy_persist(self, *a, **kw):
+        persists.append(1)
+        return orig_persist(self, *a, **kw)
+
+    monkeypatch.setattr(mvmod.IncrementalAggView, "_PIN_FEED_BYTES", 0)
+    monkeypatch.setattr(_DF, "persist", spy_persist)
+    tbl.delete_where_dv("k = 'b'")
+    assert mv.refresh() is not None
+    assert seen == [False, True], seen
+    assert persists, "pin=True refresh never persisted the merged subtree"
+    assert got() == expect()
