@@ -5729,12 +5729,35 @@ def weighted_sample_priority(spark, sf_dir):
     )
 
 
-@q("hll_mergeable_distinct", None)  # Datasketches HIP estimate is
-# partition-ORDER-dependent: the same union over shuffle=4 vs 32 gave
-# 491 vs 493 on identical data (measured r4), so even a literal pin
-# would be unsound — genuinely engine-internal; rows-only + accuracy
-# test is the honest gate (its HLL++ cousin approx_sketches IS pinned:
-# register-max only, no HIP, partition-independent).
+def _hll_mergeable_oracle_sql() -> str | None:
+    """Cardinality-keyed literal-VALUES oracle for the Datasketches
+    HLL rollup — sound since r9's canonical union order made the
+    query deterministic across partitionings (VERDICT r8 #5; same
+    pin pattern as _approx_sketches_oracle_sql, regenerated by
+    tools/gen_sketch_expected.py). Returns None (rows-only) only in
+    the bootstrap window before the pins are generated."""
+    from aiports_data_warehouse_etl_spark.functions.sketch_expected import (
+        HLL_MERGEABLE_ROWS,
+    )
+
+    if not HLL_MERGEABLE_ROWS:
+        return None
+    vals = ", ".join(
+        f"({n}, '{src}', {nr}, {ad})"
+        for n, src, nr, ad in HLL_MERGEABLE_ROWS
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents)
+    SELECT v.source,
+           CAST(v.n_rows AS BIGINT) AS n_rows,
+           CAST(v.approx_distinct AS BIGINT) AS approx_distinct
+    FROM (VALUES {vals})
+      AS v(corpus_n, source, n_rows, approx_distinct)
+    JOIN n ON v.corpus_n = n.c
+    """
+
+
+@q("hll_mergeable_distinct", _hll_mergeable_oracle_sql())
 def hll_mergeable_distinct(spark, sf_dir):
     """Mergeable HLL sketches (Datasketches, Spark 4 native): build one
     sketch per source, then RE-AGGREGATE the stored sketches into a
@@ -5743,7 +5766,17 @@ def hll_mergeable_distinct(spark, sf_dir):
     once per partition/day (map-side, mergeable), persisted bytes ride
     in metadata tables, and any rollup (per source, per month, global)
     is a cheap union of kilobyte sketches instead of a re-scan.
-    Deterministic for fixed input; accuracy vs exact pinned in
+
+    The rollup union is CANONICALIZED (VERDICT r8 #5): Datasketches'
+    HIP accumulator replays sparse-mode coupons in merge order, so a
+    distributed hll_union_agg gave 491 vs 493 for the same 500 ids
+    under shuffle=4 vs 32 (measured r4, reproduced r9). Sorting the
+    per-source sketch rows into ONE partition fixes the merge order —
+    sound at any scale because the union input is ≤#sources kilobyte
+    sketch rows by construction (the whole point of the pattern), not
+    data. Re-probed identical across shuffle=4/32/7; that makes the
+    cardinality-keyed literal pin (tools/gen_sketch_expected.py) an
+    honest oracle. Accuracy vs exact stays pinned in
     tests/test_dedup_similarity.py."""
     d = _t(spark, sf_dir, "documents")
     sk = d.groupBy("source").agg(
@@ -5755,12 +5788,17 @@ def hll_mergeable_distinct(spark, sf_dir):
         "n_rows",
         F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
     )
-    overall = sk.agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).cast("long").alias(
-            "approx_distinct"
-        ),
-    ).select(F.lit("__all__").alias("source"), "n_rows", "approx_distinct")
+    overall = (
+        sk.coalesce(1)
+        .sortWithinPartitions("source")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+            .cast("long")
+            .alias("approx_distinct"),
+        )
+        .select(F.lit("__all__").alias("source"), "n_rows", "approx_distinct")
+    )
     return per_source.unionByName(overall)
 
 

@@ -560,3 +560,34 @@ def test_ivf_explicit_clusters_skips_count_and_empty_is_loud(spark, sf_small):
         ivf_topk(empty, k=3, n_clusters=4)
     with _pytest.raises(ValueError, match="empty corpus"):
         ivf_topk(empty, k=3)  # auto path hits the same guard
+
+
+def test_hll_union_is_partition_order_independent(spark, sf_oracle):
+    """VERDICT r8 #5: the Datasketches rollup's HIP estimate replays
+    sparse-mode coupons in merge order (491 vs 493 for the same 500
+    ids under shuffle=4 vs 32, measured r4). The canonical union —
+    one sorted partition of the kilobyte per-source sketch rows —
+    must return the identical result under different shuffle
+    partitionings, which is what makes the literal oracle pin sound."""
+    from aiports_data_warehouse_etl_spark.queries import QUERIES
+
+    fn = QUERIES["hll_mergeable_distinct"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for shuf in ("4", "32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", shuf)
+            outs.append(sorted(tuple(r) for r in fn(spark, sf_oracle).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1] == outs[2]
+    # and the pinned VALUES rows are exactly what the engine computes
+    from aiports_data_warehouse_etl_spark.functions.sketch_expected import (
+        HLL_MERGEABLE_ROWS,
+    )
+
+    n = spark.read.parquet(f"{sf_oracle}/documents.parquet").count()
+    pinned = sorted(
+        (src, nr, ad) for cn, src, nr, ad in HLL_MERGEABLE_ROWS if cn == n
+    )
+    assert pinned == outs[0], "pins stale — rerun tools/gen_sketch_expected.py"
