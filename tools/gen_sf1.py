@@ -150,8 +150,20 @@ def main() -> None:
     # and user ids shift too, so entity cardinality scales 10x the
     # way a real corpus grows (rfm quartiles over 10x customers).
     o = spark.read.parquet(f"{SRC}/orders.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
     o_shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    c_shift = o.agg(F.max("o_custkey")).collect()[0][0] + 1
+    # r9: customer now ships 10x key-shifted copies too (the TPC-H
+    # multi-table shapes joined through o_custkey need the dim to
+    # cover every shifted FK), so the custkey shift must be SHARED
+    # between fact and dim and clear BOTH key ranges — else copy k's
+    # customers would collide with copy k+1's orders.
+    c_shift = (
+        max(
+            o.agg(F.max("o_custkey")).collect()[0][0],
+            cust.agg(F.max("c_custkey")).collect()[0][0],
+        )
+        + 1
+    )
     o10 = (
         o.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
         .withColumn(
@@ -182,7 +194,31 @@ def main() -> None:
         f"{OUT}/events.parquet"
     )
 
-    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
+    # ---- customer + pure dimensions (r9: VERDICT r8 #4 — extend the
+    # rehearsal to the TPC-H multi-table shapes). customer scales 10x
+    # with the shared c_shift so every shifted o_custkey resolves;
+    # supplier / part / region are copied VERBATIM: lineitem keeps its
+    # original l_partkey / l_suppkey, so each part/supplier simply
+    # gains 10x fan-in — the "more facts per dimension row" growth a
+    # real warehouse exhibits, and exactly the shape that stresses the
+    # fact-side shuffle without breaking FK integrity.
+    c10 = (
+        cust.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
+        .withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("copy") * F.lit(c_shift)
+        )
+        .drop("copy")
+    )
+    c10.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/customer.parquet"
+    )
+    for dim in ("supplier", "part", "region"):
+        spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{dim}.parquet")
+
+    for t in ("documents", "embeddings", "lineitem", "orders", "events",
+              "customer", "supplier", "part"):
         print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())
 
 

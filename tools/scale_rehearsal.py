@@ -74,6 +74,27 @@ FAMILIES = [
     "graph_triangle_count", "text_feature_hashing",
     "text_tfidf_top_terms", "text_bm25_search", "cluster_top_terms",
     "pipeline_training_corpus",
+    # r9 (VERDICT r8 #4): extend beyond 70/249 — the next-heaviest
+    # BENCH_FULL queries without a scale row. gen_sf1 now also ships
+    # customer (10x, shared custkey shift) and supplier/part/region
+    # (verbatim dims), so the TPC-H multi-table shapes run at 10x:
+    # joins through o_custkey resolve against the shifted dim, and
+    # part/supplier-side joins see 10x fan-in per dimension row — the
+    # fact-side-shuffle growth shape.
+    "file_provenance", "recursive_cte_bom", "orc_roundtrip_agg",
+    "tpch_q21_waiting_supplier", "id_gaps_islands",
+    "stratified_sample_hash", "hierarchy_rollup_bom", "sim_recall_eval",
+    "win_ntile_percent_rank", "mm_video_frame_sample",
+    "tpch_q3_shipping_priority", "pandas_cogroup_profile",
+    "text_ngram_novelty", "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier", "tpch_q12_priority_by_year",
+    "udtf_installments", "argmin_join_cheapest_per_part",
+    "quality_quantile_filter", "tpch_q8_market_share",
+    "tpch_q4_priority_exists", "hist_equidepth_bins", "bpe_token_count",
+    "emb_covariance_matrix", "text_top_bigrams",
+    "tpch_q10_returned_items", "emb_pca_projection",
+    "tpch_q18_large_orders", "tpch_q11_important_stock",
+    "win_trailing_median",
 ]
 
 SF01 = "/root/testdata/sf0.1"
