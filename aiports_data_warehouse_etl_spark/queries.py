@@ -2534,24 +2534,34 @@ def text_ngram_novelty(spark, sf_dir):
     min doc_id over the corpus) — the incremental-value metric a
     curation loop uses to rank candidate additions against an already
     selected corpus. Pure counts (no float output). Plan: the shared
-    cached shingle table → one groupBy(s) for first owners → shingle-
-    keyed join back (co-partitioned with the groupBy, exchange
-    reused) → per-doc count rollup. At 100 TB the first-owner table
-    is the corpus shingle vocabulary — same scale class as every
-    inverted-index dedup here, and the min() makes the pass
-    idempotent under re-runs."""
+    cached shingle table → one groupBy(s) for first owners, then
+    n_novel comes from rolling the OWNER table up by first_doc — NOT
+    from joining owners back to the shingle rows. The join-back plan
+    r1–r8 shipped was shingle-cardinality × vocabulary-cardinality;
+    fine while the vocabulary was broadcastable (27k shingles at
+    sf0.1) but a large-large shuffle join the moment vocabulary grows
+    with the corpus (2.5M at the 10x rehearsal → 17.3x wall-clock).
+    The rollup form is the same two shuffles (by s, by doc) with the
+    join collapsed to doc-cardinality — sub-linear again at 10x, and
+    at 100 TB the only wide exchange left is the unavoidable
+    vocabulary groupBy that every inverted-index op here shares. The
+    min() makes the pass idempotent under re-runs."""
     sh = D.shingle_rows(
         _t(spark, sf_dir, "documents"), k=3
     ).select("id", "s")
     own = sh.groupBy("s").agg(F.min("id").alias("first_doc"))
+    per_doc = sh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    novel = own.groupBy(F.col("first_doc").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
     return (
-        sh.join(own, "s")
-        .groupBy(F.col("id").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
+        per_doc.join(novel, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
     )
 
@@ -6763,37 +6773,41 @@ def tpch_q20_part_promotion(spark, sf_dir):
 def tpch_q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape: the sole-blocker query — late lines (shipped
     >60 days after ordering, no receipt/commit dates in the testdata)
-    in finished multi-supplier orders where NO OTHER supplier was late:
-    a semi join and an anti join against the same derived table with a
-    key-equal + key-not-equal compound condition."""
+    in finished multi-supplier orders where NO OTHER supplier was late.
+
+    The EXISTS/NOT-EXISTS pair is decorrelated into ONE order-keyed
+    rollup instead of a semi + anti join against lineitem: per order,
+    count distinct suppliers and distinct LATE suppliers; a late line
+    qualifies iff the order has >1 supplier and exactly 1 late one
+    (itself — the row is late, so its supplier is the one). The
+    join-form r1–r8 shipped probed the FULL fact table as a semi-join
+    build side; its column-pruned size estimate slid under the 64 MB
+    broadcast threshold at the 10x rehearsal and Spark shipped a
+    267 MiB / 6M-row broadcast — the classic estimate-driven
+    scale-killer. The rollup form's widest exchanges are orderkey
+    hash-partitions of the fact (co-partitioned: the rollup and the
+    probe reuse one layout), which is the canonical distributed Q21
+    plan at any scale; only supplier (a true dimension) broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = (
-        li.join(
-            o,
-            (li.l_orderkey == o.o_orderkey)
-            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        )
-        .select("l_orderkey", "l_suppkey")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = l1.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_sup"
+        ),
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+        lo.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
