@@ -115,9 +115,14 @@ def main() -> None:
     # runs only those families (merging into an existing partial
     # /tmp/BENCH_sf1.json) and skips the telemetry/matview sections —
     # the incremental path for adding rows without re-timing the rest.
-    only = set(sys.argv[1:])
+    # `--rest` (r9) runs every registry query NOT already in the
+    # merged /tmp/BENCH_sf1.json results: with gen_sf1 now shipping
+    # all ten tables, the whole 249-query registry can carry a 10x
+    # scale row, not just the curated heavy families.
+    only = set(a for a in sys.argv[1:] if a != "--rest")
+    rest = "--rest" in sys.argv[1:]
     out: dict = {"results": {}, "telemetry": {}}
-    if only and os.path.exists("/tmp/BENCH_sf1.json"):
+    if (only or rest) and os.path.exists("/tmp/BENCH_sf1.json"):
         with open("/tmp/BENCH_sf1.json") as f:
             out = json.load(f)
         out.setdefault("results", {})
@@ -127,7 +132,12 @@ def main() -> None:
         with open("/tmp/BENCH_sf1.json", "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
-    for name in FAMILIES:
+    names = list(FAMILIES)
+    if rest:
+        names = [n for n in QUERIES if n not in out["results"]]
+        print(f"--rest: {len(names)} registry queries without a scale row",
+              flush=True)
+    for name in names:
         if only and name not in only:
             continue
         row: dict = {}
@@ -154,7 +164,7 @@ def main() -> None:
         flush()
         print(name, json.dumps(row), flush=True)
 
-    if only:  # incremental run: keep prior telemetry/matview sections
+    if only or rest:  # incremental: keep prior telemetry/matview sections
         return
 
     # candidate-pair telemetry for the bucketed dedup operators
