@@ -137,6 +137,9 @@ def main() -> None:
         names = [n for n in QUERIES if n not in out["results"]]
         print(f"--rest: {len(names)} registry queries without a scale row",
               flush=True)
+    elif only:
+        # any registry query is probe-able, not just the curated list
+        names = [n for n in QUERIES if n in only]
     for name in names:
         if only and name not in only:
             continue
