@@ -6797,11 +6797,16 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_sup"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_sup"
-        ),
+    # two-level aggregate instead of countDistinct×2: the pair dedupe
+    # and the order rollup are both partial-aggregatable (map-side
+    # combine), whereas two DISTINCT aggregates would expand every
+    # row ×2 before the shuffle
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_sup"),
     )
     s = _t(spark, sf_dir, "supplier")
     return (
