@@ -1037,3 +1037,18 @@ def test_matryoshka_uses_arrow_kernel_not_hof(spark, sf_small):
     assert "ArrowEvalPython" in p
     assert "aggregate(" not in p and "zip_with(" not in p
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+def test_novelty_joins_at_doc_cardinality(spark, sf_small):
+    """r9 rewrite: text_ngram_novelty must never join the owner table
+    back to the shingle rows (vocabulary-by-shingle-cardinality once
+    the vocabulary outgrows broadcast — 17.3x at the 10x rehearsal).
+    n_novel comes from rolling the owner table up by first_doc, so
+    the optimized plan has exactly ONE join, it is the left outer
+    per-doc merge, and no join key is the shingle column."""
+    df = QUERIES["text_ngram_novelty"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("Join") == 1
+    assert "LeftOuter" in p
+    join_line = next(l for l in p.splitlines() if "Join" in l)
+    assert "s#" not in join_line  # never keyed on the shingle string
