@@ -176,6 +176,25 @@ def test_q21_decorrelated_rollup(spark, sf_small):
     assert "LeftSemi" not in p and "LeftAnti" not in p
     phys = plan(df)
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+    # the actual r9 regression: a fact-derived relation on a broadcast
+    # build side. Execute and check every AQE broadcast stage's row
+    # count against the order cardinality — the legitimate broadcast
+    # sides (orders-F projection, supplier, the per-order rollup) are
+    # all ≤ #orders, while any line-granularity relation (lineitem,
+    # the joined late-lines) exceeds it.
+    import re
+
+    df.collect()
+    executed = plan(df)  # formatted explain post-AQE carries stage stats
+    n_orders = spark.read.parquet(f"{sf_small}/orders.parquet").count()
+    stages = re.findall(
+        r"BroadcastQueryStage[^\n]*?rowCount=([\d.E+]+)", executed
+    )
+    assert stages, "no broadcast stage stats found — assertion is vacuous"
+    for rc in stages:
+        assert float(rc) <= n_orders, (
+            f"fact-sized broadcast build side returned: rowCount={rc}"
+        )
 
 
 def test_q16_exclusion_is_broadcast_anti(spark, sf_small):

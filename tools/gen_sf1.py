@@ -128,8 +128,21 @@ def main() -> None:
     )
 
     # ---- lineitem + nation -------------------------------------------
+    # the orderkey shift is SHARED with the orders copies below: the
+    # TPC-H rehearsal joins lineitem↔orders across copies, so the two
+    # key spaces must shift by the same constant that clears BOTH
+    # maxima — today max(l_orderkey) == max(o_orderkey), but relying
+    # on that equality is exactly the aliasing bug class the shared
+    # custkey shift exists to prevent
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    shift = (
+        max(
+            li.agg(F.max("l_orderkey")).collect()[0][0],
+            o.agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
     li10 = (
         li.crossJoin(spark.range(COPIES).withColumnRenamed("id", "copy"))
         .withColumn(
@@ -149,9 +162,8 @@ def main() -> None:
     # cms needs events). Key-shifted copies like lineitem; customer
     # and user ids shift too, so entity cardinality scales 10x the
     # way a real corpus grows (rfm quartiles over 10x customers).
-    o = spark.read.parquet(f"{SRC}/orders.parquet")
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
-    o_shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    o_shift = shift  # shared with lineitem (see above)
     # r9: customer now ships 10x key-shifted copies too (the TPC-H
     # multi-table shapes joined through o_custkey need the dim to
     # cover every shifted FK), so the custkey shift must be SHARED

@@ -134,15 +134,21 @@ def main() -> None:
 
     names = list(FAMILIES)
     if rest:
-        names = [n for n in QUERIES if n not in out["results"]]
+        # a prior {"err": ...} row is NOT a scale row — retry it (a
+        # query that errored once, e.g. before gen_sf1 shipped its
+        # table, must not be permanently skipped by later sweeps)
+        names = [
+            n
+            for n in QUERIES
+            if n not in out["results"]
+            or "ratio" not in out["results"][n]
+        ]
         print(f"--rest: {len(names)} registry queries without a scale row",
               flush=True)
     elif only:
         # any registry query is probe-able, not just the curated list
         names = [n for n in QUERIES if n in only]
     for name in names:
-        if only and name not in only:
-            continue
         row: dict = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
             spark.catalog.clearCache()
