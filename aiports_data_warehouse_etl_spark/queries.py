@@ -2453,21 +2453,32 @@ def tpch_q5_local_supplier(spark, sf_dir):
 )
 def tpch_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue ranking — selective fact
-    filter, wide group key, top-k."""
+    filter, wide group key, top-k. Aggregate-then-join (the same
+    posture test_q18_aggregates_before_join pins): revenue rolls up
+    by custkey on the fact side FIRST, so the orderkey shuffle
+    carries only (custkey, revenue term) instead of dragging c_name /
+    n_name strings through every fact row, and the customer join
+    happens at group cardinality. Grouping by custkey alone is
+    equivalent to the oracle's (custkey, c_name, n_name) key because
+    both extra columns are functionally dependent on the customer
+    PK."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
