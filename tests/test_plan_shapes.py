@@ -1071,3 +1071,16 @@ def test_novelty_joins_at_doc_cardinality(spark, sf_small):
     assert "LeftOuter" in p
     join_line = next(l for l in p.splitlines() if "Join" in l)
     assert "s#" not in join_line  # never keyed on the shingle string
+
+
+def test_q10_aggregates_before_customer_join(spark, sf_small):
+    """r9 rewrite: Q10's revenue rollup must run BELOW the customer
+    join (aggregate-then-join, same posture as Q18) so the fact-side
+    shuffle never carries customer strings and the dimension join
+    happens at group cardinality."""
+    df = QUERIES["tpch_q10_returned_items"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = p.find("Aggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert agg_pos > join_pos  # aggregate nested under (runs before) joins
