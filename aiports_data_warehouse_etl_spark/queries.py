@@ -2545,22 +2545,32 @@ def text_ngram_novelty(spark, sf_dir):
     min doc_id over the corpus) — the incremental-value metric a
     curation loop uses to rank candidate additions against an already
     selected corpus. Pure counts (no float output). Plan: the shared
-    cached shingle table → one groupBy(s) for first owners, then
+    cached shingle table → one groupBy for first owners, then
     n_novel comes from rolling the OWNER table up by first_doc — NOT
     from joining owners back to the shingle rows. The join-back plan
     r1–r8 shipped was shingle-cardinality × vocabulary-cardinality;
     fine while the vocabulary was broadcastable (27k shingles at
     sf0.1) but a large-large shuffle join the moment vocabulary grows
     with the corpus (2.5M at the 10x rehearsal → 17.3x wall-clock).
-    The rollup form is the same two shuffles (by s, by doc) with the
-    join collapsed to doc-cardinality — sub-linear again at 10x, and
-    at 100 TB the only wide exchange left is the unavoidable
+    The rollup form is the same two shuffles (by shingle, by doc)
+    with the join collapsed to doc-cardinality — sub-linear again at
+    10x, and at 100 TB the only wide exchange left is the unavoidable
     vocabulary groupBy that every inverted-index op here shares. The
-    min() makes the pass idempotent under re-runs."""
+    min() makes the pass idempotent under re-runs.
+
+    Shuffle width (r10, VERDICT r9 #4): the output never needs the
+    shingle text, so the vocabulary exchange is keyed on
+    xxhash64(shingle) — 8 bytes vs the ~25-byte raw 3-gram — cutting
+    the one wide shuffle's key bytes ~3x at any vocabulary size. A
+    64-bit collision merges two shingles into one owner; at V
+    distinct shingles the expected number of colliding pairs is
+    V^2 / 2^65 ≈ 3e-7 at V = 2.5M (the 10x rehearsal) and still
+    < 0.005 at V = 1e10 (100 TB-class corpus), i.e. materially zero
+    and strictly bounded; counts shift by at most 1 per collision."""
     sh = D.shingle_rows(
         _t(spark, sf_dir, "documents"), k=3
-    ).select("id", "s")
-    own = sh.groupBy("s").agg(F.min("id").alias("first_doc"))
+    ).select("id", F.xxhash64("s").alias("h"))
+    own = sh.groupBy("h").agg(F.min("id").alias("first_doc"))
     per_doc = sh.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
