@@ -230,7 +230,7 @@ def main() -> None:
         ).parquet(f"{OUT}/{dim}.parquet")
 
     for t in ("documents", "embeddings", "lineitem", "orders", "events",
-              "customer", "supplier", "part"):
+              "customer", "supplier", "part", "nation", "region"):
         print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())
 
 

@@ -136,13 +136,24 @@ def main() -> None:
     if rest:
         # a prior {"err": ...} row is NOT a scale row — retry it (a
         # query that errored once, e.g. before gen_sf1 shipped its
-        # table, must not be permanently skipped by later sweeps)
-        names = [
-            n
-            for n in QUERIES
-            if n not in out["results"]
-            or "ratio" not in out["results"][n]
-        ]
+        # table, must not be permanently skipped by later sweeps).
+        # EXCEPT (ADVICE r9 #1): a row whose sf0.1 leg ALSO errored
+        # failed for a non-scale reason (the query itself is broken
+        # at any SF) — re-running it twice per scale on every sweep
+        # just burns time; leave it for an explicit-name retry.
+        def _needs_row(n: str) -> bool:
+            row = out["results"].get(n)
+            if row is None:
+                return True
+            if "ratio" in row:
+                return False
+            return "err" not in row.get("sf0.1", {})
+
+        names = [n for n in QUERIES if _needs_row(n)]
+        if only:
+            # ADVICE r9 #1: --rest plus explicit names used to ignore
+            # the names silently; honor the intersection.
+            names = [n for n in names if n in only]
         print(f"--rest: {len(names)} registry queries without a scale row",
               flush=True)
     elif only:
