@@ -591,3 +591,46 @@ def test_hll_union_is_partition_order_independent(spark, sf_oracle):
         (src, nr, ad) for cn, src, nr, ad in HLL_MERGEABLE_ROWS if cn == n
     )
     assert pinned == outs[0], "pins stale — rerun tools/gen_sketch_expected.py"
+
+
+def test_hll_canonical_union_survives_wide_layouts(spark, sf_oracle):
+    """VERDICT r9 #6: the canonical-union invariant must stay
+    load-bearing when the per-source sketch frame exceeds one
+    partition's worth of rows — not just in the ≤4-source documents
+    table. Synthesize 64 sources (doc_id % 64), land the sketch frame
+    in pathological layouts (16 hash partitions, 64 key partitions,
+    a reverse-sorted single partition), and require the identical
+    rollup from every layout and shuffle width: the result must be a
+    pure function of the sketch-row SET so a layout change can never
+    silently reintroduce the 491-vs-493 HIP merge-order drift."""
+    from pyspark.sql import functions as F
+
+    from aiports_data_warehouse_etl_spark.queries import hll_canonical_overall
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    sk = (
+        d.withColumn("source", (F.col("doc_id") % 64).cast("string"))
+        .groupBy("source")
+        .agg(
+            F.hll_sketch_agg(F.col("doc_id")).alias("sk"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    layouts = [
+        sk,
+        sk.repartition(16),
+        sk.repartition(64, "source"),
+        sk.coalesce(1).sortWithinPartitions(F.desc("source")),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for shuf in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", shuf)
+            for lay in layouts:
+                outs.append(tuple(hll_canonical_overall(lay).collect()[0]))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(set(outs)) == 1, outs
+    # non-vacuous: the frame really was multi-partition going in
+    assert sk.repartition(16).rdd.getNumPartitions() == 16
