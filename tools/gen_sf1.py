@@ -23,6 +23,9 @@ real corpus exhibits):
 - nation: copied verbatim (dimension).
 
 Run: python tools/gen_sf1.py   (writes /tmp/sf1/*.parquet, ~1 min)
+     python tools/gen_sf1.py --sf10   (100x: /tmp/sf10/*.parquet —
+     VERDICT r9 #5's one-decade-beyond probe; same distribution-matched
+     construction, COPIES=100, vocabulary 100x, ~2 GB, a few min)
 """
 
 from __future__ import annotations
@@ -43,6 +46,11 @@ M = 2147483647
 N_DOCS = 50_000
 N_VECS = 20_000
 COPIES = 10
+
+if "--sf10" in sys.argv[1:]:
+    OUT = "/tmp/sf10"
+    N_DOCS = 500_000
+    COPIES = 100
 
 
 def h64(expr: str) -> str:
@@ -74,7 +82,7 @@ def main() -> None:
         .collect()
     ]
     vocab = [f"{w}{sfx}" if sfx else w
-             for w in base_vocab for sfx in ["", *map(str, range(1, 10))]]
+             for w in base_vocab for sfx in ["", *map(str, range(1, COPIES))]]
     vocab_lit = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
     langs = "array('en','en','en','en','zh','de','fr','es','en','fr')"
     # planting: ~1/600 docs is an EXACT dup of its predecessor; ~1/200

@@ -1,0 +1,94 @@
+"""Two-decade scale probe (VERDICT r9 #5): run the 10 heaviest
+non-demo registry queries at sf0.1, the 10x /tmp/sf1 AND the 100x
+/tmp/sf10 (tools/gen_sf1.py --sf10), recording wall-clock at each
+decade and the decade-over-decade ratios. On fixed cores a
+time-linear plan shows ratio ≈ 10 per decade once past fixed
+overhead; anything trending clearly above ~10 on the second decade is
+super-linear and becomes the next round's top fix.
+
+Usage: python tools/gen_sf1.py && python tools/gen_sf1.py --sf10 &&
+       python tools/scale_sf10.py [name ...]
+Writes BENCH_SF10.json at the repo root (merging over prior runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from aiports_data_warehouse_etl_spark.queries import QUERIES  # noqa: E402
+from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
+
+#: The 10 heaviest non-demo queries per BENCH_FULL/BENCH_SF1 (the
+#: VERDICT r9 #5 list): the TPC-H heavies, the inverted-index dedup
+#: family, the iterative graph op, and the text-analytics heavies.
+PROBE = [
+    "tpch_q21_waiting_supplier", "tpch_q9_product_profit",
+    "text_ngram_novelty", "dedup_minhash_lsh", "dedup_exact_substring",
+    "dedup_cc_keep_best", "graph_pagerank_parts",
+    "dedup_incremental_index", "market_basket_lift",
+    "text_tfidf_top_terms",
+]
+
+SCALES = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/tmp/sf1"),
+          ("sf10", "/tmp/sf10")]
+
+OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_SF10.json")
+
+
+def main() -> None:
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "32g"
+            )
+        }
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    only = set(sys.argv[1:])
+    names = [n for n in PROBE if not only or n in only]
+
+    out: dict = {"results": {}}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            out = json.load(f)
+        out.setdefault("results", {})
+
+    def flush() -> None:
+        with open(OUT_PATH, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+
+    for name in names:
+        row: dict = {}
+        for label, sf in SCALES:
+            spark.catalog.clearCache()
+            try:
+                # best-of-2, same protocol as scale_rehearsal.py: rep 1
+                # pays warmup, rep 2 measures the engine
+                best, n = float("inf"), 0
+                for _ in range(2):
+                    t0 = time.time()
+                    n = QUERIES[name].fn(spark, sf).count()
+                    best = min(best, time.time() - t0)
+                row[label] = {"sec": round(best, 2), "rows": n}
+            except Exception as ex:
+                row[label] = {"err": str(ex).split("\n")[0][:160]}
+        for a, b, key in (("sf0.1", "sf1", "ratio_10x"),
+                          ("sf1", "sf10", "ratio_10x_to_100x"),
+                          ("sf0.1", "sf10", "ratio_100x")):
+            if "sec" in row.get(a, {}) and "sec" in row.get(b, {}):
+                row[key] = round(
+                    row[b]["sec"] / max(row[a]["sec"], 1e-9), 1
+                )
+        out["results"][name] = row
+        flush()
+        print(name, json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
