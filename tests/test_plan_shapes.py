@@ -184,13 +184,27 @@ def test_q21_decorrelated_rollup(spark, sf_small):
     # the joined late-lines) exceeds it.
     import re
 
+    # Precondition, not vacuity (ADVICE r9 #2): the stage-stats pin
+    # only exists under AQE, and the rowCount= text is a Spark
+    # formatted-explain detail. Fail with a self-explanatory message
+    # when either precondition moves, instead of the bare vacuous-
+    # guard assert, so a Spark upgrade reads as "re-port the pin",
+    # not "Q21 regressed".
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true", (
+        "this pin requires AQE; enable spark.sql.adaptive.enabled "
+        "or re-port the broadcast-size check"
+    )
     df.collect()
     executed = plan(df)  # formatted explain post-AQE carries stage stats
     n_orders = spark.read.parquet(f"{sf_small}/orders.parquet").count()
     stages = re.findall(
         r"BroadcastQueryStage[^\n]*?rowCount=([\d.E+]+)", executed
     )
-    assert stages, "no broadcast stage stats found — assertion is vacuous"
+    assert stages, (
+        "no 'BroadcastQueryStage ... rowCount=' lines in the formatted "
+        "explain — Spark's explain format changed; re-port this pin "
+        "to the new stage-stats surface (it has NOT verified anything)"
+    )
     for rc in stages:
         assert float(rc) <= n_orders, (
             f"fact-sized broadcast build side returned: rowCount={rc}"
