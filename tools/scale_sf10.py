@@ -51,7 +51,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:])
-    names = [n for n in PROBE if not only or n in only]
+    # explicit names may probe ANY registry query, not just the
+    # curated 10 (same contract as scale_rehearsal.py)
+    names = [n for n in QUERIES if n in only] if only else PROBE
 
     out: dict = {"results": {}}
     if os.path.exists(OUT_PATH):
