@@ -608,10 +608,19 @@ def embedding_neardup_pairs(
     matrix multiply inside applyInPandas: only the corpus rows cross
     into Arrow (2k rows at sf0.1), never the materialized pair table
     (200k rows — the pair-join + per-pair kernel variant measured 5s,
-    this one <1s). A block must fit executor memory — at corpus scale
-    the quantizer is sized so cells hold ~1k-10k vectors, which is
-    also what recall wants. Without ``block_col``: full cross join +
-    Arrow-batched pair kernel — only for small/sampled corpora.
+    this one <1s). Only the block's VECTORS must fit executor memory:
+    the kernel streams the n×n cosine surface in row chunks (r10),
+    never materializing more than chunk×n of it — the unchunked
+    ``N @ N.T`` + ``triu_indices(n)`` form held ~10 GB per worker at
+    the 100× rehearsal's 20k-row blocks (O(n²) result + two O(n²)
+    int64 index arrays) and thrashed the box. Flops stay O(n²) per
+    block — exact within-block dedup is all-pairs by definition — so
+    at corpus scale the quantizer is still sized so cells hold
+    ~1k-10k vectors, which is also what recall wants; the chunking
+    makes an occupancy miss degrade linearly in time instead of
+    catastrophically in memory. Without ``block_col``: full cross
+    join + Arrow-batched pair kernel — only for small/sampled
+    corpora.
     """
     import numpy as np
     import pandas as pd
@@ -626,17 +635,33 @@ def embedding_neardup_pairs(
             ids = pdf["id"].to_numpy()
             V = np.stack(pdf["v"].to_numpy())
             N = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cos = np.round(N @ N.T, 6)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = cos[iu, ju] >= threshold
-            a, b = ids[iu[keep]], ids[ju[keep]]
-            return pd.DataFrame(
-                {
-                    "id_a": np.minimum(a, b),
-                    "id_b": np.maximum(a, b),
-                    "cos_sim": cos[iu[keep], ju[keep]],
-                }
-            )
+            n = len(ids)
+            chunk = 2048
+            outs = []
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                cos = np.round(N[lo:hi] @ N.T, 6)  # (hi-lo) × n slab
+                # strict upper triangle of the full surface: global
+                # column index must exceed the global row index
+                ci, cj = np.nonzero(cos >= threshold)
+                keep = cj > (ci + lo)
+                ci, cj = ci[keep], cj[keep]
+                a, b = ids[ci + lo], ids[cj]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(a, b),
+                            "id_b": np.maximum(a, b),
+                            "cos_sim": cos[ci, cj],
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cos_sim": []}
+                ).astype({"id_a": "int64", "id_b": "int64",
+                          "cos_sim": "float64"})
+            return pd.concat(outs, ignore_index=True)
 
         return base.groupBy("blk").applyInPandas(
             block_pairs, "id_a long, id_b long, cos_sim double"
