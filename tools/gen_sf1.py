@@ -64,6 +64,43 @@ def h64(expr: str) -> str:
     return f"abs(xxhash64({expr}))"
 
 
+def _gen_embeddings(spark) -> None:
+    """Copy perturbation is hash-mixed per (vec_id, copy, dim) and
+    BOUNDED (r10): the first cut used ``copy * 0.001 * ((i%7)-3)`` —
+    the SAME offset direction for every vector, with magnitude
+    growing linearly in the copy index. At COPIES=100 that common
+    offset (norm ~1.6) dominated every unit vector and the whole
+    corpus collapsed toward one direction: 885M pairs sat above
+    cosine 0.95 (42% of all possible base pairs), which is
+    adversarial for every cosine-based op the rehearsal exists to
+    measure — the same replication trap the documents section
+    documents. Now each copy sits in a small fixed-radius ball
+    (per-dim ±0.009, offset norm ~0.05) around its base vector in a
+    pseudo-random direction: intra-base copies stay planted
+    near-dups, inter-base geometry is untouched at any COPIES.
+    copy 0 stays the exact base vector."""
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb = (
+        base.crossJoin(
+            spark.range(COPIES).withColumnRenamed("id", "copy")
+        )
+        .selectExpr(
+            "vec_id + copy * 2000 AS vec_id",
+            "transform(embedding, (x, i) -> CAST(x + "
+            "(CASE WHEN copy = 0 THEN 0.0 ELSE 0.003 * "
+            "((abs(xxhash64(vec_id, copy, i)) % 7) - 3) END) "
+            "AS FLOAT)) AS embedding",
+            "label",
+        )
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+    if "--only-embeddings" in sys.argv[1:]:
+        print("embeddings", spark.read.parquet(
+            f"{OUT}/embeddings.parquet").count())
+
+
 def main() -> None:
     spark = get_spark(
         extra_conf={"spark.driver.memory": os.environ.get(
@@ -73,6 +110,9 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
 
     # ---- documents ----------------------------------------------------
+    if "--only-embeddings" in sys.argv[1:]:
+        _gen_embeddings(spark)
+        return
     base_vocab = [
         r[0]
         for r in spark.read.parquet(f"{SRC}/documents.parquet")
@@ -119,21 +159,7 @@ def main() -> None:
     )
 
     # ---- embeddings ---------------------------------------------------
-    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    emb = (
-        base.crossJoin(
-            spark.range(COPIES).withColumnRenamed("id", "copy")
-        )
-        .selectExpr(
-            "vec_id + copy * 2000 AS vec_id",
-            "transform(embedding, (x, i) -> CAST(x + copy * 0.001 * "
-            "((i % 7) - 3) AS FLOAT)) AS embedding",
-            "label",
-        )
-    )
-    emb.repartition(8).write.mode("overwrite").parquet(
-        f"{OUT}/embeddings.parquet"
-    )
+    _gen_embeddings(spark)
 
     # ---- lineitem + nation -------------------------------------------
     # the orderkey shift is SHARED with the orders copies below: the
