@@ -50,16 +50,42 @@ def main() -> None:
         }
     )
     spark.sparkContext.setLogLevel("ERROR")
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--rest"]
+    rest = "--rest" in sys.argv[1:]
+    only = set(args)
     # explicit names may probe ANY registry query, not just the
-    # curated 10 (same contract as scale_rehearsal.py)
-    names = [n for n in QUERIES if n in only] if only else PROBE
-
+    # curated 10 (same contract as scale_rehearsal.py). --rest probes
+    # every registry query without a complete sf10 row yet, EXCLUDING
+    # the txlog/matview/stream feature demos: their wall-clock is
+    # multi-commit protocol latency (characterized sub-linear
+    # per-phase in the sf1 ledger), so a 100× decode of it measures
+    # the demo harness, not a query plan. Same sf0.1-also-errored
+    # skip rule as scale_rehearsal --rest (ADVICE r9 #1).
+    _DEMO_PREFIXES = ("tlog_", "matview_", "stream_")
     out: dict = {"results": {}}
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
             out = json.load(f)
         out.setdefault("results", {})
+
+    if rest:
+        def _needs_row(n: str) -> bool:
+            if n.startswith(_DEMO_PREFIXES):
+                return False
+            row = out["results"].get(n)
+            if row is None:
+                return True
+            if "ratio_100x" in row:
+                return False
+            return "err" not in row.get("sf0.1", {})
+
+        names = [n for n in QUERIES if _needs_row(n)]
+        if only:
+            names = [n for n in names if n in only]
+        print(f"--rest: {len(names)} queries without an sf10 row",
+              flush=True)
+    else:
+        names = [n for n in QUERIES if n in only] if only else PROBE
 
     def flush() -> None:
         with open(OUT_PATH, "w") as f:
