@@ -11509,7 +11509,18 @@ def dedup_canonical_text(spark, sf_dir):
     catches trivially-reformatted copies that EXACT hashing misses and
     near-dup shingling wastes candidate pairs on. One md5-keyed
     shuffle, same 100 TB shape as exact dedup; keeps the min-id doc
-    per canonical class with its duplicate-class size."""
+    per canonical class with its duplicate-class size.
+
+    Plan (r10): ONE aggregate, zero joins — the kept doc's identity
+    rides inside ``min(struct(doc_id, source))`` (struct ordering is
+    by first field, so the min struct IS the min-doc_id row). The
+    r1–r9 groupBy + join-back form computed the canon projection —
+    two Java regex passes + md5 per document, ~60 µs/doc, the real
+    cost of this query — on BOTH join sides and then shuffled the
+    corpus twice; the two-decade probe clocked it at 131 s for 500k
+    docs (the worst absolute row in the ledger). This form
+    normalizes each document exactly once and shuffles only
+    (ck → partial-aggregated struct) rows."""
     docs = _t(spark, sf_dir, "documents")
     canon = docs.select(
         "doc_id",
@@ -11526,14 +11537,18 @@ def dedup_canonical_text(spark, sf_dir):
             )
         ).alias("ck"),
     )
-    keep = canon.groupBy("ck").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
+    return (
+        canon.groupBy("ck")
+        .agg(
+            F.min(F.struct("doc_id", "source")).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.source").alias("source"),
+            "n_members",
+        )
     )
-    return canon.join(
-        keep,
-        (canon.ck == keep.ck) & (canon.doc_id == keep.keep_id),
-    ).select("doc_id", "source", "n_members")
 
 
 @q("emb_logreg_train", None)  # iterative distributed training — no SQL twin

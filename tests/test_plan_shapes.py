@@ -1072,6 +1072,20 @@ def test_matryoshka_uses_arrow_kernel_not_hof(spark, sf_small):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
+def test_canonical_dedup_is_single_aggregate(spark, sf_small):
+    """r10 rewrite: dedup_canonical_text must keep the min-id doc via
+    min(struct(doc_id, source)) inside the ONE canonical-key
+    aggregate — never a groupBy + join-back, which normalized every
+    document twice (two regex passes + md5 per side) and shuffled
+    the corpus twice (131 s for 500k docs in the two-decade probe,
+    vs 33 s for this form). Pin: zero joins anywhere in the optimized
+    plan, exactly one aggregate pair (partial+final)."""
+    df = QUERIES["dedup_canonical_text"].fn(spark, sf_small)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in p
+    assert "Aggregate" in p
+
+
 def test_novelty_joins_at_doc_cardinality(spark, sf_small):
     """r9 rewrite: text_ngram_novelty must never join the owner table
     back to the shingle rows (vocabulary-by-shingle-cardinality once
