@@ -2825,12 +2825,21 @@ def tpch_q4_priority_exists(spark, sf_dir):
 def tpch_q12_priority_by_year(spark, sf_dir):
     """TPC-H Q12 shape (shipmode → ship year): join + conditional CASE
     aggregation, counting urgent vs non-urgent lines shipped within 90
-    days of ordering."""
+    days of ordering.
+
+    The orders↔lineitem join carries a ``merge`` hint (r10): both
+    sides are fact-sized, so this must be the one big shuffle — but
+    the column-pruned ESTIMATE of the lineitem side slid under the
+    64 MB broadcast threshold at the 10× rehearsal and AQE shipped a
+    267 MiB / 6M-row fact broadcast (the same estimate-driven class
+    as Q21's r9 finding; at 1000 executors that broadcast is fanned
+    out 1000×). The hint pins the scale-correct shuffle join at
+    every SF; pinned by ``test_q12_fact_join_never_broadcasts``."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .filter(F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(

@@ -1072,6 +1072,21 @@ def test_matryoshka_uses_arrow_kernel_not_hof(spark, sf_small):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
+def test_q12_fact_join_never_broadcasts(spark, sf_small):
+    """r10: Q12's orders↔lineitem join is fact-fact — the one big
+    shuffle by design (SCALE.md). Without the merge hint, the
+    column-pruned lineitem ESTIMATE slid under the 64 MB broadcast
+    threshold at the 10× rehearsal and AQE shipped a 267 MiB / 6M-row
+    fact broadcast (Q21's r9 estimate-driven class). Pin: the
+    executed post-AQE plan contains a SortMergeJoin and no
+    BroadcastHashJoin anywhere (neither side is ever dim-sized)."""
+    df = QUERIES["tpch_q12_priority_by_year"].fn(spark, sf_small)
+    df.collect()
+    p = plan(df)
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
 def test_canonical_dedup_is_single_aggregate(spark, sf_small):
     """r10 rewrite: dedup_canonical_text must keep the min-id doc via
     min(struct(doc_id, source)) inside the ONE canonical-key
