@@ -1,27 +1,41 @@
 """Registry-wide fact-broadcast audit (r10, reproducible edition).
 
-Runs every non-demo registry query at a given sf_dir (default the 10x
-/tmp/sf1), executes it, and scans the post-AQE executed plan's
-materialized BroadcastQueryStage statistics for build sides above a
-row-count ceiling (default 2M ≈ order cardinality at sf1). This is
-the check that caught Q21's estimate-driven 267 MiB fact broadcast in
-r9 — but the r9 sweep was ad hoc and run-state-dependent (plan choice
-flips with cache-materialization order), so it missed Q12's identical
-slide; this committed version clears the cache before every query so
-each plan is chosen from the same cold state, and prints every
-broadcast stage it sees (not just the flagged ones) so "zero flagged"
-is auditable rather than asserted.
+For every non-demo registry query at a given sf_dir (default the 10x
+/tmp/sf1): execute the query's OWN physical plan instance and read
+each BroadcastExchangeExec's ACTUAL built metrics (numOutputRows,
+dataSize) off that instance, flagging build sides above a row-count
+ceiling (default 2M ≈ order cardinality at sf1).
+
+Two lessons are baked in from the audits this replaced:
+
+1. The r9 sweep was ad hoc and run-state-dependent — plan choice
+   flips with cache-materialization order — so it reported "zero
+   fact-sized broadcasts" while Q12's column-pruned lineitem estimate
+   slid under the 64 MB threshold and AQE shipped a 267 MiB / 6M-row
+   fact broadcast. This version clears the cache before every query
+   so each plan is chosen from the same cold state.
+2. Regexing formatted-explain BroadcastQueryStage statistics is BLIND
+   to static broadcasts: shuffle-free plans skip AQE entirely and
+   print bare BroadcastExchange nodes with no statistics (the first
+   r10 cut saw broadcast stages in exactly 1 of 222 queries — a
+   vacuous pass). Walking the executed-plan tree and reading the
+   exchange metrics covers static AND adaptive broadcasts, with the
+   rows that were ACTUALLY built, not estimates. The plan must be
+   driven through its own instance (``executedPlan().execute()``) —
+   ``df.count()`` runs a different QueryExecution and leaves these
+   metrics at zero.
 
 Usage: python tools/broadcast_audit.py [sf_dir] [--max-rows=N]
                                        [name ...]
-Writes BROADCAST_AUDIT.json at the repo root.
+Writes BROADCAST_AUDIT.json at the repo root. Every broadcast seen is
+recorded (not just the flagged ones) so a zero-flag result is
+auditable rather than asserted.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -30,13 +44,43 @@ from aiports_data_warehouse_etl_spark.queries import QUERIES  # noqa: E402
 from aiports_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 
 DEMO_PREFIXES = ("tlog_", "matview_", "stream_")
-STAGE_RE = re.compile(
-    r"BroadcastQueryStage \(\d+\), Statistics\(sizeInBytes=([^,]+), "
-    r"rowCount=([\d.E+]+)\)"
-)
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BROADCAST_AUDIT.json")
+
+
+def _walk(n):
+    """Yield every physical node, descending through AQE wrappers."""
+    yield n
+    cls = n.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk(n.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk(n.plan())
+        return
+    if cls == "ReusedExchangeExec":
+        yield from _walk(n.child())
+        return
+    ch = n.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def broadcast_builds(df) -> list[dict]:
+    """Execute df's own plan instance; return each broadcast build's
+    actual (rows, bytes)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    ep.execute().count()  # drive THIS instance's metric accumulators
+    builds = []
+    for n in _walk(ep):
+        if n.getClass().getSimpleName() == "BroadcastExchangeExec":
+            m = n.metrics()
+            builds.append({
+                "rows": int(m.get("numOutputRows").get().value()),
+                "bytes": int(m.get("dataSize").get().value()),
+            })
+    return builds
 
 
 def main() -> None:
@@ -57,12 +101,10 @@ def main() -> None:
         }
     )
     spark.sparkContext.setLogLevel("ERROR")
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
 
     out: dict = {"sf_dir": sf_dir, "max_rows": max_rows,
-                 "flagged": {}, "stages": {}, "errors": {}}
+                 "method": "executed-plan walk, actual exchange metrics",
+                 "flagged": {}, "builds": {}, "errors": {}}
     names = [
         n for n in QUERIES
         if not n.startswith(DEMO_PREFIXES) and (not only or n in only)
@@ -70,19 +112,13 @@ def main() -> None:
     for i, name in enumerate(names):
         spark.catalog.clearCache()
         try:
-            df = QUERIES[name].fn(spark, sf_dir)
-            df.count()  # materialize AQE stages
-            p = df._jdf.queryExecution().explainString(mode)
+            builds = broadcast_builds(QUERIES[name].fn(spark, sf_dir))
         except Exception as ex:
             out["errors"][name] = str(ex).split("\n")[0][:160]
             continue
-        stages = [
-            {"size": sz.strip(), "rows": float(rc)}
-            for sz, rc in STAGE_RE.findall(p)
-        ]
-        if stages:
-            out["stages"][name] = stages
-        bad = [s for s in stages if s["rows"] > max_rows]
+        if builds:
+            out["builds"][name] = builds
+        bad = [b for b in builds if b["rows"] > max_rows]
         if bad:
             out["flagged"][name] = bad
             print(f"FLAGGED {name}: {bad}", flush=True)
@@ -94,7 +130,9 @@ def main() -> None:
 
     print(f"AUDIT DONE: {len(names)} queries, "
           f"{len(out['flagged'])} flagged, "
-          f"{len(out['errors'])} errors -> {OUT_PATH}", flush=True)
+          f"{len(out['errors'])} errors, "
+          f"{sum(len(v) for v in out['builds'].values())} broadcast "
+          f"builds seen -> {OUT_PATH}", flush=True)
 
 
 if __name__ == "__main__":
