@@ -260,8 +260,13 @@ def _jaccard_from_rows(pairs: DataFrame, ex: DataFrame) -> DataFrame:
     from the per-doc size table. Pairs sharing no shingle (Jaccard 0)
     drop out — callers always threshold above 0."""
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ea = ex.select("id", "s").alias("ea")
-    eb = ex.select("id", "s").alias("eb")
+    # shuffle_hash hints (r10): the exploded shingle table grows with
+    # the corpus but its cold-stat estimate doesn't — at the 10x
+    # rehearsal the planner broadcast the 2.65M-row shingle side of
+    # both verify joins (268/436 MB actual builds). The hint pins a
+    # partitioned hash join keyed on id / (id, s) at any SF.
+    ea = ex.select("id", "s").hint("shuffle_hash").alias("ea")
+    eb = ex.select("id", "s").hint("shuffle_hash").alias("eb")
     inter = (
         pairs.join(ea, F.col("id_a") == F.col("ea.id"))
         .join(eb, (F.col("id_b") == F.col("eb.id")) & (F.col("ea.s") == F.col("eb.s")))
@@ -411,7 +416,14 @@ def ngram_jaccard_pairs(
         keep = inv.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         inv = inv.join(keep, "s", "left_semi")
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = inv.alias("a")
+    # The self-join is HINTED shuffle_hash (r10): the inverted index
+    # grows with the corpus, but Catalyst can't estimate an exploded
+    # relation — at the 10x rehearsal the cold-stat estimate slid
+    # under the broadcast threshold and the planner shipped the
+    # 2.65M-row / 470 MB index as a broadcast build. The hint pins
+    # the partitioned hash join the docstring promises at any SF
+    # (equi-keyed on (s, bucket), no sort needed).
+    a = inv.hint("shuffle_hash").alias("a")
     b = inv.alias("b")
     inter = (
         a.join(

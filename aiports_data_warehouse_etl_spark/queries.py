@@ -2378,7 +2378,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        # merge hint (r10): the filtered-lineitem estimate slid under
+        # the broadcast threshold at the 10x rehearsal and the planner
+        # shipped a 5.1M-row / 280 MB fact broadcast; orders-lineitem
+        # is the one big shuffle by design (SCALE.md).
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -2421,7 +2425,10 @@ def tpch_q5_local_supplier(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        # merge hint (r10): cold-stat estimate broadcast the 6M-row
+        # lineitem (549 MB actual) at the 10x rehearsal; the
+        # orders-lineitem edge must be the one big shuffle.
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n),
@@ -2467,7 +2474,10 @@ def tpch_q10_returned_items(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # merge hint (r10): the returned-lines slice (2M rows, 146 MB
+        # actual at the 10x rehearsal) was broadcast on a cold-stat
+        # estimate; both sides of this join grow with the fact.
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
             F.round(
@@ -2799,8 +2809,11 @@ def tpch_q4_priority_exists(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
+        # merge hint (r10): the pruned lineitem estimate slid under
+        # the broadcast threshold at the 10x rehearsal and the semi
+        # join shipped a 6M-row / 280 MB fact broadcast build.
         o.join(
-            li,
+            li.hint("merge"),
             (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
             "left_semi",
         )
@@ -6839,7 +6852,11 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     plan at any scale; only supplier (a true dimension) broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+    # merge hint (r10): with cold parquet stats the pruned lineitem
+    # estimate slid under the broadcast threshold and BOTH consumers
+    # of lo shipped a 6M-row / 280 MB fact broadcast build (the warm
+    # post-AQE plan the r9 pin inspected never showed it).
+    lo = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
         (
@@ -9264,7 +9281,14 @@ def text_keyphrase_rake(spark, sf_dir):
         ).alias("phrase"),
         F.count(F.lit(1)).alias("phrase_len"),
     )
-    pw = words.join(phrases, ["doc_id", "run_id"])
+    # shuffle_hash hint (r10): both sides of the words↔phrases join
+    # are corpus-sized ((doc, run) cardinality), but the cold-stat
+    # estimate of the phrase rollup slid under the broadcast
+    # threshold at the 10x rehearsal and the planner shipped a
+    # 2.7M-row / 302 MB broadcast build. The hint pins a partitioned
+    # hash join on (doc_id, run_id) at any SF; only the
+    # vocabulary-sized word_stats below is an explicit broadcast.
+    pw = words.join(phrases.hint("shuffle_hash"), ["doc_id", "run_id"])
     word_stats = pw.groupBy("term").agg(
         F.count(F.lit(1)).alias("freq"),
         F.sum("phrase_len").alias("degree"),

@@ -1072,6 +1072,42 @@ def test_matryoshka_uses_arrow_kernel_not_hof(spark, sf_small):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
+def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
+    """r10 cold-cache audit (tools/broadcast_audit.py): with cold
+    parquet stats, the column-pruned estimates of fact-sized join
+    sides slid under the 64 MB broadcast threshold in 8 registry
+    queries and the planner shipped 146-549 MB broadcast builds
+    (lineitem itself in Q3/Q4/Q5/Q21, the returned-lines slice in
+    Q10, the exploded shingle index in minhash/ngram-jaccard, the
+    phrase rollup in RAKE). Every such join now carries an explicit
+    merge (TPC-H fact-fact) or shuffle_hash (corpus-derived
+    equi-join) hint. Hints override size estimates, so the strategy
+    is scale-independent and pinnable at sf_small: the physical plan
+    must show the hinted strategy, never a broadcast, on those keys."""
+    merge_pins = {
+        "tpch_q3_shipping_priority": "l_orderkey",
+        "tpch_q4_priority_exists": "l_orderkey",
+        "tpch_q5_local_supplier": "l_orderkey",
+        "tpch_q10_returned_items": "l_orderkey",
+        "tpch_q21_waiting_supplier": "l_orderkey",
+        "tpch_q12_priority_by_year": "l_orderkey",
+    }
+    for name, key in merge_pins.items():
+        df = QUERIES[name].fn(spark, sf_small)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        smj = [l for l in p.splitlines()
+               if "SortMergeJoin" in l and key in l]
+        assert smj, f"{name}: no SortMergeJoin on {key}\n{p[:2000]}"
+        bad = [l for l in p.splitlines()
+               if "BroadcastHashJoin" in l and key in l]
+        assert not bad, f"{name}: fact join broadcast: {bad}"
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "text_keyphrase_rake"):
+        df = QUERIES[name].fn(spark, sf_small)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in p, f"{name}: shuffle_hash hint lost"
+
+
 def test_q12_fact_join_never_broadcasts(spark, sf_small):
     """r10: Q12's orders↔lineitem join is fact-fact — the one big
     shuffle by design (SCALE.md). Without the merge hint, the
