@@ -6242,7 +6242,14 @@ def text_tfidf_top_terms(spark, sf_dir):
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(df_, "term")
+        # shuffle_hash hint (r10 cold-cache audit): both sides grow
+        # with the corpus ((doc, term) counts vs vocabulary), and the
+        # tf side's cold-stat estimate sat right at the broadcast
+        # threshold — a 2.48M-row / 268 MB broadcast build that
+        # flipped in and out across audit runs. The hint pins a
+        # term-partitioned hash join (vocabulary side builds) at any
+        # SF; only the 1-row corpus size below broadcasts.
+        tf.join(df_.hint("shuffle_hash"), "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

@@ -1102,7 +1102,7 @@ def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
                if "BroadcastHashJoin" in l and key in l]
         assert not bad, f"{name}: fact join broadcast: {bad}"
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                 "text_keyphrase_rake"):
+                 "text_keyphrase_rake", "text_tfidf_top_terms"):
         df = QUERIES[name].fn(spark, sf_small)
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in p, f"{name}: shuffle_hash hint lost"
