@@ -26,10 +26,23 @@ Two lessons are baked in from the audits this replaced:
    metrics at zero.
 
 Usage: python tools/broadcast_audit.py [sf_dir] [--max-rows=N]
-                                       [name ...]
+                                       [--resume] [--limit=N] [name ...]
 Writes BROADCAST_AUDIT.json at the repo root. Every broadcast seen is
 recorded (not just the flagged ones) so a zero-flag result is
 auditable rather than asserted.
+
+``--resume`` merges over the existing artifact, auditing only queries
+without a row yet; ``--limit=N`` stops after N new queries. Together
+they let a driver loop run the registry in fresh-process chunks:
+
+    while python tools/broadcast_audit.py /tmp/sf1 --resume --limit=40 \
+          | grep -q "AUDITING [1-9]"; do :; done
+
+which matters because a single 222-query session hit a reproducible
+long-session stall (a tail query whose per-row CPU blew up ~1000x
+after ~200 prior queries in the same JVM — standalone the same query
+audits in seconds). Chunked fresh processes sidestep the cumulative
+session state and make the sweep crash-resumable.
 """
 
 from __future__ import annotations
@@ -90,6 +103,12 @@ def main() -> None:
          if a.startswith("--max-rows=")),
         2_000_000.0,
     )
+    resume = "--resume" in sys.argv[1:]
+    limit = next(
+        (int(a.split("=", 1)[1]) for a in sys.argv[1:]
+         if a.startswith("--limit=")),
+        None,
+    )
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/tmp/sf1"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
 
@@ -104,18 +123,38 @@ def main() -> None:
 
     out: dict = {"sf_dir": sf_dir, "max_rows": max_rows,
                  "method": "executed-plan walk, actual exchange metrics",
-                 "flagged": {}, "builds": {}, "errors": {}}
+                 "audited": [], "flagged": {}, "builds": {}, "errors": {}}
+    if resume and os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            prior = json.load(f)
+        if prior.get("sf_dir") == sf_dir:
+            out = prior
+            out.setdefault("audited", [])
+    done = set(out["audited"])
     names = [
         n for n in QUERIES
         if not n.startswith(DEMO_PREFIXES) and (not only or n in only)
+        and n not in done
     ]
+    if limit is not None:
+        names = names[:limit]
+    if resume:
+        print(f"AUDITING {len(names)} of "
+              f"{len(done) + len(names)} remaining", flush=True)
+    if not names:
+        print("AUDIT COMPLETE: nothing left to audit", flush=True)
+        return
     for i, name in enumerate(names):
         spark.catalog.clearCache()
         try:
             builds = broadcast_builds(QUERIES[name].fn(spark, sf_dir))
         except Exception as ex:
             out["errors"][name] = str(ex).split("\n")[0][:160]
+            out["audited"].append(name)
+            with open(OUT_PATH, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
             continue
+        out["audited"].append(name)
         if builds:
             out["builds"][name] = builds
         bad = [b for b in builds if b["rows"] > max_rows]
