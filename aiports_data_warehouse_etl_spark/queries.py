@@ -11592,23 +11592,45 @@ def dedup_canonical_text(spark, sf_dir):
     (ck → partial-aggregated struct) rows. NULL canonical keys (a NULL
     text normalizes to NULL md5) are dropped to match the oracle: the
     SQL twin's ``c.ck = k.ck`` join-back is null-rejecting, while a
-    bare groupBy would keep a NULL-key group (ADVICE r10)."""
-    docs = _t(spark, sf_dir, "documents")
-    canon = docs.select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.lower("text"), r"[^a-z0-9\s]", ""
-                    ),
-                    r"\s+",
-                    " ",
-                )
+    bare groupBy would keep a NULL-key group (ADVICE r10).
+
+    Normalization kernel (r11): the two char-class regexes run as
+    Arrow-batched RE2 (``pyarrow.compute.replace_substring_regex``
+    inside ``mapInPandas``) instead of JVM ``regexp_replace`` —
+    java.util.regex was the whole cost of this query (profiled at
+    sf10: 24 s of the 28 s scan+project was the FIRST regex pass;
+    full query 64 s JVM vs 7.6 s Arrow, 8.4×). Zero per-row Python:
+    the batch crosses once as Arrow buffers and RE2 sweeps it
+    vectorized; md5 + the aggregate stay JVM-side. Engine parity is
+    actually TIGHTER than before: the DuckDB oracle's regexp_replace
+    is RE2 too, so both engines now share one regex dialect (RE2
+    ``\\s`` excludes \\x0B vertical-tab, which java.util.regex
+    includes — absent from this corpus, where the two matched, but
+    the RE2/RE2 pairing removes the class-semantics risk entirely).
+    Per-decade cost is char-linear (corpus chars grow 11.6×/decade
+    in the rehearsal set; BENCH_NOTES r11)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _canon_batches(it):
+        for pdf in it:
+            arr = pa.Array.from_pandas(pdf["text"])
+            x = pc.utf8_lower(arr)
+            x = pc.replace_substring_regex(x, r"[^a-z0-9\s]", "")
+            x = pc.replace_substring_regex(x, r"\s+", " ")
+            x = pc.utf8_trim_whitespace(x)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "norm": x.to_pandas(),
+                }
             )
-        ).alias("ck"),
-    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    canon = docs.mapInPandas(
+        _canon_batches, "doc_id long, source string, norm string"
+    ).select("doc_id", "source", F.md5("norm").alias("ck"))
     return (
         canon.filter(F.col("ck").isNotNull())
         .groupBy("ck")
