@@ -8993,17 +8993,22 @@ def text_bigram_logprob(spark, sf_dir):
     text_unigram_logprob — repetitive or templated text scores high,
     incoherent token salad scores low.
 
-    ONE wide exchange over the exploded stream: the bigram-count agg.
     The prefix counts c(w1 ·) are derived FROM the bigram vocabulary
     (sum of c_bg by first word — a vocab-sized agg), not by a second
-    pass over the exploded data, and the assembled LM (bg, c_bg, c_w1)
-    broadcasts back onto the stream instead of shuffling it by bigram
-    hash (r1 shape: 2 extra wide exchanges). The final per-doc agg
-    partial-aggregates map-side — explode keeps a doc's bigrams in one
-    partition, so that exchange carries ~one row per doc. At 100 TB
-    cap the vocabulary (frequency floor) to keep the broadcast
-    bounded; an uncapped web-scale vocab needs the shuffle join
-    fallback."""
+    pass over the exploded data. The LM joins back onto the stream as
+    a ``merge``-hinted shuffle join (r11): the LM is BIGRAM-vocab
+    sized, which grows ~quadratically in the unigram vocabulary —
+    9M rows / ~300 MB at the 100× rehearsal — so broadcasting it is
+    the same 1000-executor fan-out bomb class the r10 cold audit
+    killed elsewhere (measured at sf10: broadcast 42.6 s, merge
+    18.5 s, shuffle_hash 17.2 s but with a 44 s GC outlier from 32
+    concurrent build maps — merge is spill-safe AND faster than the
+    broadcast it replaces; second-decade ratio 13.0 → ~7). Unigram-
+    keyed tables (text_unigram_logprob, bm25's df, RAKE's
+    word_stats) stay broadcast — unigram vocabularies are
+    Heaps-bounded; bigram vocabularies are not. The final per-doc
+    agg partial-aggregates map-side — explode keeps a doc's bigrams
+    in one partition, so that exchange carries ~one row per doc."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
     )
@@ -9026,7 +9031,7 @@ def text_bigram_logprob(spark, sf_dir):
         "w1", F.split_part("bg", F.lit(" "), F.lit(1))
     ).join(cw, "w1").select("bg", "c_bg", "c_w1")
     return (
-        b.join(F.broadcast(lm), "bg")
+        b.join(lm.hint("merge"), "bg")
         .groupBy("doc_id")
         .agg(
             F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 6).alias(
