@@ -573,6 +573,27 @@ class TxLogTable:
             except OSError:
                 pass
 
+    def _rewrite_width(self, hit_rel: list[str], base: dict) -> int:
+        """File count for a copy-on-write REWRITE: proportional to the
+        rewritten bytes (⌈hit bytes / 128 MB⌉, min 1), read off the
+        log's per-file stats — no extra job. Without this, every COW
+        rewrite staged with the plan's incidental partitioning (scan
+        splits + the source side's shuffle partitions), so rewriting
+        ONE file emitted shuffle-partition-count files: measured at
+        the 10× demo probe (tools/scale_demos.py, r11), a 2,000-key
+        merge against a 1.5M-row clustered table rewrote 1 file and
+        added 17, fragmenting the clustered layout so badly that the
+        NEXT slice operation rewrote all 17. With the width applied,
+        a merge touching k files stages ~k files — the O(k) rewrite
+        discipline SCALE.md promises, kept under composition. The
+        caller applies ``coalesce(width)`` (narrow — scan splits
+        mirror the hit files, so this merges the source side's
+        shuffle partitions in without re-shuffling the rewrite)."""
+        est = sum(
+            int(base["files"][r].get("bytes", 0)) for r in hit_rel
+        )
+        return max(1, -(-est // (128 * 1024 * 1024)))
+
     def _stage(self, df: DataFrame) -> tuple[list[dict], str]:
         """Write ``df``'s parquet files into a fresh staging dir and
         return their add-actions. Files are invisible until a commit
@@ -1482,7 +1503,9 @@ class TxLogTable:
             .filter(~pred | pred.isNull())
             .select(*data_cols)
         )
-        adds, _ = self._stage(survivors)
+        adds, _ = self._stage(
+            survivors.coalesce(self._rewrite_width(hit_rel, base))
+        )
         commit = {
             "op": "delete",
             "predicate": predicate,
@@ -1581,6 +1604,8 @@ class TxLogTable:
             if survivors is None
             else survivors.unionByName(src, allowMissingColumns=True)
         )
+        if hit_rel:
+            new_data = new_data.coalesce(self._rewrite_width(hit_rel, base))
         adds, schema = self._stage(new_data)
         commit = {
             "op": "merge",
@@ -1764,6 +1789,8 @@ class TxLogTable:
         if new_data is None or (not hit_rel and not new_data.take(1)):
             return base["version"]  # no-op: nothing changed
         self._validate_constraints(new_data, base["constraints"])
+        if hit_rel:
+            new_data = new_data.coalesce(self._rewrite_width(hit_rel, base))
         adds, _ = self._stage(new_data)
         commit = {
             "op": "merge",
@@ -1861,7 +1888,9 @@ class TxLogTable:
         ).select(*self._apply_set(set_exprs, data_cols, tgt_types, fires))
         rewritten = self._regen(rewritten, base["generated"])
         self._validate_constraints(rewritten, base["constraints"])
-        adds, _ = self._stage(rewritten)
+        adds, _ = self._stage(
+            rewritten.coalesce(self._rewrite_width(hit_rel, base))
+        )
         commit = {
             "op": "update",
             "predicate": predicate,
@@ -2003,7 +2032,9 @@ class TxLogTable:
                 .filter(~pred | pred.isNull())
                 .select(*data_cols)
             )
-            s_adds, _ = self._stage(survivors)
+            s_adds, _ = self._stage(
+                survivors.coalesce(self._rewrite_width(hit_rel, base))
+            )
             adds.extend(s_adds)
         n_adds, schema = self._stage(df)
         adds.extend(n_adds)

@@ -75,19 +75,31 @@ def _family(name: str) -> str:
     return "other"
 
 
-def compact_queries(timings: dict[str, float]) -> dict[str, float]:
+def compact_queries(
+    timings: dict[str, float], throttled: set[str] | None = None
+) -> dict[str, float]:
     """Bounded-size per-query dict for the stdout metric line: §2
     headline queries verbatim + per-family rollups. Stays under ~1.5 KB
     regardless of registry size so the driver's 2000-byte tail capture
-    always holds the whole JSON line."""
+    always holds the whole JSON line. Family totals are gated on the
+    residual throttle set (VERDICT r10 #5): a family containing any
+    query whose best-of could not be reproduced outside a stall window
+    gets a ``family_<fam>_throttled_sec`` companion recording how much
+    of its total is stall-suspect — so no rollup silently carries a
+    number an idle-box re-probe would halve."""
     compact: dict[str, float] = {
         n: timings[n] for n in HEADLINE if n in timings
     }
     fams: dict[str, float] = {}
+    fams_thr: dict[str, float] = {}
     for name, sec in timings.items():
         fams[_family(name)] = fams.get(_family(name), 0.0) + sec
+        if throttled and name in throttled:
+            fams_thr[_family(name)] = fams_thr.get(_family(name), 0.0) + sec
     for fam, sec in sorted(fams.items()):
         compact[f"family_{fam}_total"] = round(sec, 3)
+        if fam in fams_thr:
+            compact[f"family_{fam}_throttled_sec"] = round(fams_thr[fam], 3)
     compact["n_queries"] = len(timings)
     return compact
 
@@ -164,28 +176,48 @@ def main() -> None:
 
     # Host-level CPU-throttle windows can outlast even the adaptive
     # rep tail (observed: one query recording ~10× its clean-window
-    # time as its best-of-4). Re-probe the slowest tail once at the
-    # END of the run — minutes later, almost surely a different
-    # throttle regime — and keep the min.
-    for name in sorted(timings, key=lambda n: -timings[n])[:5]:
-        if timings[name] < 2.0:
-            continue
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        if dt < timings[name]:
-            if dt < timings[name] / 1.5:
-                # the in-loop best was itself a stalled measurement
-                throttled.add(name)
-            print(
-                f"  re-probe {name}: {timings[name]}s -> {round(dt, 3)}s",
-                file=sys.stderr,
-            )
-            timings[name] = round(dt, 3)
+    # time as its best-of-4). Re-probe at the END of the run —
+    # minutes later, almost surely a different throttle regime — and
+    # keep the min. r11 (VERDICT r10 #5): the re-probe set is no
+    # longer just the 5 slowest — every query whose in-loop reps
+    # tripped the throttle bit is re-probed too, and the pass REPEATS
+    # (up to 3 times) while any re-probe improves >1.5×, so a stall
+    # window that covered the first re-probe pass doesn't get its
+    # numbers committed either. A query whose re-probe confirms the
+    # in-loop best (within 1.5×) has its throttle bit CLEARED — the
+    # artifact's residual `throttled` list is exactly the queries
+    # whose best number still couldn't be reproduced outside a stall
+    # window, so family totals can be gated on it.
+    for _pass in range(3):
+        suspects = set(sorted(timings, key=lambda n: -timings[n])[:5])
+        suspects |= throttled
+        improved_big = False
+        for name in sorted(suspects):
+            if timings[name] < 2.0:
+                throttled.discard(name)
+                continue
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if dt < timings[name]:
+                if dt < timings[name] / 1.5:
+                    improved_big = True
+                print(
+                    f"  re-probe {name}: {timings[name]}s -> "
+                    f"{round(dt, 3)}s",
+                    file=sys.stderr,
+                )
+                timings[name] = round(dt, 3)
+                throttled.discard(name)
+            elif dt < timings[name] * 1.5:
+                # reproduced outside the stall window — not throttled
+                throttled.discard(name)
+        if not improved_big:
+            break
     total = round(sum(timings.values()), 3)
 
-    compact = compact_queries(timings)
+    compact = compact_queries(timings, throttled)
 
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

@@ -1083,7 +1083,13 @@ def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
     merge (TPC-H fact-fact) or shuffle_hash (corpus-derived
     equi-join) hint. Hints override size estimates, so the strategy
     is scale-independent and pinnable at sf_small: the physical plan
-    must show the hinted strategy, never a broadcast, on those keys."""
+    must show the hinted strategy, never a broadcast, on those keys.
+
+    Each query is collect()ed BEFORE the plan is inspected (ADVICE
+    r10): the pre-execution executedPlan is only the INITIAL AQE
+    plan, and a runtime replan that dropped the strategy would not be
+    caught — after collect(), the inspected tree is the final
+    post-AQE plan, the test_q12_fact_join_never_broadcasts standard."""
     merge_pins = {
         "tpch_q3_shipping_priority": "l_orderkey",
         "tpch_q4_priority_exists": "l_orderkey",
@@ -1094,6 +1100,7 @@ def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
     }
     for name, key in merge_pins.items():
         df = QUERIES[name].fn(spark, sf_small)
+        df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         smj = [l for l in p.splitlines()
                if "SortMergeJoin" in l and key in l]
@@ -1104,6 +1111,7 @@ def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                  "text_keyphrase_rake", "text_tfidf_top_terms"):
         df = QUERIES[name].fn(spark, sf_small)
+        df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in p, f"{name}: shuffle_hash hint lost"
 

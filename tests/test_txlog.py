@@ -444,15 +444,18 @@ def test_changes_feed_is_net_exact(spark, tbl):
     tbl.append(o.filter("o_orderkey < 100"))            # v0
     tbl.append(o.filter("o_orderkey >= 100 AND o_orderkey < 160"))  # v1
     tbl.delete_where("o_orderkey % 7 = 0")              # v2 (COW)
-    tbl.compact(target_file_bytes=1 << 30)              # v3 (layout only)
+    # layout only; may legitimately be a committed rewrite OR a no-op
+    # (r11: COW rewrites repack to O(rewritten-bytes) files, so the
+    # delete above can leave a single tight file with nothing to pack)
+    v_last = tbl.compact(target_file_bytes=1 << 30)
 
-    ch = tbl.changes(0, 3)
+    ch = tbl.changes(0, v_last)
 
     def keys(df):
         return {r["o_orderkey"] for r in df.select("o_orderkey").collect()}
 
     old = keys(tbl.read(version=0))
-    new = keys(tbl.read(version=3))
+    new = keys(tbl.read(version=v_last))
     # replay the feed per key in version order; within one commit a
     # COW-carried key has BOTH a delete (old file) and an insert
     # (rewritten file) and survives — insert wins ties
@@ -467,8 +470,8 @@ def test_changes_feed_is_net_exact(spark, tbl):
     replayed = {k for k in old if k not in last}
     replayed |= {k for k, (_, ins_wins) in last.items() if ins_wins}
     assert replayed == new
-    # compact contributed nothing
-    assert ch.filter("_commit_version = 4").count() == 0
+    # compact (whether it committed as v3 or no-opped) contributed
+    # nothing to the feed: only the append and the COW delete appear
     versions = {r["_commit_version"] for r in
                 ch.select("_commit_version").distinct().collect()}
     assert versions <= {1, 2}
@@ -3212,13 +3215,22 @@ def test_txsql_loud_refusals(spark, txsql):
 def test_txsql_maintenance_statements(spark, txsql, tbl, tmp_path):
     """OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE / CREATE TABLE
     AS SELECT route to the table-format maintenance surface."""
-    # fragment the table, then OPTIMIZE bin-packs it
+    # fragment the table (UPDATE + a second small APPEND — r11: COW
+    # rewrites repack to O(rewritten-bytes) files, so the UPDATE alone
+    # no longer fragments), then OPTIMIZE bin-packs it
     txsql.sql("UPDATE t SET v = v + 1 WHERE id % 2 = 0")
+    tbl.append(
+        spark.createDataFrame(
+            [(100 + i, 0.0, "A") for i in range(4)],
+            "id long, v double, g string",
+        )
+    )
     n_files_before = len(tbl._snapshot()["files"])
+    assert n_files_before >= 2
     txsql.sql("OPTIMIZE t")
-    assert len(tbl._snapshot()["files"]) <= n_files_before
+    assert len(tbl._snapshot()["files"]) < n_files_before
     total = tbl.read().count()
-    assert total == 100
+    assert total == 104
     # DESCRIBE HISTORY is a DataFrame over the commit log
     h = txsql.sql("DESCRIBE HISTORY t")
     assert h.filter("op = 'compact'").count() == 1

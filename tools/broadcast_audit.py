@@ -130,6 +130,18 @@ def main() -> None:
         if prior.get("sf_dir") == sf_dir:
             out = prior
             out.setdefault("audited", [])
+            # Re-derive the flag set from the persisted raw builds
+            # under THIS run's max_rows (ADVICE r10): resuming with a
+            # different --max-rows used to keep stale flags and never
+            # re-evaluate already-audited queries against the new
+            # ceiling, so the headline counts could mix thresholds.
+            # The builds are stored raw, so this is a pure re-derive.
+            out["max_rows"] = max_rows
+            out["flagged"] = {
+                n: [b for b in bs if b["rows"] > max_rows]
+                for n, bs in out.get("builds", {}).items()
+                if any(b["rows"] > max_rows for b in bs)
+            }
     done = set(out["audited"])
     names = [
         n for n in QUERIES
