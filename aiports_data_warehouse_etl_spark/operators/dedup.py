@@ -265,6 +265,15 @@ def _jaccard_from_rows(pairs: DataFrame, ex: DataFrame) -> DataFrame:
     # rehearsal the planner broadcast the 2.65M-row shingle side of
     # both verify joins (268/436 MB actual builds). The hint pins a
     # partitioned hash join keyed on id / (id, s) at any SF.
+    # Spill caveat (ADVICE r10): unlike sort-merge, the SHJ per-
+    # partition build map cannot spill, so the deployment contract is
+    # that spark.sql.shuffle.partitions scales with the corpus
+    # (standard practice — partitions sized so each holds ~64-128 MB
+    # of build rows; AQE's advisory partition size maintains exactly
+    # this under growth). Sorting is pure waste for these equi-joins
+    # (the aggregate downstream needs no order), which is why the pin
+    # is SHJ rather than the spill-safe-but-slower merge the TPC-H
+    # fact-fact joins use.
     ea = ex.select("id", "s").hint("shuffle_hash").alias("ea")
     eb = ex.select("id", "s").hint("shuffle_hash").alias("eb")
     inter = (
@@ -422,7 +431,10 @@ def ngram_jaccard_pairs(
     # under the broadcast threshold and the planner shipped the
     # 2.65M-row / 470 MB index as a broadcast build. The hint pins
     # the partitioned hash join the docstring promises at any SF
-    # (equi-keyed on (s, bucket), no sort needed).
+    # (equi-keyed on (s, bucket), no sort needed). SHJ spill caveat:
+    # the per-partition build map cannot spill — shuffle partitions
+    # must scale with the corpus so each build stays ~64-128 MB (AQE
+    # advisory sizing does this; see _jaccard_from_rows).
     a = inv.hint("shuffle_hash").alias("a")
     b = inv.alias("b")
     inter = (
