@@ -4156,3 +4156,107 @@ def test_matview_delete_refresh_pin_threshold(spark, tbl, tmp_path, monkeypatch)
     assert seen == [False, True], seen
     assert persists, "pin=True refresh never persisted the merged subtree"
     assert got() == expect()
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping DML (r11): candidate discovery from footer stats
+# ---------------------------------------------------------------------------
+
+def test_ranges_from_predicate_extraction(spark):
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        _ranges_from_predicate,
+    )
+
+    r = _ranges_from_predicate(spark, "a >= 5 AND a < 10 AND b = 'x'")
+    assert r == {"a": (5, 10), "b": ("x", "x")}
+    # flipped operand order
+    assert _ranges_from_predicate(spark, "5 > a") == {"a": (None, 5)}
+    # OR / arithmetic / BETWEEN / timestamp literals contribute nothing
+    assert _ranges_from_predicate(spark, "a < 5 OR b = 1") == {}
+    assert _ranges_from_predicate(spark, "id % 2 = 0") == {}
+    assert _ranges_from_predicate(spark, "a BETWEEN 1 AND 9") == {}
+    assert _ranges_from_predicate(
+        spark, "ts < TIMESTAMP '2024-01-01'"
+    ) == {}
+    # understood conjuncts survive an opaque sibling
+    assert _ranges_from_predicate(spark, "a < 5 AND id % 2 = 0") == {
+        "a": (None, 5)
+    }
+    # unparseable input degrades to no-info, never raises
+    assert _ranges_from_predicate(spark, "NOT A PREDICATE !!") == {}
+
+
+def test_dml_candidate_pruning_skips_files(spark, tbl):
+    """A slice DELETE on a key-clustered table must discover its hit
+    files from the log's min/max stats WITHOUT opening the others
+    (the r11 data-skipping path): candidates are a strict subset,
+    the commit rewrites only the matching file, and an unprunable
+    predicate degrades to the full scan."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100").coalesce(1))    # file A
+    tbl.append(o.filter("o_orderkey >= 100").coalesce(1))   # file B
+    base = tbl._snapshot()
+    assert len(base["files"]) == 2
+    cand = tbl._predicate_candidates(base, "o_orderkey < 50")
+    assert len(cand) == 1
+    # unprunable shapes keep every file (sound fallback)
+    assert tbl._predicate_candidates(base, "o_orderkey % 2 = 0") == sorted(
+        base["files"]
+    )
+    n_before = tbl.read().count()
+    n_hit = tbl.read().filter("o_orderkey < 50").count()
+    v = tbl.delete_where("o_orderkey < 50")
+    c = tbl._read_commit(v)
+    assert len(c["remove"]) == 1  # only file A rewrote
+    assert tbl.read().count() == n_before - n_hit
+    assert tbl.read().filter("o_orderkey < 50").count() == 0
+
+
+def test_dml_pruned_to_zero_candidates_is_noop(spark, tbl):
+    """A predicate whose range misses every file entirely must no-op
+    without opening anything — including the empty-frame path in
+    _read_with_dvs when candidates prune to zero."""
+    o = _orders(spark)
+    tbl.append(o.coalesce(1))
+    v0 = tbl.latest_version()
+    assert tbl.delete_where("o_orderkey > 900000000") == v0
+    assert tbl.update_where("o_orderkey > 900000000",
+                            {"o_totalprice": "o_totalprice + 1"}) == v0
+    assert tbl.read().count() == o.count()
+
+
+def test_merge_key_candidates_prune(spark, tbl):
+    """merge_upsert discovers hit files from the SOURCE's key range:
+    a delta confined to one clustered file's range rewrites exactly
+    that file; keys outside every file insert without rewrites."""
+    from pyspark.sql import functions as F
+
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100").coalesce(1))    # file A
+    tbl.append(o.filter("o_orderkey >= 100").coalesce(1))   # file B
+    base = tbl._snapshot()
+    src = o.filter("o_orderkey < 20").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    cand = tbl._key_candidates(base, src, ["o_orderkey"])
+    assert len(cand) == 1
+    n = tbl.read().count()
+    v = tbl.merge_upsert(src, keys=["o_orderkey"])
+    c = tbl._read_commit(v)
+    assert len(c["remove"]) == 1
+    assert tbl.read().count() == n  # pure update, no inserts
+    doubled = tbl.read().filter("o_orderkey < 20").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    want = o.filter("o_orderkey < 20").agg(
+        F.sum(F.col("o_totalprice") * 2)
+    ).collect()[0][0]
+    assert abs(doubled - want) < 1e-6
+    # insert-only merge outside every file's range: zero rewrites
+    ins = o.filter("o_orderkey < 5").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v2 = tbl.merge_upsert(ins, keys=["o_orderkey"])
+    c2 = tbl._read_commit(v2)
+    assert len(c2["remove"]) == 0
+    assert tbl.read().count() == n + ins.count()
