@@ -651,7 +651,7 @@ class TxLogTable:
             return sorted(base["files"])
         rn = base["renames"]
         fe = base["file_epoch"]
-        return sorted(
+        cand = sorted(
             rel
             for rel, st in base["files"].items()
             if _stats_may_match(
@@ -662,6 +662,83 @@ class TxLogTable:
                 },
             )
         )
+        for k in use:
+            if len(cand) <= 1:
+                break
+            cand = self._bloom_refine_candidates(base, src, k, cand)
+        return cand
+
+    #: distinct-key cap for bloom-assisted merge discovery — above
+    #: this the delta is no longer "point-ish" and range pruning is
+    #: the right tool; below it the probe cost (one small collect +
+    #: one JVM hash job + numpy bit tests) is microseconds per file.
+    _BLOOM_MERGE_KEY_CAP = 2048
+
+    def _bloom_refine_candidates(
+        self, base: dict, src: DataFrame, key: str, cand: list[str]
+    ) -> list[str]:
+        """Refine merge candidates with the per-file BLOOM index on
+        ``key`` (r11): range pruning is blind to SCATTERED deltas — a
+        uniform key sample's [min, max] spans every file — but that is
+        exactly the shape bloom file indexes exist for
+        (``add_bloom_index``; Delta's bloom-assisted MERGE). A file is
+        kept iff its filter may contain AT LEAST ONE distinct source
+        key (vectorized: one JVM xxhash64 job for all (value, seed)
+        pairs — never reimplement the hash driver-side — then numpy
+        bit tests per file). Files without a filter, deltas above
+        ``_BLOOM_MERGE_KEY_CAP`` distinct keys, NULL keys, or any
+        probe failure keep the candidate list unchanged — the result
+        is always a superset of the true hit files."""
+        filt_by_rel = base.get("blooms", {}).get(key, {})
+        if not any(rel in filt_by_rel for rel in cand):
+            return cand
+        cap = self._BLOOM_MERGE_KEY_CAP
+        try:
+            vals = [
+                r[0]
+                for r in src.select(key).distinct().limit(cap + 1).collect()
+            ]
+        except Exception:
+            return cand
+        if not vals or len(vals) > cap or any(v is None for v in vals):
+            return cand
+        import base64
+
+        import numpy as np
+
+        k_max = max(int(filt_by_rel[r]["k"]) for r in cand if r in filt_by_rel)
+        try:
+            st = T.StructType.fromJson(json.loads(base["schema"]))
+            probe_df = self.spark.createDataFrame(
+                [(v,) for v in vals],
+                T.StructType([T.StructField("v", st[key].dataType)]),
+            )
+            rows = probe_df.select(
+                *[
+                    F.xxhash64(F.col("v"), F.lit(s).cast("int")).alias(
+                        f"h{s}"
+                    )
+                    for s in range(k_max)
+                ]
+            ).collect()
+        except Exception:
+            return cand
+        H = np.array(
+            [[int(r[f"h{s}"]) for s in range(k_max)] for r in rows],
+            dtype=np.int64,
+        )
+        out = []
+        for rel in cand:
+            f = filt_by_rel.get(rel)
+            if f is None:
+                out.append(rel)  # unindexed file — keep conservatively
+                continue
+            bits = np.frombuffer(base64.b64decode(f["bits"]), dtype=np.uint8)
+            m, k = int(f["m"]), int(f["k"])
+            p = H[:, :k] % m  # numpy % matches Python pmod for m > 0
+            if bool(((bits[p >> 3] >> (p & 7)) & 1).all(axis=1).any()):
+                out.append(rel)
+        return out
 
     def _predicate_candidates(self, base: dict, predicate: str) -> list[str]:
         """Files that MAY contain a predicate-TRUE row, from footer

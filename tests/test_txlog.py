@@ -4260,3 +4260,50 @@ def test_merge_key_candidates_prune(spark, tbl):
     c2 = tbl._read_commit(v2)
     assert len(c2["remove"]) == 0
     assert tbl.read().count() == n + ins.count()
+
+
+def test_merge_bloom_refines_scattered_candidates(spark, tbl):
+    """Range pruning is blind to scattered keys (overlapping file
+    ranges), but with a bloom index on the merge key the discovery
+    drops files whose filter proves every source key absent: a merge
+    of even keys against an even-file/odd-file layout rewrites ONLY
+    the even file, and the refined candidate list is exact."""
+    from pyspark.sql import functions as F
+
+    o = _orders(spark)
+    evens = o.filter("o_orderkey % 2 = 0 AND o_orderkey < 100")
+    odds = o.filter("o_orderkey % 2 = 1 AND o_orderkey < 100")
+    tbl.append(evens.coalesce(1))   # file A: keys 0,2,..,98
+    tbl.append(odds.coalesce(1))    # file B: keys 1,3,..,99
+    tbl.add_bloom_index("o_orderkey", fpp=0.001)
+    base = tbl._snapshot()
+    src = o.filter("o_orderkey IN (2, 4, 6)").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    # range alone keeps both files (both spans cover [2, 6])
+    rn, fe = base["renames"], base["file_epoch"]
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        _stats_may_match,
+    )
+    range_kept = [
+        rel for rel, st in base["files"].items()
+        if _stats_may_match(st, {"o_orderkey": (2, 6)})
+    ]
+    assert len(range_kept) == 2
+    # bloom refinement drops the odd file
+    cand = tbl._key_candidates(base, src, ["o_orderkey"])
+    assert len(cand) == 1
+    n = tbl.read().count()
+    v = tbl.merge_upsert(src, keys=["o_orderkey"])
+    c = tbl._read_commit(v)
+    assert len(c["remove"]) == 1
+    assert tbl.read().count() == n
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in tbl.read().filter("o_orderkey IN (2, 4, 6)").collect()
+    }
+    want = {
+        r.o_orderkey: r.o_totalprice * 2
+        for r in o.filter("o_orderkey IN (2, 4, 6)").collect()
+    }
+    assert got == want
