@@ -91,6 +91,23 @@ def main() -> None:
         with open(OUT_PATH, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
+    def _busy() -> float | None:
+        """System-wide busy core-seconds (same signal bench.py gates
+        on): lets each recorded row self-annotate the host-throttle
+        state instead of needing a post-hoc idle-box classification
+        (the r10 --rest sweep ran in a contended window and its 10
+        unclassifiable >10x ratios cost a round — BENCH_NOTES r11
+        addendum 1)."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return (sum(vals) - vals[3] - vals[4]) / os.sysconf(
+                "SC_CLK_TCK"
+            )
+        except (OSError, ValueError, IndexError):
+            return None
+
+    ncpu = os.cpu_count() or 1
     for name in names:
         row: dict = {}
         for label, sf in SCALES:
@@ -98,12 +115,20 @@ def main() -> None:
             try:
                 # best-of-2, same protocol as scale_rehearsal.py: rep 1
                 # pays warmup, rep 2 measures the engine
-                best, n = float("inf"), 0
+                best, n, bf = float("inf"), 0, None
                 for _ in range(2):
+                    b0 = _busy()
                     t0 = time.time()
                     n = QUERIES[name].fn(spark, sf).count()
-                    best = min(best, time.time() - t0)
+                    dt = time.time() - t0
+                    b1 = _busy()
+                    if dt < best:
+                        best = dt
+                        if b0 is not None and b1 is not None:
+                            bf = round((b1 - b0) / max(dt * ncpu, 1e-9), 3)
                 row[label] = {"sec": round(best, 2), "rows": n}
+                if bf is not None:
+                    row[label]["busy_frac"] = bf
             except Exception as ex:
                 row[label] = {"err": str(ex).split("\n")[0][:160]}
         for a, b, key in (("sf0.1", "sf1", "ratio_10x"),
