@@ -4307,3 +4307,24 @@ def test_merge_bloom_refines_scattered_candidates(spark, tbl):
         for r in o.filter("o_orderkey IN (2, 4, 6)").collect()
     }
     assert got == want
+
+
+def test_dml_pruning_survives_column_rename(spark, tbl):
+    """Data-skipping discovery must translate the predicate's LOGICAL
+    column to each file's PHYSICAL footer name (pre-rename files
+    carry the old name in their stats): after RENAME COLUMN, a slice
+    DELETE on the new name still prunes to the one matching file and
+    deletes the right rows."""
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 100").coalesce(1))
+    tbl.append(o.filter("o_orderkey >= 100").coalesce(1))
+    tbl.rename_column("o_orderkey", "okey")
+    base = tbl._snapshot()
+    cand = tbl._predicate_candidates(base, "okey < 50")
+    assert len(cand) == 1
+    n = tbl.read().count()
+    hits = tbl.read().filter("okey < 50").count()
+    v = tbl.delete_where("okey < 50")
+    assert len(tbl._read_commit(v)["remove"]) == 1
+    assert tbl.read().count() == n - hits
+    assert tbl.read().filter("okey < 50").count() == 0
