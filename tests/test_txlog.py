@@ -4328,3 +4328,47 @@ def test_dml_pruning_survives_column_rename(spark, tbl):
     assert len(tbl._read_commit(v)["remove"]) == 1
     assert tbl.read().count() == n - hits
     assert tbl.read().filter("okey < 50").count() == 0
+
+
+def test_predicate_candidates_always_cover_true_hits(spark, tbl):
+    """Soundness sweep: across a grammar of predicates (prunable,
+    partially prunable, and unprunable shapes), the candidate list
+    must be a SUPERSET of the files that actually contain a
+    predicate-TRUE row — data skipping may keep extra files, never
+    drop a hit."""
+    from pyspark.sql import functions as F
+
+    o = _orders(spark)
+    tbl.append(o.filter("o_orderkey < 60").coalesce(1))
+    tbl.append(o.filter("o_orderkey >= 60 AND o_orderkey < 120").coalesce(1))
+    tbl.append(o.filter("o_orderkey >= 120").coalesce(2))
+    base = tbl._snapshot()
+    live = tbl._read_with_dvs(
+        sorted(base["files"]), base["dvs"], keep_lineage=True, snap=base
+    )
+    predicates = [
+        "o_orderkey < 10",
+        "o_orderkey <= 60",
+        "o_orderkey > 115",
+        "o_orderkey >= 60 AND o_orderkey < 70",
+        "o_orderkey = 130",
+        "130 = o_orderkey",
+        "o_orderkey = 59 OR o_orderkey = 121",       # unprunable
+        "o_orderkey % 7 = 0",                        # unprunable
+        "o_totalprice > 0 AND o_orderkey < 30",
+        "o_orderstatus = 'F' AND o_orderkey >= 100",
+        "o_orderkey BETWEEN 10 AND 20",              # unprunable shape
+        "NOT (o_orderkey < 100)",                    # unprunable
+        "o_orderkey < 10 AND o_orderkey > 50",       # empty range
+        "o_orderkey > 100000000",                    # beyond every file
+    ]
+    for pred in predicates:
+        cand = set(tbl._predicate_candidates(base, pred))
+        true_hits = {
+            r["__file_rel"]
+            for r in live.filter(F.expr(pred))
+            .select("__file_rel")
+            .distinct()
+            .collect()
+        }
+        assert true_hits <= cand, (pred, sorted(true_hits - cand))
