@@ -260,22 +260,24 @@ def _jaccard_from_rows(pairs: DataFrame, ex: DataFrame) -> DataFrame:
     from the per-doc size table. Pairs sharing no shingle (Jaccard 0)
     drop out — callers always threshold above 0."""
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # shuffle_hash hints (r10): the exploded shingle table grows with
-    # the corpus but its cold-stat estimate doesn't — at the 10x
-    # rehearsal the planner broadcast the 2.65M-row shingle side of
-    # both verify joins (268/436 MB actual builds). The hint pins a
-    # partitioned hash join keyed on id / (id, s) at any SF.
-    # Spill caveat (ADVICE r10): unlike sort-merge, the SHJ per-
-    # partition build map cannot spill, so the deployment contract is
-    # that spark.sql.shuffle.partitions scales with the corpus
-    # (standard practice — partitions sized so each holds ~64-128 MB
-    # of build rows; AQE's advisory partition size maintains exactly
-    # this under growth). Sorting is pure waste for these equi-joins
-    # (the aggregate downstream needs no order), which is why the pin
-    # is SHJ rather than the spill-safe-but-slower merge the TPC-H
-    # fact-fact joins use.
-    ea = ex.select("id", "s").hint("shuffle_hash").alias("ea")
-    eb = ex.select("id", "s").hint("shuffle_hash").alias("eb")
+    # merge hints (r12, was shuffle_hash since r10): the exploded
+    # shingle table grows with the corpus but its cold-stat estimate
+    # doesn't — at the 10x rehearsal the unhinted planner broadcast
+    # the 2.65M-row shingle side of both verify joins (268/436 MB
+    # actual builds), so the strategy must be pinned. r10 pinned SHJ
+    # ("sorting is pure waste for an equi-join"), but the r11 sf10 A/B
+    # (BENCH_NOTES r11 addendum 3, re-confirmed idle-box in r12
+    # addendum 1) measured merge 19.3/18.8 s vs shuffle_hash
+    # 32.3/20.3 s vs no-hint 51.3/41.7 s: with a corpus-sized build
+    # side (26M exploded shingle rows at sf10), 32 concurrent SHJ
+    # build maps cost more in allocation+GC than the SMJ sorts — the
+    # inverse of the Q12 finding, where the 15M-row orders build side
+    # made SHJ win; build-side size decides. merge also removes the
+    # SHJ spill caveat (the per-partition build map cannot spill, so
+    # SHJ required shuffle.partitions to scale with the corpus) —
+    # sort-merge spills both sides, safe at any partition count.
+    ea = ex.select("id", "s").hint("merge").alias("ea")
+    eb = ex.select("id", "s").hint("merge").alias("eb")
     inter = (
         pairs.join(ea, F.col("id_a") == F.col("ea.id"))
         .join(eb, (F.col("id_b") == F.col("eb.id")) & (F.col("ea.s") == F.col("eb.s")))

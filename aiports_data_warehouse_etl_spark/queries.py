@@ -3247,10 +3247,20 @@ def dedup_embedding(spark, sf_dir):
     only meaningful within a label class here)."""
     emb = _t(spark, sf_dir, "embeddings")
     planes = S._auto_planes_from(emb, "embedding")
+    # F.concat, not concat_ws (ADVICE r11): concat_ws SKIPS null
+    # inputs, so a NULL-label row would get a non-null key (bucket
+    # alone) and could pair with other NULL-label rows here while the
+    # oracle's `a.label = b.label` join is null-rejecting. concat
+    # PROPAGATES null — a NULL label (or NULL embedding) nulls the
+    # whole key and the equi-join drops the row, exactly like the SQL
+    # twin. (Current fixtures have no NULL labels; this pins the
+    # semantics before one ever appears.)
     blocked = emb.withColumn(
         "blk",
-        F.concat_ws(
-            "|", F.col("label"), S.lsh_bucket(F.col("embedding"), planes)
+        F.concat(
+            F.col("label").cast("string"),
+            F.lit("|"),
+            S.lsh_bucket(F.col("embedding"), planes),
         ),
     )
     return D.embedding_neardup_pairs(blocked, threshold=0.35, block_col="blk")

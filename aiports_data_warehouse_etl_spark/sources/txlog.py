@@ -594,6 +594,37 @@ class TxLogTable:
         )
         return max(1, -(-est // (128 * 1024 * 1024)))
 
+    def _merge_width(
+        self, hit_rel: list[str], base: dict, src: DataFrame
+    ) -> int:
+        """Rewrite width for MERGE paths: hit-file bytes PLUS a plan-
+        stats estimate of the source volume (ADVICE r11). A merge is
+        the one COW path whose staged output can be much BIGGER than
+        its hit files — an insert-heavy merge touching one small file
+        would otherwise coalesce the entire source union through ~1
+        write task, serializing the write and emitting oversized
+        files. Catalyst's optimized-plan ``sizeInBytes`` is free (no
+        job) and only ever errs conservative here: ``coalesce(n)``
+        never RAISES the partition count, so an overestimate (e.g.
+        the unestimable-source default) just makes the coalesce a
+        no-op and the stage keeps its natural parallelism, while the
+        common cases (parquet scans, local relations) estimate from
+        real bytes and preserve the O(changed-bytes) file discipline."""
+        try:
+            src_est = int(
+                src._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+                .toString()
+            )
+        except Exception:
+            src_est = 0
+        hit_est = sum(
+            int(base["files"][r].get("bytes", 0)) for r in hit_rel
+        )
+        return max(1, -(-(hit_est + src_est) // (128 * 1024 * 1024)))
+
     def _skippable_cols(self, base: dict) -> set[str]:
         """Columns whose TABLE type is atomic numeric/string — the only
         ones whose extracted bounds compare in like types against the
@@ -1809,7 +1840,9 @@ class TxLogTable:
             else survivors.unionByName(src, allowMissingColumns=True)
         )
         if hit_rel:
-            new_data = new_data.coalesce(self._rewrite_width(hit_rel, base))
+            new_data = new_data.coalesce(
+                self._merge_width(hit_rel, base, src)
+            )
         adds, schema = self._stage(new_data)
         commit = {
             "op": "merge",
@@ -1961,9 +1994,13 @@ class TxLogTable:
             survivors = self._regen(survivors, base["generated"])
         inserts = None
         if insert:
-            # DV-aware key set over the WHOLE table (not just hit
-            # files): a key deleted by a deletion vector is absent, so
-            # its source row legitimately re-inserts
+            # DV-aware key set over ALL CANDIDATE files (tgt is the
+            # _key_candidates-pruned scan): by the pruning invariant a
+            # non-candidate file provably contains no source key, so
+            # anti-joining the candidate keys alone is equivalent to
+            # anti-joining the whole table. A key deleted by a
+            # deletion vector is absent, so its source row
+            # legitimately re-inserts.
             tgt_keys = tgt.select(*keys).distinct()
             inserts = (
                 src.join(tgt_keys, keys, "left_anti")
@@ -1994,7 +2031,15 @@ class TxLogTable:
             return base["version"]  # no-op: nothing changed
         self._validate_constraints(new_data, base["constraints"])
         if hit_rel:
-            new_data = new_data.coalesce(self._rewrite_width(hit_rel, base))
+            # Source volume counts toward the width only when this
+            # merge actually inserts (update/delete-only merges stage
+            # nothing but survivor rows — hit bytes bound them).
+            width = (
+                self._merge_width(hit_rel, base, src)
+                if inserts is not None
+                else self._rewrite_width(hit_rel, base)
+            )
+            new_data = new_data.coalesce(width)
         adds, _ = self._stage(new_data)
         commit = {
             "op": "merge",

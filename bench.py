@@ -67,6 +67,86 @@ def _cpu_busy_seconds() -> float | None:
         return None
 
 
+def _descendant_cpu_seconds() -> float | None:
+    """CPU seconds consumed by THIS process tree — the bench driver,
+    the Spark JVM it launched, and the pyspark daemon/worker
+    processes the JVM forked. Walking /proc ppid links is ~1 ms and
+    lets each rep attribute the system-wide busy delta: the part our
+    own tree burned is the query; the remainder is NEIGHBOR load.
+    (The r11 artifact committed rows like emb_covariance_matrix
+    2.44 s at busy_frac 0.906 whose idle re-probe read 0.54 s —
+    busy_frac alone can't tell 'my 32-way covariance' from 'someone
+    else's 29 cores', external attribution can.) None off-Linux."""
+    try:
+        tck = os.sysconf("SC_CLK_TCK")
+        ppid: dict[int, int] = {}
+        cpu: dict[int, float] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                ppid[int(d)] = int(rest[1])
+                cpu[int(d)] = (int(rest[11]) + int(rest[12])) / tck
+            except (OSError, ValueError, IndexError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for pid, pp in ppid.items():
+            kids.setdefault(pp, []).append(pid)
+        total, stack = 0.0, [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            total += cpu.get(pid, 0.0)
+            stack.extend(kids.get(pid, ()))
+        return total
+    except OSError:
+        return None
+
+
+#: Best-rep external-CPU fraction above which a committed value is
+#: contention-suspect: >10% of the box's core-seconds went to
+#: processes OUTSIDE our tree during the winning rep. Idle-box runs
+#: measure ~0.00-0.02 (background daemons).
+EXT_FRAC_GATE = 0.10
+
+
+def _measure_rep(fn, spark, sf_dir, ncpu: int):
+    """One timed rep with CPU attribution: returns
+    (wall, busy_core_seconds, ext_frac)."""
+    s0 = _cpu_busy_seconds()
+    o0 = _descendant_cpu_seconds()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    wall = time.perf_counter() - t0
+    s1 = _cpu_busy_seconds()
+    o1 = _descendant_cpu_seconds()
+    busy = s1 - s0 if s0 is not None and s1 is not None else -1.0
+    ext_frac = -1.0
+    if busy >= 0 and o0 is not None and o1 is not None:
+        ext_frac = max(0.0, busy - (o1 - o0)) / max(wall * ncpu, 1e-9)
+    return wall, busy, ext_frac
+
+
+def _wait_for_quiet(ncpu: int, max_wait: float = 60.0) -> bool:
+    """Block (up to max_wait) until a 0.5 s sample shows <5% of the
+    box's core-seconds going to processes outside our tree — a fresh
+    measurement window for the commit gate. True if quiet arrived."""
+    deadline = time.monotonic() + max_wait
+    while True:
+        s0, o0 = _cpu_busy_seconds(), _descendant_cpu_seconds()
+        time.sleep(0.5)
+        s1, o1 = _cpu_busy_seconds(), _descendant_cpu_seconds()
+        if None in (s0, s1, o0, o1):
+            return True  # no attribution possible — don't spin
+        ext = max(0.0, (s1 - s0) - (o1 - o0)) / (0.5 * ncpu)
+        if ext < 0.05:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(2.0)
+
+
 def _family(name: str) -> str:
     for fam in ("tpch", "dedup", "sim", "emb", "text", "win", "evt",
                 "agg", "graph", "ts", "skew", "stream"):
@@ -76,30 +156,32 @@ def _family(name: str) -> str:
 
 
 def compact_queries(
-    timings: dict[str, float], throttled: set[str] | None = None
+    timings: dict[str, float], contended: set[str] | None = None
 ) -> dict[str, float]:
     """Bounded-size per-query dict for the stdout metric line: §2
     headline queries verbatim + per-family rollups. Stays under ~1.5 KB
     regardless of registry size so the driver's 2000-byte tail capture
-    always holds the whole JSON line. Family totals are gated on the
-    residual throttle set (VERDICT r10 #5): a family containing any
-    query whose best-of could not be reproduced outside a stall window
-    gets a ``family_<fam>_throttled_sec`` companion recording how much
-    of its total is stall-suspect — so no rollup silently carries a
-    number an idle-box re-probe would halve."""
+    always holds the whole JSON line. Family totals EXCLUDE the
+    contention-suspect rows (VERDICT r11 #2, strengthening r10 #5's
+    companion-key gate): a query whose best rep could not be
+    reproduced in a measured-quiet window is summed under
+    ``family_<fam>_contended_sec`` INSTEAD of the family total — so
+    no rollup carries a number an idle-box re-probe would halve."""
     compact: dict[str, float] = {
         n: timings[n] for n in HEADLINE if n in timings
     }
     fams: dict[str, float] = {}
-    fams_thr: dict[str, float] = {}
+    fams_con: dict[str, float] = {}
     for name, sec in timings.items():
-        fams[_family(name)] = fams.get(_family(name), 0.0) + sec
-        if throttled and name in throttled:
-            fams_thr[_family(name)] = fams_thr.get(_family(name), 0.0) + sec
+        if contended and name in contended:
+            fams_con[_family(name)] = fams_con.get(_family(name), 0.0) + sec
+        else:
+            fams[_family(name)] = fams.get(_family(name), 0.0) + sec
     for fam, sec in sorted(fams.items()):
         compact[f"family_{fam}_total"] = round(sec, 3)
-        if fam in fams_thr:
-            compact[f"family_{fam}_throttled_sec"] = round(fams_thr[fam], 3)
+    for fam, sec in sorted(fams_con.items()):
+        compact.setdefault(f"family_{fam}_total", 0.0)
+        compact[f"family_{fam}_contended_sec"] = round(sec, 3)
     compact["n_queries"] = len(timings)
     return compact
 
@@ -123,11 +205,13 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     busy_frac: dict[str, float] = {}
+    ext_frac: dict[str, float] = {}
     throttled: set[str] = set()
     ncpu = os.cpu_count() or 1
     for name in sorted(QUERIES):
         samples: list[float] = []
         busies: list[float] = []
+        exts: list[float] = []
         # Adaptive tail: when the recorded reps disagree >2× on a
         # non-trivial query, the box was in a CPU-throttle window (the
         # dominant noise source here — see BENCH_NOTES.md) and even the
@@ -138,14 +222,12 @@ def main() -> None:
             and min(samples) > 1.0
             and max(samples) > 2 * min(samples)
         ):
-            b0 = _cpu_busy_seconds()
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-            b1 = _cpu_busy_seconds()
-            busies.append(
-                b1 - b0 if b0 is not None and b1 is not None else -1.0
+            wall, busy, ef = _measure_rep(
+                QUERIES[name].fn, spark, sf_dir, ncpu
             )
+            samples.append(wall)
+            busies.append(busy)
+            exts.append(ef)
         # Throttle bit (VERDICT r6 #5): walls spread >2× on a >1s
         # query while the busy core-seconds stay flat (<1.5× spread)
         # means the same work took wildly different wall time — an
@@ -163,6 +245,8 @@ def main() -> None:
             busy_frac[name] = round(
                 busies[best_i] / (max(samples[best_i], 1e-9) * ncpu), 3
             )
+        if exts[best_i] >= 0:
+            ext_frac[name] = round(exts[best_i], 3)
         # Drop internal persists AFTER the query's reps (not between
         # them — rep 2 then measures the warm plan and best-of keeps
         # it) so cached blocks don't pile up across the registry and
@@ -196,9 +280,9 @@ def main() -> None:
             if timings[name] < 2.0:
                 throttled.discard(name)
                 continue
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
+            dt, busy, ef = _measure_rep(
+                QUERIES[name].fn, spark, sf_dir, ncpu
+            )
             spark.catalog.clearCache()
             if dt < timings[name]:
                 if dt < timings[name] / 1.5:
@@ -209,15 +293,78 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 timings[name] = round(dt, 3)
+                if busy >= 0:
+                    busy_frac[name] = round(
+                        busy / max(dt * ncpu, 1e-9), 3
+                    )
+                if ef >= 0:
+                    ext_frac[name] = round(ef, 3)
                 throttled.discard(name)
             elif dt < timings[name] * 1.5:
                 # reproduced outside the stall window — not throttled
                 throttled.discard(name)
         if not improved_big:
             break
+
+    # COMMIT GATE (VERDICT r11 #2): the re-probe loop keeps the min,
+    # but a row whose WINNING rep ran while neighbor processes burned
+    # >10% of the box is still contention-suspect — r11 committed
+    # emb_covariance_matrix at 2.44 s (idle: 0.54 s) this way. Before
+    # the artifact lands, every such row (and every residually
+    # throttled one) gets fresh attempts in a measured-quiet window;
+    # a row that never reproduces in a quiet window is kept but
+    # marked `contended` and EXCLUDED from the family totals (summed
+    # under family_<fam>_contended_sec instead), so no rollup carries
+    # a number an idle re-probe would halve.
+    contended: set[str] = set()
+    gate = sorted(
+        n
+        for n in timings
+        if timings[n] >= 1.0
+        and (ext_frac.get(n, 0.0) > EXT_FRAC_GATE or n in throttled)
+    )
+    for name in gate:
+        clean = False
+        for _attempt in range(3):
+            quiet = _wait_for_quiet(ncpu)
+            dt, busy, ef = _measure_rep(
+                QUERIES[name].fn, spark, sf_dir, ncpu
+            )
+            spark.catalog.clearCache()
+            if dt < timings[name]:
+                timings[name] = round(dt, 3)
+                if busy >= 0:
+                    busy_frac[name] = round(
+                        busy / max(dt * ncpu, 1e-9), 3
+                    )
+                if ef >= 0:
+                    ext_frac[name] = round(ef, 3)
+            if ef < 0:
+                clean = True  # no attribution on this platform
+                break
+            if ef <= EXT_FRAC_GATE:
+                clean = True
+                print(
+                    f"  gate {name}: clean window rep {round(dt, 3)}s "
+                    f"(ext_frac {round(ef, 3)})",
+                    file=sys.stderr,
+                )
+                break
+            if not quiet:
+                break  # box never went quiet — more attempts won't
+        if clean:
+            throttled.discard(name)
+        else:
+            contended.add(name)
+            print(
+                f"  gate {name}: no clean window — marked contended "
+                f"({timings[name]}s, ext_frac "
+                f"{ext_frac.get(name, -1.0)})",
+                file=sys.stderr,
+            )
     total = round(sum(timings.values()), 3)
 
-    compact = compact_queries(timings, throttled)
+    compact = compact_queries(timings, throttled | contended)
 
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -230,7 +377,9 @@ def main() -> None:
                 "reps": reps,
                 "queries": timings,
                 "throttled": sorted(throttled),
+                "contended": sorted(contended),
                 "busy_frac": busy_frac,
+                "ext_frac": ext_frac,
             },
             f,
             indent=1,
@@ -248,6 +397,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "throttled_n": len(throttled),
+                "contended_n": len(contended),
             }
         )
     )

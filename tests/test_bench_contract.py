@@ -49,3 +49,34 @@ def test_metric_line_fits_even_at_500_queries():
 def test_headline_queries_exist_in_registry():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
+
+
+def test_contended_rows_excluded_from_family_totals():
+    """VERDICT r11 #2: a contention-suspect row must NOT be summed
+    into its family total — it lands under the _contended_sec
+    companion instead, so rollups never carry a number an idle
+    re-probe would halve."""
+    c = bench.compact_queries(
+        {"dedup_a": 5.0, "dedup_b": 2.0, "text_x": 1.0}, {"dedup_b"}
+    )
+    assert c["family_dedup_total"] == 5.0
+    assert c["family_dedup_contended_sec"] == 2.0
+    assert c["family_text_total"] == 1.0
+    assert "family_text_contended_sec" not in c
+
+
+def test_descendant_cpu_attribution_sees_own_spin():
+    """The commit gate's external-CPU attribution: a busy-spin in
+    THIS process must show up as our own tree's CPU, so the external
+    remainder stays near zero for self-inflicted load."""
+    import time
+
+    s0 = bench._cpu_busy_seconds()
+    o0 = bench._descendant_cpu_seconds()
+    if s0 is None or o0 is None:
+        return  # non-Linux: attribution disabled by design
+    t0 = time.time()
+    while time.time() - t0 < 0.3:
+        pass
+    own = bench._descendant_cpu_seconds() - o0
+    assert own >= 0.2, own  # the spin is attributed to our tree

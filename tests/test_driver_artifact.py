@@ -224,3 +224,27 @@ def test_sweep_ledger_write_is_fixed_point():
         assert ledger[rnd] == window, (
             f"ledger round {rnd} entry is not the fixed-point window"
         )
+
+
+def test_sf10_ledger_ratios_all_annotated():
+    """SCALE.md claims every >10 second-decade reading in the
+    two-decade ledger is annotated; r11 shipped with that claim false
+    by one row (orc_roundtrip_agg, VERDICT r11 #3). Machine-check it:
+    every result in BENCH_SF10.json whose sf1->sf10 ratio exceeds 10
+    must have an entry under the artifact's own `annotations` key, so
+    the claim can never silently go stale again."""
+    path = ROOT / "BENCH_SF10.json"
+    if not path.exists():
+        pytest.skip("no sf10 ledger yet")
+    with open(path) as f:
+        ledger = json.load(f)
+    annotations = ledger.get("annotations", {})
+    unannotated = sorted(
+        name
+        for name, row in ledger.get("results", {}).items()
+        if row.get("ratio_10x_to_100x", 0) > 10
+        and name not in annotations
+    )
+    assert not unannotated, (
+        f">10 second-decade ratios lacking an annotation: {unannotated}"
+    )

@@ -1108,12 +1108,26 @@ def test_fact_fact_joins_are_hint_pinned(spark, sf_small):
         bad = [l for l in p.splitlines()
                if "BroadcastHashJoin" in l and key in l]
         assert not bad, f"{name}: fact join broadcast: {bad}"
-    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                 "text_keyphrase_rake", "text_tfidf_top_terms"):
+    for name in ("dedup_ngram_jaccard", "text_keyphrase_rake",
+                 "text_tfidf_top_terms"):
         df = QUERIES[name].fn(spark, sf_small)
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in p, f"{name}: shuffle_hash hint lost"
+    # r12: the minhash verify joins moved shuffle_hash -> merge (the
+    # r11 sf10 A/B — merge 19.3/18.8 s vs SHJ 32.3/20.3 s, and the SHJ
+    # build map cannot spill; BENCH_NOTES r11 addendum 3 / r12
+    # addendum 1). Pin: the shingle-keyed verify joins are
+    # SortMergeJoin, and the corpus-sized shingle side never
+    # broadcasts.
+    df = QUERIES["dedup_minhash_lsh"].fn(spark, sf_small)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    smj = [l for l in p.splitlines() if "SortMergeJoin" in l]
+    assert smj, f"dedup_minhash_lsh: merge hint lost\n{p[:2000]}"
+    bad = [l for l in p.splitlines()
+           if "BroadcastHashJoin" in l and " s#" in l]
+    assert not bad, f"dedup_minhash_lsh: shingle side broadcast: {bad}"
 
 
 def test_q12_fact_join_never_broadcasts(spark, sf_small):
