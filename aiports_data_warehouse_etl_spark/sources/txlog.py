@@ -61,6 +61,7 @@ class ConstraintViolation(ValueError):
 
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"  # in-flight writer intent markers (see _stage)
+_BLOOM_DIR = "_bloom"  # bloom-bitmap sidecar files (see _externalize_blooms)
 _VERSION_WIDTH = 20
 
 #: Commit ops a STAGED BLIND APPEND may rebase over: none of these
@@ -168,6 +169,10 @@ class TxLogTable:
         self.spark = spark
         self.path = path
         self.checkpoint_every = checkpoint_every
+        #: memoized bloom sidecar payloads (abs path -> {key: bits});
+        #: sidecars are immutable once a commit references them, so
+        #: the cache never needs invalidation within an instance
+        self._bloom_sidecars: dict[str, dict] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
     # -- log plumbing ---------------------------------------------------
@@ -386,7 +391,7 @@ class TxLogTable:
                     if filt:
                         blooms[col] = filt
                 if blooms:
-                    commit["blooms"] = blooms
+                    commit["blooms"] = self._externalize_blooms(blooms)
         # Commit timestamps are STRICTLY monotone by construction
         # (Delta-style clamp: never below predecessor+1 ns, one small
         # predecessor read — v-1 always exists before anyone targets
@@ -733,8 +738,22 @@ class TxLogTable:
             return cand
         if not vals or len(vals) > cap or any(v is None for v in vals):
             return cand
-        import base64
-
+        # FP-accumulation bail (r12 — found by the scale_demos bloom
+        # probe): a file is kept iff ANY of the K probe keys may be
+        # present, so its expected keep probability is 1-(1-fpp)^K
+        # even when every key is absent. At the default fpp=0.01 a
+        # 2,000-key delta keeps ~100% of files — the whole probe is
+        # wasted work. An optimally-sized filter's per-key fpp ≈ 2^-k;
+        # when the expected false-keep rate exceeds 50% the index
+        # cannot meaningfully prune, so skip the probe (the result is
+        # unchanged — `cand` is already a sound superset). Pruning at
+        # scale therefore belongs to point-ish deltas: K ≲ ln(2)/fpp
+        # (~70 keys at fpp=0.01, ~700 at 0.001).
+        k_min = min(
+            int(filt_by_rel[r]["k"]) for r in cand if r in filt_by_rel
+        )
+        if (1.0 - 2.0 ** -k_min) ** len(vals) < 0.5:
+            return cand
         import numpy as np
 
         k_max = max(int(filt_by_rel[r]["k"]) for r in cand if r in filt_by_rel)
@@ -761,10 +780,11 @@ class TxLogTable:
         out = []
         for rel in cand:
             f = filt_by_rel.get(rel)
-            if f is None:
-                out.append(rel)  # unindexed file — keep conservatively
+            raw = self._bloom_bits(f) if f is not None else None
+            if raw is None:
+                out.append(rel)  # unindexed/lost filter — keep
                 continue
-            bits = np.frombuffer(base64.b64decode(f["bits"]), dtype=np.uint8)
+            bits = np.frombuffer(raw, dtype=np.uint8)
             m, k = int(f["m"]), int(f["k"])
             p = H[:, :k] % m  # numpy % matches Python pmod for m > 0
             if bool(((bits[p >> 3] >> (p & 7)) & 1).all(axis=1).any()):
@@ -2594,8 +2614,16 @@ class TxLogTable:
                 )
                 for rel in snap["files"]
             },
+            # sidecar refs absolutize like file paths: the clone has
+            # no _bloom/ dir of its own until it writes one (a later
+            # materialize/append re-externalizes under the clone root)
             "blooms": {
-                col: {_abs(rel): f for rel, f in filt.items()}
+                col: {
+                    _abs(rel): (
+                        {**f, "ref": _abs(f["ref"])} if "ref" in f else f
+                    )
+                    for rel, f in filt.items()
+                }
                 for col, filt in snap["blooms"].items()
             },
         }
@@ -2784,6 +2812,71 @@ class TxLogTable:
             }
         return out
 
+    def _externalize_blooms(self, blooms: dict) -> dict:
+        """Move bloom BITMAPS out of the commit JSON into one
+        immutable sidecar file under ``_bloom/`` (r12): the commit —
+        and every snapshot/checkpoint replaying it — keeps only the
+        per-file metadata ``{m, k, ref, key}``, where ``ref`` is the
+        sidecar path and ``key`` the filter's entry in it. At 100 TB
+        a table has ~10⁵ files × ~KB bitmaps; inlined, EVERY commit
+        touching the index (and every checkpoint) re-serializes MBs
+        of base64 — sidecars make commit JSON O(metadata) and load
+        bitmap payloads lazily, only on the probe paths
+        (``_bloom_bits``), memoized per instance. Input shape
+        ``{col: {rel: filt}}``; filters already externalized (no
+        ``bits``) pass through untouched, so restore/rebase re-commit
+        refs without rewriting payloads. A production multi-engine
+        rollout would bump the reader protocol with this change; this
+        repo is the table format's only engine, and the read path
+        still accepts legacy inline-``bits`` filters."""
+        payload: dict[str, str] = {}
+        out: dict = {}
+        ref = os.path.join(_BLOOM_DIR, f"{uuid.uuid4().hex}.json")
+        for col, filt_by_rel in blooms.items():
+            out[col] = {}
+            for rel, filt in filt_by_rel.items():
+                if "bits" not in filt:
+                    out[col][rel] = filt  # already a sidecar ref
+                    continue
+                key = f"{col}|{rel}"
+                payload[key] = filt["bits"]
+                slim = {k_: v for k_, v in filt.items() if k_ != "bits"}
+                slim["ref"] = ref
+                slim["key"] = key
+                out[col][rel] = slim
+        if payload:
+            abs_ref = os.path.join(self.path, ref)
+            os.makedirs(os.path.dirname(abs_ref), exist_ok=True)
+            tmp = abs_ref + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, abs_ref)
+        return out
+
+    def _bloom_bits(self, filt: dict) -> bytes | None:
+        """Resolve a filter's bitmap: inline ``bits`` (legacy tables)
+        or the ``_bloom/`` sidecar it references, loaded once per
+        sidecar per instance. ``None`` when the sidecar is gone (e.g.
+        vacuumed past a restore point) — callers must then KEEP the
+        file conservatively, the same degradation as a missing
+        filter."""
+        import base64
+
+        if "bits" in filt:
+            return base64.b64decode(filt["bits"])
+        ref = filt["ref"]
+        path = ref if os.path.isabs(ref) else os.path.join(self.path, ref)
+        payload = self._bloom_sidecars.get(path)
+        if payload is None:
+            try:
+                with open(path) as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            self._bloom_sidecars[path] = payload
+        bits = payload.get(filt.get("key"))
+        return base64.b64decode(bits) if bits is not None else None
+
     def add_bloom_index(self, col: str, fpp: float = 0.01) -> int:
         """Register a BLOOM-FILTER FILE INDEX on ``col``: per-file
         bitmaps land in the log for every current file, and from this
@@ -2794,9 +2887,10 @@ class TxLogTable:
         filter proves absence, which is the lever min/max stats can't
         provide for HIGH-CARDINALITY UNCLUSTERED columns (a uniform
         key's min/max spans every file; its bloom hits ~fpp of them).
-        At 100 TB the bitmaps would ride sidecar files keyed from the
-        log; embedding them in commit JSON keeps this single-file
-        simple at fixture scale — same protocol either way."""
+        Bitmap PAYLOADS ride immutable ``_bloom/`` sidecar files (r12,
+        ``_externalize_blooms``) — commits and checkpoints carry only
+        {m, k, ref, key} per file, so the log stays O(metadata) at any
+        file count and probes load bitmaps lazily."""
         base = self._snapshot()
         if base["schema"] is not None:
             schema = T.StructType.fromJson(json.loads(base["schema"]))
@@ -2817,7 +2911,9 @@ class TxLogTable:
                 f"pre-rename physical name for {col!r} — compact() "
                 "first so every file stores the current name"
             )
-        filters = self._build_blooms(base["files"], col, fpp)
+        filters = self._externalize_blooms(
+            {col: self._build_blooms(base["files"], col, fpp)}
+        ).get(col, {})
         commit = {
             "op": "bloom_index",
             "col": col,
@@ -2852,9 +2948,9 @@ class TxLogTable:
     ) -> bool:
         """Probe one file's bitmap with precomputed raw xxhash64
         values (seed s at index s); pmod per this file's m."""
-        import base64
-
-        bits = base64.b64decode(filt["bits"])
+        bits = self._bloom_bits(filt)
+        if bits is None:
+            return True  # sidecar gone — keep conservatively
         m, k = int(filt["m"]), int(filt["k"])
         for s in range(k):
             p = positions_raw[s] % m  # python % == pmod for m > 0
@@ -3408,6 +3504,33 @@ class TxLogTable:
                         os.remove(tmp)
                 except OSError:
                     pass  # raced with the writer or a parallel vacuum
+        # -- bloom sidecars (r12): a sidecar is live while ANY retained
+        # snapshot's filters reference it. Unreferenced ones (failed
+        # commits, dropped indexes, vacuumed history) are reaped under
+        # the same mtime grace window that protects a writer whose
+        # sidecar landed but whose commit hasn't yet.
+        live_refs: set[str] = set()
+        for v in range(floor, self.latest_version() + 1):
+            for filt_by_rel in self._snapshot(v)["blooms"].values():
+                for f in filt_by_rel.values():
+                    if "ref" in f:
+                        r = f["ref"]
+                        live_refs.add(
+                            r
+                            if os.path.isabs(r)
+                            else os.path.join(self.path, r)
+                        )
+        bloom_root = os.path.join(self.path, _BLOOM_DIR)
+        if os.path.isdir(bloom_root):
+            for name in sorted(os.listdir(bloom_root)):
+                abs_path = os.path.join(bloom_root, name)
+                if abs_path in live_refs:
+                    continue
+                try:
+                    if now - os.path.getmtime(abs_path) >= grace_seconds:
+                        os.remove(abs_path)
+                except OSError:
+                    pass  # raced with a writer or parallel vacuum
         deleted = []
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):

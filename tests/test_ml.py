@@ -121,3 +121,67 @@ def test_logreg_predict_is_native(spark, emb):
         assert banned not in p
     # zero weights → every score is exactly 0.5
     assert scored.filter(F.col("score") != 0.5).count() == 0
+
+
+def test_quality_ledger_no_regression():
+    """VERDICT r11 #6: turn the quality ledger into a TREND GATE. For
+    each metric tracked across the two most recent committed
+    QUALITY_r*.json artifacts, assert the new round does not degrade
+    past tolerance — so a recall/convergence regression fails CI the
+    way a hash regression already does. Tolerances: recall@5 may dip
+    0.05 (50-query panel granularity is 0.004/pair, but ANN seeds
+    shift with corpus layout), train_acc 0.02, Newton
+    iterations-to-tolerance +1; the PCA exactness identities are
+    absolute (they held at 1e-12 since r11)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    arts = {}
+    for p in glob.glob(os.path.join(root, "QUALITY_r*.json")):
+        m = re.search(r"QUALITY_r(\d+)\.json$", p)
+        if m:
+            arts[int(m.group(1))] = p
+    if len(arts) < 2:
+        pytest.skip("need two quality artifacts to gate a trend")
+    prev_r, cur_r = sorted(arts)[-2:]
+    with open(arts[prev_r]) as f:
+        prev = json.load(f)
+    with open(arts[cur_r]) as f:
+        cur = json.load(f)
+    problems = []
+    for scale in sorted(set(prev) & set(cur)):
+        p, c = prev[scale], cur[scale]
+        for op in ("sim_ivf_topk", "sim_pq_topk", "sim_lsh_topk",
+                   "sim_multiprobe_topk"):
+            if op in p and op in c:
+                lo = p[op]["recall_at_5"] - 0.05
+                if c[op]["recall_at_5"] < lo:
+                    problems.append(
+                        f"{scale}/{op}: recall {c[op]['recall_at_5']}"
+                        f" < r{prev_r}'s {p[op]['recall_at_5']} - 0.05"
+                    )
+        # multiprobe must dominate the single-bucket probe (the r8
+        # recall-dominance pin, restated on the committed ledger)
+        if "sim_lsh_topk" in c and "sim_multiprobe_topk" in c:
+            if (c["sim_multiprobe_topk"]["recall_at_5"]
+                    < c["sim_lsh_topk"]["recall_at_5"]):
+                problems.append(f"{scale}: multiprobe recall below lsh")
+        if "emb_pca_projection" in c:
+            pca = c["emb_pca_projection"]
+            if pca["component_cos_vs_numpy"] < 1 - 1e-9:
+                problems.append(f"{scale}: PCA component cos degraded")
+            if pca["eig_rel_err_vs_numpy"] > 1e-9:
+                problems.append(f"{scale}: PCA eigenvalue error degraded")
+            if abs(pca["proj_var_over_eigenvalue"] - 1) > 1e-6:
+                problems.append(f"{scale}: PCA variance identity broken")
+        if "emb_logreg_train" in p and "emb_logreg_train" in c:
+            if (c["emb_logreg_train"]["newton_iters_to_1e-12"]
+                    > p["emb_logreg_train"]["newton_iters_to_1e-12"] + 1):
+                problems.append(f"{scale}: IRLS convergence degraded")
+            if (c["emb_logreg_train"]["train_acc"]
+                    < p["emb_logreg_train"]["train_acc"] - 0.02):
+                problems.append(f"{scale}: train_acc degraded")
+    assert not problems, problems

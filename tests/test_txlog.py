@@ -4372,3 +4372,96 @@ def test_predicate_candidates_always_cover_true_hits(spark, tbl):
             .collect()
         }
         assert true_hits <= cand, (pred, sorted(true_hits - cand))
+
+
+def test_bloom_sidecar_externalized(spark, tmp_path):
+    """r12: bloom bitmaps ride immutable _bloom/ sidecar files — the
+    commit JSON (and checkpoints) carry only {m, k, ref, key} per
+    file, so the log stays O(metadata) at any file count. Pins: no
+    'bits' key anywhere in committed JSON, probes resolve through the
+    sidecar (point-lookup pruning still works), clones carry
+    absolute sidecar refs, and vacuum reaps an orphaned sidecar while
+    keeping referenced ones."""
+    import glob
+    import json as _json
+    import os
+
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS v")
+    t.append(df.repartition(4))
+    t.add_bloom_index("k")
+    t.append(
+        spark.range(1000, 2000).selectExpr("id AS k", "id % 7 AS v")
+        .repartition(2)
+    )
+
+    # 1. no bitmap payload in any commit JSON; refs present
+    for p in glob.glob(str(tmp_path / "t" / "_txlog" / "*.json")):
+        with open(p) as fh:
+            txt = fh.read()
+        assert '"bits"' not in txt, os.path.basename(p)
+    snap = t._snapshot()
+    filters = snap["blooms"]["k"]
+    assert set(filters) == set(snap["files"])
+    assert all("ref" in f and "bits" not in f for f in filters.values())
+    sidecars = set(os.listdir(tmp_path / "t" / "_bloom"))
+    assert sidecars  # payloads exist on disk
+
+    # 2. probes resolve through the sidecar: an absent key prunes
+    # every file, a present key keeps its file's rows readable
+    assert t.read(prune_eq={"k": 999999}).count() == 0
+    assert t.read(prune_eq={"k": 1500}).filter("k = 1500").count() == 1
+
+    # 3. clone refs absolutize and keep probing
+    c = t.shallow_clone(str(tmp_path / "c"))
+    cf = c._snapshot()["blooms"]["k"]
+    assert all(os.path.isabs(f["ref"]) for f in cf.values())
+    assert c.read(prune_eq={"k": 999999}).count() == 0
+
+    # 4. vacuum: an orphan sidecar is reaped, referenced ones survive
+    orphan = tmp_path / "t" / "_bloom" / "deadbeef.json"
+    orphan.write_text(_json.dumps({"k|nope": "AA=="}))
+    os.utime(orphan, (1, 1))  # ancient — outside any grace window
+    t.vacuum(grace_seconds=0.0)
+    assert not orphan.exists()
+    assert set(os.listdir(tmp_path / "t" / "_bloom")) == sidecars
+    # probes still work after vacuum
+    assert t.read(prune_eq={"k": 999999}).count() == 0
+
+
+def test_bloom_fp_accumulation_bail(spark, tmp_path):
+    """r12 (found by the scale_demos bloom probe): refining MERGE
+    candidates with K probe keys keeps a file with probability
+    1-(1-fpp)^K even when every key is absent — at K=2000, fpp=0.01
+    that is ~100%, so the probe is pure waste. The engine now skips
+    the bloom pass when the expected false-keep rate exceeds 50%
+    (result unchanged: candidates stay a sound superset); a
+    point-ish absent delta still prunes to ~nothing."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    # gapped keyspace: even keys only
+    t.append(
+        spark.range(20000).selectExpr("id * 2 AS k", "id % 5 AS v")
+        .repartition(8),
+        cluster_by=["k"],
+        cluster_partitions=8,
+    )
+    t.add_bloom_index("k", fpp=0.001)
+    base = t._snapshot()
+    nf = len(base["files"])
+
+    # point-ish absent delta (odd, in-range): bloom prunes everything
+    pointish = spark.createDataFrame(
+        [(i * 2500 + 1,) for i in range(16)], "k long"
+    )
+    assert len(t._key_candidates(base, pointish, ["k"])) == 0
+
+    # 2000-key absent delta: expected false-keep ~100% — the bail
+    # keeps the full (range-pruned) candidate list, a sound superset
+    wide = spark.createDataFrame(
+        [(i * 20 + 1,) for i in range(2000)], "k long"
+    )
+    assert len(t._key_candidates(base, wide, ["k"])) == nf

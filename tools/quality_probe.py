@@ -18,7 +18,11 @@ already is:
   iteration is one full cluster pass at 100 TB).
 
 Usage: python tools/quality_probe.py [out.json]
-Writes QUALITY_r11.json (or the given path) at the repo root.
+Writes QUALITY_r<round>.json (or the given path) at the repo root;
+``tests/test_ml.py::test_quality_ledger_no_regression`` then gates
+each tracked metric against the PRIOR round's committed artifact, so
+a quality regression fails CI the way a hash regression already does
+(VERDICT r11 #6).
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ from aiports_data_warehouse_etl_spark.operators import ml as ML  # noqa: E402
 from aiports_data_warehouse_etl_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
+    lsh_bucket_topk,
+    lsh_multiprobe_topk,
     pca_top_component,
     pq_topk,
 )
@@ -45,7 +51,7 @@ SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/tmp/sf1"}
 
 OUT_DEFAULT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "QUALITY_r11.json",
+    "QUALITY_r12.json",
 )
 
 
@@ -61,11 +67,20 @@ def probe(spark, sf_dir: str) -> dict:
     # -- ANN recall (registry defaults, wider 50-query panel) --------
     ivf = _pairs(ivf_topk(emb, k=5, nprobe=8, max_query_id=50))
     pq = _pairs(pq_topk(emb, k=5, m=8, n_codes=64, rerank=8, max_query_id=50))
+    # r12 (VERDICT r11 #6): the sign-LSH pair too — single-bucket and
+    # multiprobe, registry defaults (fixed DEFAULT_PLANES so the
+    # numbers are comparable round-over-round), same 50-query panel.
+    lsh = _pairs(lsh_bucket_topk(emb, k=5, max_query_id=50))
+    multi = _pairs(lsh_multiprobe_topk(emb, k=5, max_query_id=50))
     out = {
         "corpus_rows": n,
         "queries": 50,
         "sim_ivf_topk": {"recall_at_5": round(len(exact & ivf) / len(exact), 4)},
         "sim_pq_topk": {"recall_at_5": round(len(exact & pq) / len(exact), 4)},
+        "sim_lsh_topk": {"recall_at_5": round(len(exact & lsh) / len(exact), 4)},
+        "sim_multiprobe_topk": {
+            "recall_at_5": round(len(exact & multi) / len(exact), 4)
+        },
     }
 
     # -- PCA vs exact numpy eigensolve --------------------------------
