@@ -95,10 +95,44 @@ def _checkpoint_path(table_path: str, version: int) -> str:
     )
 
 
+#: Max stored length for STRING min/max stats (Delta's dataSkipping
+#: NumIndexedCols-era convention): a documents-style table would
+#: otherwise embed two full document texts PER FILE PER COMMIT (the
+#: lexicographic min/max of a text column are whole documents) — at
+#: 10⁵ files that is GBs of log for stats nobody ranges over at full
+#: length. Truncation keeps bounds SOUND: a prefix is ≤ its string
+#: (valid lower bound); the max side takes the prefix's SUCCESSOR
+#: (last incrementable code point bumped, tail dropped), which is ≥
+#: every string sharing the prefix — or drops the bound entirely
+#: when no successor exists, degrading to "cannot skip", never to a
+#: wrong skip.
+_STAT_STR_MAX = 32
+
+
+def _stat_trunc_min(s: str) -> str:
+    return s if len(s) <= _STAT_STR_MAX else s[:_STAT_STR_MAX]
+
+
+def _stat_trunc_max(s: str) -> str | None:
+    if len(s) <= _STAT_STR_MAX:
+        return s
+    p = s[:_STAT_STR_MAX]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:
+                nc = 0xE000  # never emit a lone surrogate
+            return p[:i] + chr(nc)
+    return None  # every code point is U+10FFFF — unbounded above
+
+
 def _file_stats(abs_path: str) -> dict:
     """Per-file row count + min/max column stats from the parquet
     footer (pyarrow) — commit-time metadata, so the read path can
-    prune files without opening them."""
+    prune files without opening them. String bounds longer than
+    ``_STAT_STR_MAX`` are truncated (min: prefix; max:
+    prefix-successor, or dropped when none exists)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -134,6 +168,16 @@ def _file_stats(abs_path: str) -> dict:
     for name in bad:
         mins.pop(name, None)
         maxs.pop(name, None)
+    for name, lo in list(mins.items()):
+        if isinstance(lo, str):
+            mins[name] = _stat_trunc_min(lo)
+    for name, hi in list(maxs.items()):
+        if isinstance(hi, str):
+            t = _stat_trunc_max(hi)
+            if t is None:
+                maxs.pop(name)
+            else:
+                maxs[name] = t
     return {"rows": md.num_rows, "bytes": os.path.getsize(abs_path),
             "min": mins, "max": maxs}
 
@@ -3576,14 +3620,16 @@ def _strip_scheme(uri: str) -> str:
 
 def _stats_may_match(st: dict, prune: dict[str, tuple]) -> bool:
     for col, (lo, hi) in prune.items():
+        # each bound prunes independently (r12): a column whose max
+        # stat was dropped by string truncation still skips on its
+        # min, and vice versa — a missing side just can't prove
+        # anything
         fmin = st.get("min", {}).get(col)
         fmax = st.get("max", {}).get(col)
-        if fmin is None or fmax is None:
-            continue  # no stats — cannot skip safely
         try:
-            if (hi is not None and fmin > hi) or (
-                lo is not None and fmax < lo
-            ):
+            if fmin is not None and hi is not None and fmin > hi:
+                return False
+            if fmax is not None and lo is not None and fmax < lo:
                 return False
         except TypeError:
             continue  # stat/bound type mismatch — cannot skip safely

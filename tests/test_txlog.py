@@ -4465,3 +4465,53 @@ def test_bloom_fp_accumulation_bail(spark, tmp_path):
         [(i * 20 + 1,) for i in range(2000)], "k long"
     )
     assert len(t._key_candidates(base, wide, ["k"])) == nf
+
+
+def test_string_stats_truncated_and_sound(spark, tmp_path):
+    """r12: string min/max stats store at most _STAT_STR_MAX+1 chars
+    (min: prefix; max: prefix-SUCCESSOR) — a documents-style table no
+    longer embeds two full texts per file per commit. Soundness: the
+    truncated bounds must never skip a file that contains a matching
+    row, including probes sharing the max's 32-char prefix."""
+    from aiports_data_warehouse_etl_spark.sources.txlog import (
+        _STAT_STR_MAX,
+        TxLogTable,
+        _stat_trunc_max,
+        _stat_trunc_min,
+    )
+
+    long_a = "a" * 100
+    long_z = "z" * 40 + "tail"
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, long_a), (2, long_z), (3, "mid")], "id long, txt string"
+        ).coalesce(1)
+    )
+    st = next(iter(t._snapshot()["files"].values()))
+    assert len(st["min"]["txt"]) <= _STAT_STR_MAX + 1
+    assert len(st["max"]["txt"]) <= _STAT_STR_MAX + 1
+    # bounds bracket the true values
+    assert st["min"]["txt"] <= long_a
+    assert st["max"]["txt"] >= long_z
+
+    # range probes that MUST keep the file (true rows inside):
+    for lo, hi in [
+        (long_a, long_a),            # exact long min
+        (long_z, long_z),            # exact long max (prefix-successor)
+        ("z" * 40, "z" * 50),        # straddles the truncated max
+        ("mid", "mid"),
+    ]:
+        assert t.read(prune={"txt": (lo, hi)}).filter(
+            (F.col("txt") >= lo) & (F.col("txt") <= hi)
+        ).count() >= 1
+    # a range provably outside still prunes to zero files (must sit
+    # ABOVE the prefix-successor bound, not merely above the true max
+    # — between those two the truncated stat legitimately can't skip)
+    assert t.read(prune={"txt": ("~~~", None)}).count() == 0
+
+    # unit edges: successor of an all-max-codepoint prefix is None
+    assert _stat_trunc_max("\U0010FFFF" * 40) is None
+    assert _stat_trunc_min("b" * 100) == "b" * _STAT_STR_MAX
+    s = _stat_trunc_max("b" * 100)
+    assert len(s) <= _STAT_STR_MAX and s > "b" * 100

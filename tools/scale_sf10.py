@@ -107,6 +107,18 @@ def main() -> None:
         except (OSError, ValueError, IndexError):
             return None
 
+    def _spin() -> float:
+        """Fixed pure-Python spin — the bench.py r12 CPU ruler: host
+        throttle is invisible to busy_frac (stolen time reads as
+        guest idle), so each row records how fast this box ran
+        RELATIVE to the run's own baseline during its measurement."""
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        return time.perf_counter() - t0
+
+    spin_base = min(_spin() for _ in range(5))
     ncpu = os.cpu_count() or 1
     for name in names:
         row: dict = {}
@@ -116,19 +128,24 @@ def main() -> None:
                 # best-of-2, same protocol as scale_rehearsal.py: rep 1
                 # pays warmup, rep 2 measures the engine
                 best, n, bf = float("inf"), 0, None
+                sp = None
                 for _ in range(2):
                     b0 = _busy()
+                    sp0 = round(_spin() / spin_base, 2)
                     t0 = time.time()
                     n = QUERIES[name].fn(spark, sf).count()
                     dt = time.time() - t0
                     b1 = _busy()
                     if dt < best:
                         best = dt
+                        sp = sp0
                         if b0 is not None and b1 is not None:
                             bf = round((b1 - b0) / max(dt * ncpu, 1e-9), 3)
                 row[label] = {"sec": round(best, 2), "rows": n}
                 if bf is not None:
                     row[label]["busy_frac"] = bf
+                if sp is not None:
+                    row[label]["spin_ratio"] = sp
             except Exception as ex:
                 row[label] = {"err": str(ex).split("\n")[0][:160]}
         for a, b, key in (("sf0.1", "sf1", "ratio_10x"),
