@@ -1104,7 +1104,17 @@ def exact_substring_pairs(
         .filter((F.col("df_cnt") >= 2) & (F.col("df_cnt") <= max_df))
         .select("h")
     )
-    w = win.join(rare, "h")
+    # merge hint (r12): `rare` is k-gram-keyed and GROWS with the
+    # corpus (2.4M rows at sf1, ~24M at sf10) but its post-aggregate
+    # estimate slid under the broadcast threshold — the r12 audit
+    # caught AQE shipping a 436 MB / 2.4M-row broadcast build at the
+    # 10× rehearsal (the r10 estimate-driven class; the repo rule is
+    # that n≥2-gram-keyed tables never broadcast). A/B idle at
+    # sf1/sf10: merge 2.9/22.2 s, shuffle_hash 3.9/19.4 s, no-hint
+    # (broadcast) 5.0/23.8 s — SHJ edges merge 13% at sf10 but its
+    # build map cannot spill (Q12 precedent: take the spill-safe
+    # merge over a small SHJ edge), and merge wins the first decade.
+    w = win.join(rare.hint("merge"), "h")
     a = w.alias("a")
     b = w.alias("b")
     return (

@@ -844,9 +844,16 @@ def test_scalable_row_id_stays_jvm_side(spark, sf_small):
 
 def test_exact_substring_join_is_keyed(spark, sf_small):
     """dedup_exact_substring's pair join must be keyed on the window
-    hash — never a nested-loop over doc pairs."""
-    p = plan(QUERIES["dedup_exact_substring"].fn(spark, sf_small))
+    hash — never a nested-loop over doc pairs. r12: the rare-window
+    join is additionally merge-pinned (the r12 --redo audit caught a
+    436 MB / 2.4M-row estimate-driven broadcast of the corpus-sized
+    rare table at sf1 — BENCH_NOTES r12 addendum 7), so the executed
+    post-AQE plan must carry a SortMergeJoin."""
+    df = QUERIES["dedup_exact_substring"].fn(spark, sf_small)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p, "rare-window merge pin lost"
 
 
 def test_quality_classifier_is_pure_codegen(spark, sf_small):

@@ -26,7 +26,8 @@ Two lessons are baked in from the audits this replaced:
    metrics at zero.
 
 Usage: python tools/broadcast_audit.py [sf_dir] [--max-rows=N]
-                                       [--resume] [--limit=N] [name ...]
+                                       [--resume] [--redo] [--limit=N]
+                                       [name ...]
 Writes BROADCAST_AUDIT.json at the repo root. Every broadcast seen is
 recorded (not just the flagged ones) so a zero-flag result is
 auditable rather than asserted.
@@ -104,6 +105,7 @@ def main() -> None:
         2_000_000.0,
     )
     resume = "--resume" in sys.argv[1:]
+    redo = "--redo" in sys.argv[1:]
     limit = next(
         (int(a.split("=", 1)[1]) for a in sys.argv[1:]
          if a.startswith("--limit=")),
@@ -142,6 +144,17 @@ def main() -> None:
                 for n, bs in out.get("builds", {}).items()
                 if any(b["rows"] > max_rows for b in bs)
             }
+    if redo and only:
+        # --redo (r12): drop the NAMED queries' prior rows so a round
+        # that changes their plans re-audits them into the merged
+        # artifact instead of overwriting the registry-wide one (the
+        # first r12 run clobbered 222 rows with 7) or silently
+        # skipping them under --resume's not-yet-audited rule.
+        out["audited"] = [n for n in out["audited"] if n not in only]
+        for n in only:
+            out["builds"].pop(n, None)
+            out["flagged"].pop(n, None)
+            out["errors"].pop(n, None)
     done = set(out["audited"])
     names = [
         n for n in QUERIES
