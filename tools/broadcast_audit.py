@@ -81,11 +81,29 @@ def _walk(n):
         yield from _walk(ch.apply(i))
 
 
-def broadcast_builds(df) -> list[dict]:
+def broadcast_builds(df, timeout_sec: float | None = None) -> list[dict]:
     """Execute df's own plan instance; return each broadcast build's
-    actual (rows, bytes)."""
+    actual (rows, bytes). ``timeout_sec`` arms a watchdog that
+    cancels the Spark jobs if the RDD-driving pass stalls (r12: a
+    full fresh sweep hung >20 min on one query whose
+    ``ep.execute()`` path is far slower than its normal collect —
+    the audit must bound each query so one outlier can't eat the
+    run; a timed-out query records an error row and the sweep moves
+    on)."""
+    import threading
+
     ep = df._jdf.queryExecution().executedPlan()
-    ep.execute().count()  # drive THIS instance's metric accumulators
+    timer = None
+    if timeout_sec:
+        sc = df.sparkSession.sparkContext
+        timer = threading.Timer(timeout_sec, sc.cancelAllJobs)
+        timer.daemon = True
+        timer.start()
+    try:
+        ep.execute().count()  # drive THIS instance's metric accumulators
+    finally:
+        if timer is not None:
+            timer.cancel()
     builds = []
     for n in _walk(ep):
         if n.getClass().getSimpleName() == "BroadcastExchangeExec":
@@ -110,6 +128,11 @@ def main() -> None:
         (int(a.split("=", 1)[1]) for a in sys.argv[1:]
          if a.startswith("--limit=")),
         None,
+    )
+    q_timeout = next(
+        (float(a.split("=", 1)[1]) for a in sys.argv[1:]
+         if a.startswith("--query-timeout=")),
+        300.0,
     )
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/tmp/sf1"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
@@ -172,7 +195,9 @@ def main() -> None:
     for i, name in enumerate(names):
         spark.catalog.clearCache()
         try:
-            builds = broadcast_builds(QUERIES[name].fn(spark, sf_dir))
+            builds = broadcast_builds(
+                QUERIES[name].fn(spark, sf_dir), timeout_sec=q_timeout
+            )
         except Exception as ex:
             out["errors"][name] = str(ex).split("\n")[0][:160]
             out["audited"].append(name)
