@@ -9761,7 +9761,54 @@ def hist_equidepth_bins(spark, sf_dir):
     )
 
 
-@q("emb_pca_projection", None)  # eigensolve is engine-specific; accuracy-tested
+def _emb_pca_oracle_sql() -> str | None:
+    """Content-keyed literal-component oracle for the PCA projection
+    (r12 — the sketch-pin pattern applied to the last driver-side
+    eigensolve): only the 64-dim top component is pinned
+    (tools/gen_pca_expected.py; each pin passed a shuffle-4-vs-32
+    determinism gate and a 1e-9 rounding-margin gate at generation);
+    DuckDB RECOMPUTES the dot-product projection and the per-label
+    stats from the raw embeddings, so the distributed parts of the
+    query are genuinely re-verified. Pins key on (count,
+    sum(floor(first_element×1e6))) — cardinality alone collides
+    (sf0.001 and sf0.01 both hold 500 embeddings). Returns None only
+    in the bootstrap window before pins exist."""
+    from aiports_data_warehouse_etl_spark.functions.pca_expected import (
+        PCA_TOP_COMPONENT,
+    )
+
+    if not PCA_TOP_COMPONENT:
+        return None
+    vals = ", ".join(
+        f"({n}, {ck}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
+        for (n, ck), w in sorted(PCA_TOP_COMPONENT.items())
+    )
+    return f"""
+    WITH k AS (
+      SELECT count(*) AS c,
+             CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS ck
+      FROM embeddings
+    ),
+    w AS (
+      SELECT v.wv
+      FROM (VALUES {vals}) AS v(corpus_n, content_key, wv)
+      JOIN k ON v.corpus_n = k.c AND v.content_key = k.ck
+    ),
+    p AS (
+      SELECT label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * wv[i])) AS p
+      FROM embeddings, w
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(p), 6) AS mean_proj,
+           round(var_pop(p), 6) AS var_proj
+    FROM p GROUP BY label
+    """
+
+
+@q("emb_pca_projection", _emb_pca_oracle_sql())
 def emb_pca_projection(spark, sf_dir):
     """PCA completion: project every embedding onto the corpus's top
     principal component and report per-label projection stats. The
@@ -9769,10 +9816,12 @@ def emb_pca_projection(spark, sf_dir):
     emb_covariance_matrix); the eigensolve touches a 64×64 matrix on
     the driver (the ONLY collect, dim²-sized, corpus-size-free) and
     the projection itself is a narrow zip_with dot product with the
-    component broadcast as a literal. Rows-only by design — no SQL
-    engine eigensolves — with the variance-captures-eigenvalue
-    accuracy test pinning correctness
-    (test_pca_projection_variance_matches_eigenvalue)."""
+    component broadcast as a literal. Oracled as of r12 via the
+    content-keyed component pin (``_emb_pca_oracle_sql``) — the
+    eigensolve itself has no SQL twin, but everything distributed
+    does; the variance-captures-eigenvalue accuracy test and the
+    QUALITY ledger's exact-vs-numpy rows stay as the eigensolve's own
+    checks."""
     e = _t(spark, sf_dir, "embeddings").select(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -1,4 +1,7 @@
-"""Quality ledger for the 4 rows-only-by-design ops (VERDICT r10 #7):
+"""Quality ledger for the engine-specific numeric ops (VERDICT r10 #7
+— originally the 4 rows-only ops; emb_pca_projection graduated to a
+content-keyed oracle in r12 but stays tracked here, its exact-vs-numpy
+rows being the eigensolve's own check):
 ``sim_ivf_topk`` / ``sim_pq_topk`` (k-means quantizers — no SQL
 oracle), ``emb_pca_projection`` (driver eigensolve),
 ``emb_logreg_train`` (iterative IRLS). Their correctness is pinned by
