@@ -99,6 +99,27 @@ def read_testdata(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Parallelism floor (r12, optimization guide §2.5 "input skew /
+    # one huge unsplittable file"): a single-file table with one
+    # parquet row group scans as ONE task, so every narrow downstream
+    # stage — including the Arrow/Python featurize passes of the mm/
+    # sim/emb/dedup families — ran on one core of 32 (measured:
+    # busy_frac 0.03–0.07 on second-long queries). Spread the scan
+    # across the cluster once, in the cached copy. Scale-adaptive and
+    # self-disabling: a table that already scans with >= cluster
+    # parallelism (any real multi-file table — at 100 TB the scan has
+    # thousands of splits) is left exactly as read; no constant tuned
+    # to local mode. Round-robin repartition is deterministic under
+    # retry (sortBeforeRepartition stays on) and no registry query
+    # depends on row order (each is oracle-certified on sorted/hashed
+    # comparison; surrogate keys always ride explicit orderings).
+    # Disable with SPARK_GRAFT_NO_TD_REPART=1 for A/B measurements.
+    if (
+        os.environ.get("SPARK_GRAFT_NO_TD_REPART", "") != "1"
+        and df.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    ):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if cache:
         from pyspark import StorageLevel
 

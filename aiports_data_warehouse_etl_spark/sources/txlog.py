@@ -254,6 +254,8 @@ class TxLogTable:
                 "identity": {},
                 "renames": [],
                 "file_epoch": {},
+                "schemas": [],
+                "file_schema": {},
                 "protocol": {"min_reader": 1, "min_writer": 1},
             }
         start = 0
@@ -268,6 +270,8 @@ class TxLogTable:
             "identity": {},
             "renames": [],
             "file_epoch": {},
+            "schemas": [],
+            "file_schema": {},
             "protocol": {"min_reader": 1, "min_writer": 1},
         }
         for v in range(head, -1, -1):
@@ -283,6 +287,11 @@ class TxLogTable:
                 state.setdefault("identity", {})
                 state.setdefault("renames", [])
                 state.setdefault("file_epoch", {})
+                # pre-r12 checkpoints carry no per-file write schemas:
+                # files restored from them read via the mergeSchema
+                # fallback (sid None), never a wrong explicit schema
+                state.setdefault("schemas", [])
+                state.setdefault("file_schema", {})
                 state.setdefault(
                     "protocol", {"min_reader": 1, "min_writer": 1}
                 )
@@ -320,12 +329,57 @@ class TxLogTable:
             for rel in commit.get("remove", []):
                 state["files"].pop(rel, None)
                 state["file_epoch"].pop(rel, None)
+                state["file_schema"].pop(rel, None)
                 # a removed (rewritten/compacted) file takes its
                 # deletion vectors and bloom filters with it — the
                 # rewrite already applied / re-derives them
                 state["dvs"].pop(rel, None)
                 for filt in state["blooms"].values():
                     filt.pop(rel, None)
+            # Per-file WRITE schema (r12, read-path fast path): a
+            # commit's staged files all share one physical schema —
+            # "add_schema" (set from _stage's actual df schema by the
+            # rewrite ops), or "schema" for append/overwrite, the two
+            # ops whose commit schema IS the staged schema by
+            # construction (merge-family commits record the BASE
+            # schema there, which may differ from the staged files in
+            # nullability — never trusted here). restore/clone re-add
+            # files written across MANY earlier commits; they carry
+            # an explicit per-file "file_schemas" map instead. Files
+            # whose write schema is unknown (pre-r12 logs) get sid
+            # None → the reader falls back to mergeSchema, never to
+            # a guessed schema.
+            _adds = commit.get("add", [])
+            if _adds:
+                # per-file map wins (restore/clone re-adds,
+                # replace_where's two staged sets); the commit-wide
+                # fallback only applies outside restore/clone (their
+                # re-added files were written across many commits)
+                _per_file = commit.get("file_schemas", {})
+                _asch = (
+                    None
+                    if commit.get("op") in ("restore", "clone")
+                    else commit.get("add_schema")
+                    or (
+                        commit.get("schema")
+                        if commit.get("op") in ("append", "overwrite")
+                        else None
+                    )
+                )
+
+                def _sid(sch: str | None) -> int | None:
+                    if not sch:
+                        return None
+                    try:
+                        return state["schemas"].index(sch)
+                    except ValueError:
+                        state["schemas"].append(sch)
+                        return len(state["schemas"]) - 1
+
+                for add in _adds:
+                    state["file_schema"][add["path"]] = _sid(
+                        _per_file.get(add["path"]) or _asch
+                    )
             for add in commit.get("add", []):
                 state["files"][add["path"]] = add["stats"]
                 # a file's rename EPOCH records which renames had
@@ -428,9 +482,24 @@ class TxLogTable:
                 add_stats = {
                     a["path"]: a["stats"] for a in commit["add"]
                 }
+                _csch = commit.get("add_schema") or (
+                    commit.get("schema")
+                    if commit.get("op") in ("append", "overwrite")
+                    else None
+                )
+                add_sch = (
+                    {p: commit.get("file_schemas", {}).get(p) or _csch
+                     for p in add_stats}
+                    if commit.get("op") not in ("restore", "clone")
+                    else {
+                        p: commit.get("file_schemas", {}).get(p)
+                        for p in add_stats
+                    }
+                )
                 for col, params in bloom_cols.items():
                     filt = self._build_blooms(
-                        add_stats, col, float(params["fpp"])
+                        add_stats, col, float(params["fpp"]),
+                        sch_of=add_sch,
                     )
                     if filt:
                         blooms[col] = filt
@@ -504,6 +573,8 @@ class TxLogTable:
                 "identity": snap["identity"],
                 "renames": snap["renames"],
                 "file_epoch": snap["file_epoch"],
+                "schemas": snap["schemas"],
+                "file_schema": snap["file_schema"],
                 "protocol": snap["protocol"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
@@ -1611,6 +1682,7 @@ class TxLogTable:
         snap: dict | None = None,
         renames: list | None = None,
         epochs: dict | None = None,
+        sch_of: dict | None = None,
     ) -> DataFrame:
         """Read the given data files with their deletion vectors
         applied (anti-join on (file, row position) — AQE broadcasts
@@ -1627,12 +1699,35 @@ class TxLogTable:
         CURRENT logical names on the scan, and unioned by name — a
         rename is metadata-only, no file rewrites. The common case
         (no renames, or every file current) stays the single
-        multi-path scan."""
+        multi-path scan.
+
+        Schema fast path (r12, guide §1/§6 — no job for what the log
+        already knows): when every file in an epoch group shares one
+        KNOWN write schema (``sch_of``: rel → schema JSON, derived
+        from the snapshot's per-file ledger or passed by ``changes``),
+        that schema is given to the reader explicitly — the
+        mergeSchema footer-merge JOB (one distributed pass over every
+        file's footer, per read) disappears, and so does the driver's
+        blocking wait on it. Groups containing any unknown-schema
+        file (pre-r12 logs, restore re-adds) or mixed schemas
+        (additive evolution) keep the mergeSchema read — the fast
+        path narrows to the cases where it is provably identical
+        (missing columns null-fill the same way under an explicit
+        schema as under mergeSchema; pinned by
+        test_schema_evolution_across_appends)."""
         if snap is not None:
             renames = snap.get("renames") or []
             epochs = snap.get("file_epoch") or {}
+            if sch_of is None:
+                _sids = snap.get("file_schema") or {}
+                _schemas = snap.get("schemas") or []
+                sch_of = {
+                    rel: (_schemas[sid] if sid is not None else None)
+                    for rel, sid in _sids.items()
+                }
         renames = renames or []
         epochs = epochs or {}
+        sch_of = sch_of or {}
         if not rel_files:
             # data-skipping DML can prune EVERY candidate file (r11:
             # _predicate_candidates) — the caller's "no hits → no-op"
@@ -1666,7 +1761,14 @@ class TxLogTable:
         )
         frames = []
         for ep in sorted(groups):
-            f = self.spark.read.option("mergeSchema", "true").parquet(
+            grp_sch = {sch_of.get(rel) for rel in groups[ep]}
+            if len(grp_sch) == 1 and None not in grp_sch:
+                reader = self.spark.read.schema(
+                    T.StructType.fromJson(json.loads(next(iter(grp_sch))))
+                )
+            else:
+                reader = self.spark.read.option("mergeSchema", "true")
+            f = reader.parquet(
                 *[os.path.join(self.path, rel) for rel in groups[ep]]
             )
             if need_lineage:
@@ -1704,8 +1806,13 @@ class TxLogTable:
         if keep_lineage:
             df = df.select(*data_cols, "__file_rel", "__row_index")
         if relevant:
+            # DV files have one fixed schema by construction (the
+            # delete_where_dv / update_mor staging writes exactly
+            # these two columns) — say so, skip the footer read
             dv = (
-                self.spark.read.parquet(
+                self.spark.read.schema(
+                    "file_rel string, row_index bigint"
+                ).parquet(
                     *[os.path.join(self.path, r) for r in relevant]
                 )
                 .select(
@@ -1802,13 +1909,14 @@ class TxLogTable:
             .filter(~pred | pred.isNull())
             .select(*data_cols)
         )
-        adds, _ = self._stage(
+        adds, add_schema = self._stage(
             survivors.coalesce(self._rewrite_width(hit_rel, base))
         )
         commit = {
             "op": "delete",
             "predicate": predicate,
             "add": adds,
+            "add_schema": add_schema,
             "remove": hit_rel,
             "base_version": base["version"],
         }
@@ -1912,6 +2020,7 @@ class TxLogTable:
             "op": "merge",
             "keys": list(keys),
             "add": adds,
+            "add_schema": schema,
             "remove": hit_rel,
             "schema": schema,
             "base_version": base["version"],
@@ -2104,11 +2213,12 @@ class TxLogTable:
                 else self._rewrite_width(hit_rel, base)
             )
             new_data = new_data.coalesce(width)
-        adds, _ = self._stage(new_data)
+        adds, add_schema = self._stage(new_data)
         commit = {
             "op": "merge",
             "keys": list(keys),
             "add": adds,
+            "add_schema": add_schema,
             "remove": hit_rel,
             "schema": base["schema"],
             "base_version": base["version"],
@@ -2201,7 +2311,7 @@ class TxLogTable:
         ).select(*self._apply_set(set_exprs, data_cols, tgt_types, fires))
         rewritten = self._regen(rewritten, base["generated"])
         self._validate_constraints(rewritten, base["constraints"])
-        adds, _ = self._stage(
+        adds, add_schema = self._stage(
             rewritten.coalesce(self._rewrite_width(hit_rel, base))
         )
         commit = {
@@ -2209,6 +2319,7 @@ class TxLogTable:
             "predicate": predicate,
             "set": dict(sorted(set_exprs.items())),
             "add": adds,
+            "add_schema": add_schema,
             "remove": hit_rel,
             "base_version": base["version"],
         }
@@ -2278,7 +2389,7 @@ class TxLogTable:
                 F.col("__row_index").alias("row_index"),
             ).coalesce(1)
         )
-        adds, _ = self._stage(updated)
+        adds, add_schema = self._stage(updated)
         commit = {
             "op": "update_mor",
             "predicate": predicate,
@@ -2286,6 +2397,7 @@ class TxLogTable:
             "dv_file": dv_adds[0]["path"],
             "dv_targets": {k: int(v) for k, v in sorted(per_file.items())},
             "add": adds,
+            "add_schema": add_schema,
             "base_version": base["version"],
         }
         return self._commit_or_rebase(base["version"], commit, "update_where_mor")
@@ -2337,6 +2449,7 @@ class TxLogTable:
             if c not in ("__file_rel", "__row_index")
         ]
         adds: list[dict] = []
+        file_schemas: dict[str, str] = {}
         if hit_rel:
             survivors = (
                 self._read_with_dvs(
@@ -2345,18 +2458,21 @@ class TxLogTable:
                 .filter(~pred | pred.isNull())
                 .select(*data_cols)
             )
-            s_adds, _ = self._stage(
+            s_adds, s_schema = self._stage(
                 survivors.coalesce(self._rewrite_width(hit_rel, base))
             )
             adds.extend(s_adds)
+            file_schemas.update({a["path"]: s_schema for a in s_adds})
         n_adds, schema = self._stage(df)
         adds.extend(n_adds)
+        file_schemas.update({a["path"]: schema for a in n_adds})
         commit = {
             "op": "replace_where",
             "predicate": predicate,
             "add": adds,
             "remove": hit_rel,
             "schema": schema,
+            "file_schemas": file_schemas,
             "base_version": base["version"],
         }
         # NOT _commit_or_rebase: a rebase over a concurrent blind
@@ -2479,10 +2595,11 @@ class TxLogTable:
             ).sortWithinPartitions(*sort_by)
         else:
             packed = packed.repartition(int(n_out))
-        adds, _ = self._stage(packed)
+        adds, add_schema = self._stage(packed)
         commit = {
             "op": "compact",
             "add": adds,
+            "add_schema": add_schema,
             "remove": small,
             "base_version": base["version"],
         }
@@ -2589,6 +2706,14 @@ class TxLogTable:
                 for a in adds
             },
             "dvs": old["dvs"],
+            # per-file write schemas travel with the re-adds (the
+            # files were written across many commits — no single
+            # commit-wide schema is sound for them)
+            "file_schemas": {
+                a["path"]: old["schemas"][old["file_schema"][a["path"]]]
+                for a in adds
+                if old["file_schema"].get(a["path"]) is not None
+            },
             # memoized (possibly empty) so _try_commit never recomputes
             # filters for files whose restored blooms we already carry
             "blooms": blooms,
@@ -2658,6 +2783,11 @@ class TxLogTable:
                 )
                 for rel in snap["files"]
             },
+            "file_schemas": {
+                _abs(rel): snap["schemas"][snap["file_schema"][rel]]
+                for rel in snap["files"]
+                if snap["file_schema"].get(rel) is not None
+            },
             # sidecar refs absolutize like file paths: the clone has
             # no _bloom/ dir of its own until it writes one (a later
             # materialize/append re-externalizes under the clone root)
@@ -2689,10 +2819,11 @@ class TxLogTable:
             if not ext:
                 return base["version"]
             local = self._read_with_dvs(ext, base["dvs"], snap=base)
-            adds, _ = self._stage(local)
+            adds, add_schema = self._stage(local)
             commit = {
                 "op": "materialize",
                 "add": adds,
+                "add_schema": add_schema,
                 "remove": ext,
                 "base_version": base["version"],
             }
@@ -2793,7 +2924,11 @@ class TxLogTable:
         return m, k
 
     def _build_blooms(
-        self, rel_stats: dict[str, dict], col: str, fpp: float
+        self,
+        rel_stats: dict[str, dict],
+        col: str,
+        fpp: float,
+        sch_of: dict | None = None,
     ) -> dict[str, dict]:
         """Per-file Bloom filters over ``col`` for the given files —
         ONE distributed job regardless of file count: hash every
@@ -2815,8 +2950,19 @@ class TxLogTable:
         pdf = self.spark.createDataFrame(
             params, "__rel string, __m long, __k int"
         )
+        # one known write schema across every file → say so and skip
+        # the mergeSchema footer job (see _read_with_dvs)
+        _schs = (
+            {sch_of.get(r) for r in rels} if sch_of is not None else {None}
+        )
+        if len(_schs) == 1 and None not in _schs:
+            reader = self.spark.read.schema(
+                T.StructType.fromJson(json.loads(next(iter(_schs))))
+            )
+        else:
+            reader = self.spark.read.option("mergeSchema", "true")
         df = (
-            self.spark.read.option("mergeSchema", "true")
+            reader
             .parquet(*[os.path.join(self.path, r) for r in rels])
             .select(
                 F.regexp_extract(
@@ -2956,7 +3102,15 @@ class TxLogTable:
                 "first so every file stores the current name"
             )
         filters = self._externalize_blooms(
-            {col: self._build_blooms(base["files"], col, fpp)}
+            {col: self._build_blooms(
+                base["files"], col, fpp,
+                sch_of={
+                    rel: (
+                        base["schemas"][sid] if sid is not None else None
+                    )
+                    for rel, sid in base["file_schema"].items()
+                },
+            )}
         ).get(col, {})
         commit = {
             "op": "bloom_index",
@@ -3134,6 +3288,29 @@ class TxLogTable:
         # every emission reads a file under its correct logical names
         rn: list = [] if seed is None else [list(r) for r in seed["renames"]]
         fe: dict = {} if seed is None else dict(seed["file_epoch"])
+        # per-file write schema folds forward too (rel → schema JSON
+        # or None) so every emission can take the explicit-schema read
+        # fast path — see _read_with_dvs
+        sch_of: dict = (
+            {}
+            if seed is None
+            else {
+                rel: (
+                    seed["schemas"][sid] if sid is not None else None
+                )
+                for rel, sid in seed["file_schema"].items()
+            }
+        )
+
+        def _commit_sch(c: dict) -> str | None:
+            if c.get("op") in ("restore", "clone"):
+                return None  # per-file via file_schemas
+            return c.get("add_schema") or (
+                c.get("schema")
+                if c.get("op") in ("append", "overwrite")
+                else None
+            )
+
         frames = []
         for v in range(from_version + 1, to_version + 1):
             c = self._read_commit(v)
@@ -3143,8 +3320,10 @@ class TxLogTable:
                 for rel in c.get("remove", []):
                     dvs.pop(rel, None)
                     fe.pop(rel, None)
+                    sch_of.pop(rel, None)
                 for add in c.get("add", []):
                     fe[add["path"]] = len(rn)
+                    sch_of[add["path"]] = _commit_sch(c)
                 continue
             if c.get("op") == "rename_column":
                 # metadata-only: no rows change; the feed keeps
@@ -3174,14 +3353,17 @@ class TxLogTable:
                         "retention window"
                     )
                 data = self._read_with_dvs(
-                    targets, {}, keep_lineage=True, renames=rn, epochs=fe
+                    targets, {}, keep_lineage=True, renames=rn, epochs=fe,
+                    sch_of=sch_of,
                 )
                 data_cols = [
                     col
                     for col in data.columns
                     if col not in ("__file_rel", "__row_index")
                 ]
-                dv = self.spark.read.parquet(dv_abs).select(
+                dv = self.spark.read.schema(
+                    "file_rel string, row_index bigint"
+                ).parquet(dv_abs).select(
                     F.col("file_rel").alias("__file_rel"),
                     F.col("row_index").alias("__row_index"),
                 )
@@ -3239,7 +3421,7 @@ class TxLogTable:
                 if kind == "delete":
                     # exclude rows a DV active at v-1 already deleted
                     frame = self._read_with_dvs(
-                        rels, dvs, renames=rn, epochs=fe
+                        rels, dvs, renames=rn, epochs=fe, sch_of=sch_of
                     )
                 else:
                     # ins_dvs is {} except for restore commits, where
@@ -3254,8 +3436,14 @@ class TxLogTable:
                         rel: c.get("epochs", {}).get(rel, len(ins_rn))
                         for rel in rels
                     }
+                    _c_sch = _commit_sch(c)
+                    ins_sch = {
+                        rel: c.get("file_schemas", {}).get(rel) or _c_sch
+                        for rel in rels
+                    }
                     frame = self._read_with_dvs(
-                        rels, ins_dvs, renames=ins_rn, epochs=ins_fe
+                        rels, ins_dvs, renames=ins_rn, epochs=ins_fe,
+                        sch_of=ins_sch,
                     )
                 frames.append((
                     frame.withColumn("_change_type", F.lit(kind))
@@ -3266,11 +3454,16 @@ class TxLogTable:
                 # the rewrite applied the removed files' DVs
                 dvs.pop(rel, None)
                 fe.pop(rel, None)
+                sch_of.pop(rel, None)
             if c.get("op") in ("restore", "clone") and "renames" in c:
                 rn = [list(r) for r in c["renames"]]
+            _c_sch = _commit_sch(c)
             for add in c.get("add", []):
                 fe[add["path"]] = c.get("epochs", {}).get(
                     add["path"], len(rn)
+                )
+                sch_of[add["path"]] = (
+                    c.get("file_schemas", {}).get(add["path"]) or _c_sch
                 )
             if c.get("op") in ("restore", "clone"):
                 # fold state follows the snapshot's replacement rule
