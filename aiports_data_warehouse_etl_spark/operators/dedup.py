@@ -126,10 +126,12 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     # a filter on the derived array column would be pushed below the
     # projection and re-evaluate the whole shingle expression per row
     # in the scan; size(split(...)) pushes down as a cheap re-split.
+    from aiports_data_warehouse_etl_spark.sources.io import par_floor
+
     out = add_shingles(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)).filter(
-            F.size(tokens(F.col(text_col))) >= k
-        ),
+        par_floor(
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).filter(F.size(tokens(F.col(text_col))) >= k),
         text_col,
         k=k,
     ).select("id", "sh")
@@ -168,8 +170,12 @@ def shingle_rows(
     ckey = (text_col, id_col, k)
     if cache is not None and ckey in cache:
         return _repersist_if_cleared(cache[ckey])
-    tk = df.select(
-        F.col(id_col).alias("id"),
+    from aiports_data_warehouse_etl_spark.sources.io import par_floor
+
+    tk = par_floor(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
     w = Window.partitionBy("id").orderBy("pos")

@@ -59,6 +59,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
 
 
+def _par_floor(df: DataFrame) -> DataFrame:
+    """See sources/io.py par_floor — ABBA-measured 2.2× on the media
+    decode and 1.5× on the CMS build; applied only at per-ROW-
+    compute-bound sites."""
+    from aiports_data_warehouse_etl_spark.sources.io import par_floor
+
+    return par_floor(df)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -2159,8 +2168,16 @@ def approx_sketches(spark, sf_dir):
     counts and t-digest-style percentiles. Accuracy vs exact is
     asserted in tests; cross-engine correctness is pinned by the
     cardinality-keyed literal oracle (see
-    _approx_sketches_oracle_sql)."""
-    o = _t(spark, sf_dir, "orders")
+    _approx_sketches_oracle_sql).
+
+    Input layout is pinned to the RAW scan (no shared-cache
+    parallelism floor — r12): percentile_approx's GK sketch is
+    partition-layout-dependent (unlike HLL, whose canonical union
+    hll_canonical_overall solves this for mergeable sketches), and
+    the literal oracle pins the sketch value computed on the
+    file-ordered scan. A direct read reproduces that layout at every
+    fixture scale; the table is small and the cache miss costs ~0.1 s."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).cast("long").alias("approx_customers"),
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
@@ -6005,7 +6022,7 @@ def mm_decode_features(spark, sf_dir):
                     rows.append((did, "video", raw))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _par_floor(docs.select("doc_id")).mapInPandas(
         encode_media,
         "media_id long, kind string, payload binary",
     )
@@ -10330,7 +10347,9 @@ def cms_event_counts(spark, sf_dir):
     aggregate regardless of stream size; the oracle recomputes the
     identical deterministic cells in SQL, alongside the exact counts
     for the accuracy story."""
-    e = _t(spark, sf_dir, "events").select("event_type")
+    # 4 md5 evaluations per event row is per-ROW compute — spread the
+    # single-file scan before it (ABBA-measured 1.5×; see _par_floor)
+    e = _par_floor(_t(spark, sf_dir, "events").select("event_type"))
     hj = spark.range(4).select(F.col("id").alias("j"))
 
     def bucket(j_col, key_col):

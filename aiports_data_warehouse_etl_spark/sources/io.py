@@ -40,6 +40,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def par_floor(df: DataFrame) -> DataFrame:
+    """Parallelism floor for a COMPUTE-BOUND stage (r12, optimization
+    guide §2.5): single-file fixture tables scan as ONE task, so a
+    heavy narrow stage right after the scan runs on one core of the
+    cluster. Round-robin up to cluster parallelism, only when the
+    input has fewer partitions — a no-op on any real multi-file table
+    (at 100 TB the scan has thousands of splits), so nothing is tuned
+    to local mode. Apply ONLY where per-ROW work dominates
+    (ABBA-measured per site); stages whose cost is per-TASK init
+    (model load, codebook build) get slower from N× init and keep
+    the scan layout. SPARK_GRAFT_NO_PAR_FLOOR=1 disables (A/B knob).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_PAR_FLOOR", "") == "1":
+        return df
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 # Per-application cache of testdata scans: the 186-query contract
 # sweep reads the same ten immutable parquet tables hundreds of times;
 # persisting each once (spillable MEMORY_AND_DISK) removes the repeated
@@ -99,27 +120,14 @@ def read_testdata(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    # Parallelism floor (r12, optimization guide §2.5 "input skew /
-    # one huge unsplittable file"): a single-file table with one
-    # parquet row group scans as ONE task, so every narrow downstream
-    # stage — including the Arrow/Python featurize passes of the mm/
-    # sim/emb/dedup families — ran on one core of 32 (measured:
-    # busy_frac 0.03–0.07 on second-long queries). Spread the scan
-    # across the cluster once, in the cached copy. Scale-adaptive and
-    # self-disabling: a table that already scans with >= cluster
-    # parallelism (any real multi-file table — at 100 TB the scan has
-    # thousands of splits) is left exactly as read; no constant tuned
-    # to local mode. Round-robin repartition is deterministic under
-    # retry (sortBeforeRepartition stays on) and no registry query
-    # depends on row order (each is oracle-certified on sorted/hashed
-    # comparison; surrogate keys always ride explicit orderings).
-    # Disable with SPARK_GRAFT_NO_TD_REPART=1 for A/B measurements.
-    if (
-        os.environ.get("SPARK_GRAFT_NO_TD_REPART", "") != "1"
-        and df.rdd.getNumPartitions()
-        < spark.sparkContext.defaultParallelism
-    ):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    # NOTE (r12): a GLOBAL parallelism floor here (repartition every
+    # cached table to defaultParallelism) was implemented and ABBA-
+    # measured — net NEUTRAL-to-negative at sf0.1. It wins where
+    # per-row work dominates (mm_decode_features 2.2×, cms 1.5×) but
+    # loses where per-TASK init dominates (RAKE, PQ: 32 Python-worker
+    # inits cost more than the parallelism buys) and perturbs some
+    # relational plans. The floor therefore lives at the specific
+    # compute-bound call sites (queries._par_floor), not here.
     if cache:
         from pyspark import StorageLevel
 

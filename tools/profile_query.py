@@ -61,7 +61,13 @@ def _wrap(cls, name):
 
 
 def main() -> None:
-    from pyspark.sql import DataFrame
+    # Spark 4: pyspark.sql.DataFrame is the dispatcher base; the
+    # classic implementation overrides the action methods, so the
+    # wrap must land on the classic class to see any calls.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0
+        from pyspark.sql import DataFrame
     from pyspark.sql.readwriter import DataFrameWriter
 
     for m in ("collect", "count", "toPandas", "head", "take"):
