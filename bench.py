@@ -144,6 +144,14 @@ def _measure_rep(fn, spark, sf_dir, ncpu: int):
     ext_frac = -1.0
     if busy >= 0 and o0 is not None and o1 is not None:
         ext_frac = max(0.0, busy - (o1 - o0)) / max(wall * ncpu, 1e-9)
+        # the /proc walk races process exit: a pyspark worker that
+        # dies between the o0 and o1 samples deflates own-tree CPU
+        # and inflates "external" attribution past what the box can
+        # physically do (r12: observed 13.8 on a 0.86 s rep). A
+        # reading that exceeds the whole box is a failed sample, not
+        # a neighbor — record unknown rather than poisoning the gate.
+        if ext_frac > 1.0:
+            ext_frac = -1.0
     return wall, busy, ext_frac
 
 
