@@ -217,6 +217,23 @@ class TxLogTable:
         #: sidecars are immutable once a commit references them, so
         #: the cache never needs invalidation within an instance
         self._bloom_sidecars: dict[str, dict] = {}
+        # r13 driver-latency memos (guide §5 — the driver should do
+        # almost no repeated work): a committed version's JSON is
+        # immutable (atomic create, never rewritten), so commits,
+        # resolved snapshots, and the prune-free read() plan at a
+        # version can all be derived once per instance. Keyed by
+        # version and scoped to THIS instance (a table re-created at
+        # the same path is a new instance), so concurrent writers are
+        # seen the moment latest_version() returns a new head. All
+        # consumers treat these as read-only (audited r13; the one
+        # forward-folding consumer, changes(), copies what it
+        # mutates). SPARK_GRAFT_NO_TXLOG_MEMO=1 disables (A/B knob).
+        self._memo_enabled = (
+            os.environ.get("SPARK_GRAFT_NO_TXLOG_MEMO", "") != "1"
+        )
+        self._commit_memo: dict[int, dict] = {}
+        self._snap_memo: dict[int, dict] = {}
+        self._read_memo: dict[int, DataFrame] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
     # -- log plumbing ---------------------------------------------------
@@ -230,8 +247,13 @@ class TxLogTable:
         return best
 
     def _read_commit(self, version: int) -> dict:
-        with open(_version_path(self.path, version)) as fh:
-            return json.load(fh)
+        c = self._commit_memo.get(version)
+        if c is None:
+            with open(_version_path(self.path, version)) as fh:
+                c = json.load(fh)
+            if self._memo_enabled:
+                self._commit_memo[version] = c
+        return c
 
     def _snapshot(self, version: int | None = None) -> dict:
         """Resolve live files at ``version`` (default: latest).
@@ -258,6 +280,9 @@ class TxLogTable:
                 "file_schema": {},
                 "protocol": {"min_reader": 1, "min_writer": 1},
             }
+        memo_hit = self._snap_memo.get(head)
+        if memo_hit is not None:
+            return memo_hit
         start = 0
         state: dict = {
             "schema": None,
@@ -436,7 +461,15 @@ class TxLogTable:
             # auto-maintained per-file blooms riding a write commit
             for col_, filt in commit.get("blooms", {}).items():
                 state["blooms"].setdefault(col_, {}).update(filt)
-        return {"version": head, **state}
+        out = {"version": head, **state}
+        if self._memo_enabled:
+            # bounded: vacuum/time-travel sweeps walk many versions —
+            # keep the newest handful, which is what refresh/commit
+            # loops re-resolve
+            if len(self._snap_memo) >= 32:
+                self._snap_memo.pop(next(iter(self._snap_memo)))
+            self._snap_memo[head] = out
+        return out
 
     def _try_commit(self, version: int, commit: dict) -> bool:
         """ONE atomic create — the whole concurrency story. Returns
@@ -562,6 +595,20 @@ class TxLogTable:
                 os.remove(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
+            # Compact the write-schema ledger on checkpoint (ADVICE
+            # r12 #3): the in-replay `schemas` list only ever grows —
+            # one-off rewrite variants linger after their files are
+            # gone. Keep only sids a live file references and remap;
+            # the replay resumes from the compacted list with
+            # identical semantics (sids are internal to one state).
+            used = sorted(
+                {
+                    sid
+                    for sid in snap["file_schema"].values()
+                    if sid is not None
+                }
+            )
+            remap = {sid: i for i, sid in enumerate(used)}
             cp = {
                 "schema": snap["schema"],
                 "files": snap["files"],
@@ -573,8 +620,11 @@ class TxLogTable:
                 "identity": snap["identity"],
                 "renames": snap["renames"],
                 "file_epoch": snap["file_epoch"],
-                "schemas": snap["schemas"],
-                "file_schema": snap["file_schema"],
+                "schemas": [snap["schemas"][sid] for sid in used],
+                "file_schema": {
+                    rel: (remap[sid] if sid is not None else None)
+                    for rel, sid in snap["file_schema"].items()
+                },
                 "protocol": snap["protocol"],
                 # cumulative staged-token ledger so vacuum resolves
                 # committed tokens in O(commits since checkpoint)
@@ -765,8 +815,39 @@ class TxLogTable:
             if isinstance(f.get("type"), str) and f["type"] in ok
         }
 
+    def _merge_preflight(
+        self, src: DataFrame, keys: list[str], use: list[str], op: str
+    ) -> dict:
+        """ONE source pass for the MERGE preconditions (r13, guide
+        §1.2 — fix the number of passes first): the multi-match
+        uniqueness check (`_require_unique_keys`) and the per-key
+        min/max ranges `_key_candidates` prunes with used to be two
+        separate jobs over the same source; they ride one aggregate
+        here. ``count_distinct(struct(keys))`` counts NULL keys the
+        way groupBy does (struct fields null-safe-equal), so the
+        dup verdict is identical. On the rare failure path the
+        original groupBy probe re-runs purely to name the offending
+        key in the error."""
+        aggs: list = [
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.struct(*keys)).alias("__nk"),
+        ]
+        for k in use:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        row = src.agg(*aggs).first()
+        if int(row["__n"] or 0) != int(row["__nk"] or 0):
+            self._require_unique_keys(src, keys, op)  # names the key
+            raise ValueError(
+                f"{op}: source has multiple rows for at least one key"
+            )  # unreachable backstop (the probe above raises)
+        return row.asDict()
+
     def _key_candidates(
-        self, base: dict, src: DataFrame, keys: list[str]
+        self,
+        base: dict,
+        src: DataFrame,
+        keys: list[str],
+        pre: dict | None = None,
     ) -> list[str]:
         """Files that MAY contain a source merge key, from footer
         stats + ONE min/max aggregate over the source (r11 — the MERGE
@@ -785,10 +866,18 @@ class TxLogTable:
         use = [k for k in keys if k in ok]
         if not use:
             return sorted(base["files"])
-        aggs: list = []
-        for k in use:
-            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-        row = src.agg(*aggs).first()
+        if pre is not None and all(
+            f"__lo_{k}" in pre and f"__hi_{k}" in pre for k in use
+        ):
+            row = pre  # ranges already computed by _merge_preflight
+        else:
+            aggs: list = []
+            for k in use:
+                aggs += [
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                ]
+            row = src.agg(*aggs).first()
         rng: dict[str, tuple] = {}
         for k in use:
             lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
@@ -1824,6 +1913,31 @@ class TxLogTable:
             df = df.join(dv, ["__file_rel", "__row_index"], "left_anti")
         return df if keep_lineage else df.select(*data_cols)
 
+    def _dv_counts(self, adds: list[dict]) -> dict[str, int]:
+        """Per-target-file deleted-row counts, read from the staged
+        deletion-vector parquet itself (r13, guide §1.2 — fewer
+        passes): the DV stage-write already passes over every hit
+        row, so deriving ``dv_targets`` from its output removes the
+        separate distributed count job (and its extra scan of the
+        candidate files) that used to precede it. Driver-side pyarrow,
+        batched: decodes only the ``file_rel`` column, O(deleted rows)
+        dictionary-decode against the O(candidate-file bytes) scan it
+        replaces."""
+        import pyarrow.compute as pa_c
+        import pyarrow.parquet as pa_pq
+
+        counts: dict[str, int] = {}
+        for a in adds:
+            pf = pa_pq.ParquetFile(os.path.join(self.path, a["path"]))
+            for batch in pf.iter_batches(
+                columns=["file_rel"], batch_size=1 << 20
+            ):
+                for ent in pa_c.value_counts(batch.column(0)).to_pylist():
+                    counts[ent["values"]] = (
+                        counts.get(ent["values"], 0) + int(ent["counts"])
+                    )
+        return counts
+
     def delete_where_dv(self, predicate: str) -> int:
         """MERGE-ON-READ delete: instead of rewriting every file that
         contains a matching row (``delete_where``'s copy-on-write),
@@ -1853,15 +1967,15 @@ class TxLogTable:
                 F.col("__row_index").alias("row_index"),
             )
         )
-        per_file = {
-            r["file_rel"]: r["n"]
-            for r in hits.groupBy("file_rel")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not per_file:
-            return base["version"]
+        # ONE pass: stage the DV file, then derive the per-file counts
+        # from the staged parquet on the driver (_dv_counts) — the
+        # separate distributed groupBy-count job (a second scan of the
+        # candidate files) is gone (r13)
         adds, _ = self._stage(hits.coalesce(1))
+        per_file = self._dv_counts(adds)
+        if not per_file:
+            self._reclaim_stage(adds)
+            return base["version"]
         dv_rel = adds[0]["path"]
         commit = {
             "op": "delete_dv",
@@ -1971,7 +2085,12 @@ class TxLogTable:
         src = self._apply_generated(
             source, base["generated"], "merge_upsert"
         )
-        self._require_unique_keys(src, keys, "merge_upsert")
+        pre = self._merge_preflight(
+            src,
+            keys,
+            [k for k in keys if k in self._skippable_cols(base)],
+            "merge_upsert",
+        )
         self._validate_constraints(src, base["constraints"])
         if base["version"] < 0 or not base["files"]:
             return self.append(src)
@@ -1980,7 +2099,8 @@ class TxLogTable:
         # lineage columns come from _metadata ON the scan, before the
         # semi-join brings in the source relation
         tgt = self._read_with_dvs(
-            self._key_candidates(base, src, keys), base["dvs"], keep_lineage=True,
+            self._key_candidates(base, src, keys, pre=pre),
+            base["dvs"], keep_lineage=True,
             snap=base,
         )
         src_keys = src.select(*keys).distinct()
@@ -2093,7 +2213,12 @@ class TxLogTable:
                 "their ids; NOT MATCHED inserts get fresh ones)"
             )
         source = self._apply_generated(source, base["generated"], "merge")
-        self._require_unique_keys(source, keys, "merge")
+        pre = self._merge_preflight(
+            source,
+            keys,
+            [k for k in keys if k in self._skippable_cols(base)],
+            "merge",
+        )
 
         def _cond(sql: str | None, default: bool) -> Column:
             # NULL-valued MERGE conditions never fire their clause
@@ -2110,7 +2235,8 @@ class TxLogTable:
             return self.append(new_rows)
 
         tgt = self._read_with_dvs(
-            self._key_candidates(base, source, keys), base["dvs"], keep_lineage=True,
+            self._key_candidates(base, source, keys, pre=pre),
+            base["dvs"], keep_lineage=True,
             snap=base,
         )
         data_cols = [
@@ -2365,13 +2491,20 @@ class TxLogTable:
                 f"update_where_mor: cannot assign IDENTITY column(s) {bad_ident}"
             )
         hits = live.filter(F.expr(predicate))
-        per_file = {
-            r["__file_rel"]: r["n"]
-            for r in hits.groupBy("__file_rel")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # ONE pass for hit discovery: stage the DV file first and
+        # derive the per-file counts from the staged parquet on the
+        # driver (_dv_counts) — the separate distributed
+        # groupBy-count job (an extra scan of the candidates) is gone
+        # (r13). A no-hit update reclaims the (empty) staged file.
+        dv_adds, _ = self._stage(
+            hits.select(
+                F.col("__file_rel").alias("file_rel"),
+                F.col("__row_index").alias("row_index"),
+            ).coalesce(1)
+        )
+        per_file = self._dv_counts(dv_adds)
         if not per_file:
+            self._reclaim_stage(dv_adds)
             return base["version"]
         tgt_types = dict(live.dtypes)
         updated = self._regen(
@@ -2382,13 +2515,11 @@ class TxLogTable:
             ),
             base["generated"],
         )
-        self._validate_constraints(updated, base["constraints"])
-        dv_adds, _ = self._stage(
-            hits.select(
-                F.col("__file_rel").alias("file_rel"),
-                F.col("__row_index").alias("row_index"),
-            ).coalesce(1)
-        )
+        try:
+            self._validate_constraints(updated, base["constraints"])
+        except ConstraintViolation:
+            self._reclaim_stage(dv_adds)
+            raise
         adds, add_schema = self._stage(updated)
         commit = {
             "op": "update_mor",
@@ -3199,6 +3330,17 @@ class TxLogTable:
                 raise ValueError("pass either version or as_of_ts, not both")
             version = self.version_as_of(as_of_ts)
         snap = self._snapshot(version)
+        # prune-free reads at a version are a pure function of the
+        # immutable log — reuse the constructed (analyzed) DataFrame
+        # instead of paying plan construction + analysis py4j round
+        # trips per read (r13, guide §5 driver latency; the matview
+        # refresh and the tlog demos re-read the same version
+        # repeatedly). Plans are immutable; no data is cached.
+        memo_key = snap["version"] if not prune and not prune_eq else None
+        if memo_key is not None:
+            hit = self._read_memo.get(memo_key)
+            if hit is not None:
+                return hit
         if int(snap["protocol"]["min_reader"]) > self.SUPPORTED_READER:
             raise ValueError(
                 f"txlog table {self.path} requires reader protocol "
@@ -3250,7 +3392,12 @@ class TxLogTable:
         # after a column was added — the union schema (missing columns
         # null) is the additive-evolution contract. Deletion vectors
         # (merge-on-read deletes) are applied inside _read_with_dvs.
-        return self._read_with_dvs(sorted(files), snap["dvs"], snap=snap)
+        out = self._read_with_dvs(sorted(files), snap["dvs"], snap=snap)
+        if memo_key is not None and self._memo_enabled:
+            if len(self._read_memo) >= 8:
+                self._read_memo.pop(next(iter(self._read_memo)))
+            self._read_memo[memo_key] = out
+        return out
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """File-diff change feed: every row inserted or deleted between

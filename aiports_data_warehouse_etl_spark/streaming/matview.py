@@ -306,23 +306,189 @@ class IncrementalAggView:
         ``cur`` is the slice's end version; pass None (streaming) to
         derive it from the feed itself — the max commit version is
         folded into the same aggregation and the aggregate-cardinality
-        deltas are persisted, so the feed is scanned exactly once.
+        result is persisted, so the feed is scanned exactly once.
         ``may_delete=False`` (decided driver-side from the commit log)
         elides the delete-side bound aggregates and the min/max rescan
-        join from the plan."""
-        deltas = self._fold(feed, may_delete, with_hi=cur is None)
+        join from the plan.
+
+        Plan shape (r13, guide §2.4 — share one exchange): the fold
+        of the feed and the merge against the stored view are ONE
+        union + ONE keyed aggregation (`_merged_agg`), not a feed
+        aggregation full-outer-joined to the view — the join's two
+        exchanges and sorts are gone; values are identical (per group
+        each side contributes at most one row, so sum/least/greatest
+        over the union equal the join's coalesce arithmetic).
+        ``SPARK_GRAFT_MV_JOIN_MERGE=1`` restores the r12 join shape
+        (A/B knob)."""
+        import os
+
+        if os.environ.get("SPARK_GRAFT_MV_JOIN_MERGE", "") == "1":
+            deltas = self._fold(feed, may_delete, with_hi=cur is None)
+            if cur is None:
+                deltas = deltas.persist()
+                try:
+                    hi = deltas.agg(F.max("__hi")).collect()[0][0]
+                    if hi is None:
+                        return None  # empty or fully-replayed batch
+                    # deltas is already pinned here, so the merged
+                    # plan's double use re-reads the cache
+                    return self._merge(
+                        deltas.drop("__hi"), int(hi), may_delete
+                    )
+                finally:
+                    deltas.unpersist()
+            return self._merge(deltas, cur, may_delete, pin=pin)
+        merged = self._merged_agg(feed, may_delete, with_hi=cur is None)
         if cur is None:
-            deltas = deltas.persist()
+            merged = merged.persist()
             try:
-                hi = deltas.agg(F.max("__hi")).collect()[0][0]
+                hi = merged.agg(F.max("__hi")).collect()[0][0]
                 if hi is None:
                     return None  # empty or fully-replayed batch
-                # deltas is already pinned here, so the merged plan's
-                # double use re-reads the cache — no feed re-scan
-                return self._merge(deltas.drop("__hi"), int(hi), may_delete)
+                # merged is pinned: the rescan probe's double use
+                # re-reads the cache — the feed is scanned once
+                return self._finish(
+                    merged.drop("__hi"), int(hi), may_delete
+                )
             finally:
-                deltas.unpersist()
-        return self._merge(deltas, cur, may_delete, pin=pin)
+                merged.unpersist()
+        if pin:
+            pinned = merged.persist()
+            try:
+                return self._finish(pinned, cur, may_delete)
+            finally:
+                pinned.unpersist()
+        return self._finish(merged, cur, may_delete)
+
+    def _merged_agg(
+        self, feed: DataFrame, may_delete: bool, with_hi: bool
+    ) -> DataFrame:
+        """Fold a change-feed slice AND merge it with the stored view
+        in one keyed aggregation over their union (r13). Per group the
+        view contributes at most one row (``__o_*`` columns) and the
+        feed any number of signed rows (``__d_*`` / bound columns);
+        sum / least / greatest over the union reproduce the former
+        full-outer join's coalesce arithmetic exactly. Output schema
+        matches the old ``_merge`` intermediate: group cols, folded
+        n_rows / sums / bounds, ``__rescan`` (+ ``__hi``)."""
+        ins = F.col("_change_type") == "insert"
+        sign = (
+            F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+            if may_delete
+            else F.lit(1)
+        )
+        sum_names = [f"sum_{c}" for c in self.sum_cols]
+        # feed side: narrow per-row projection (project before the
+        # exchange, guide §2.3)
+        fcols = [*self.group_cols, sign.alias("__d_n")]
+        for c in self.sum_cols:
+            fcols.append((sign * F.col(c)).alias(f"__d_sum_{c}"))
+        for c in self.min_cols:
+            fcols.append(F.when(ins, F.col(c)).alias(f"__i_min_{c}"))
+            if may_delete:
+                fcols.append(F.when(~ins, F.col(c)).alias(f"__x_min_{c}"))
+        for c in self.max_cols:
+            fcols.append(F.when(ins, F.col(c)).alias(f"__i_max_{c}"))
+            if may_delete:
+                fcols.append(F.when(~ins, F.col(c)).alias(f"__x_max_{c}"))
+        if with_hi:
+            fcols.append(F.col("_commit_version").alias("__hi_v"))
+        f = feed.select(*fcols)
+        old = self.view.read()
+        o = old.select(
+            *self.group_cols,
+            F.col("n_rows").alias("__o_n"),
+            *[F.col(n).alias(f"__o_{n}") for n in sum_names],
+            *[F.col(n).alias(f"__o_{n}") for n in self._bound_names],
+        )
+        u = o.unionByName(f, allowMissingColumns=True)
+        aggs = [
+            (
+                F.coalesce(F.sum("__o_n"), F.lit(0))
+                + F.coalesce(F.sum("__d_n"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows")
+        ]
+        for c in self.sum_cols:
+            aggs.append(
+                (
+                    F.coalesce(F.sum(f"__o_sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.sum(f"__d_sum_{c}"), F.lit(0.0))
+                ).alias(f"sum_{c}")
+            )
+        rescan = F.lit(False)
+        for c in self.min_cols:
+            o_min = F.min(f"__o_min_{c}")
+            aggs.append(
+                F.least(o_min, F.min(f"__i_min_{c}")).alias(f"min_{c}")
+            )
+            if may_delete:
+                d_del = F.min(f"__x_min_{c}")
+                rescan = rescan | (
+                    d_del.isNotNull() & (o_min.isNull() | (d_del <= o_min))
+                )
+        for c in self.max_cols:
+            o_max = F.max(f"__o_max_{c}")
+            aggs.append(
+                F.greatest(o_max, F.max(f"__i_max_{c}")).alias(f"max_{c}")
+            )
+            if may_delete:
+                d_del = F.max(f"__x_max_{c}")
+                rescan = rescan | (
+                    d_del.isNotNull() & (o_max.isNull() | (d_del >= o_max))
+                )
+        aggs.append(rescan.alias("__rescan"))
+        if with_hi:
+            aggs.append(F.max("__hi_v").alias("__hi"))
+        return u.groupBy(*self.group_cols).agg(*aggs)
+
+    def _finish(
+        self, merged: DataFrame, cur: int, may_delete: bool
+    ) -> int | None:
+        """Rescan-fix the bound columns of a ``_merged_agg`` result
+        and commit it as the new view state — the tail of the old
+        ``_merge``, unchanged in semantics: groups whose stored bound
+        a delete hit re-derive their min/max from ONE bounded source
+        scan (broadcast semi-join on the affected keys); insert-only
+        slices skip the rescan subplan entirely."""
+        sum_names = [f"sum_{c}" for c in self.sum_cols]
+        if may_delete and (self.min_cols or self.max_cols):
+            affected = merged.filter(F.col("__rescan")).select(
+                *self.group_cols
+            )
+            bound_aggs = [
+                F.min(F.col(c)).alias(f"__re_min_{c}") for c in self.min_cols
+            ] + [
+                F.max(F.col(c)).alias(f"__re_max_{c}") for c in self.max_cols
+            ]
+            rescanned = (
+                self.source.read(version=cur)
+                .join(F.broadcast(affected), self.group_cols, "left_semi")
+                .groupBy(*self.group_cols)
+                .agg(*bound_aggs)
+            )
+            merged = merged.join(rescanned, self.group_cols, "left")
+            fixed = []
+            for c in self.min_cols:
+                fixed.append(
+                    F.when(
+                        F.col("__rescan"), F.col(f"__re_min_{c}")
+                    ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+                )
+            for c in self.max_cols:
+                fixed.append(
+                    F.when(
+                        F.col("__rescan"), F.col(f"__re_max_{c}")
+                    ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+                )
+            keep = ["n_rows", *sum_names]
+            merged = merged.select(*self.group_cols, *keep, *fixed)
+        else:
+            merged = merged.drop("__rescan")
+        # groups whose rows all vanished leave the view entirely
+        merged = merged.filter(F.col("n_rows") > 0)
+        return self.view.overwrite_batch_txn(merged, self._APP, cur)
 
     def _merge(
         self,

@@ -21,8 +21,36 @@ from aiports_data_warehouse_etl_spark.sources.io import par_floor
 from aiports_data_warehouse_etl_spark.sources.txlog import TxLogTable
 
 
-def _job_count(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+def _job_count(spark, group: str | None = None) -> int:
+    # ADVICE r12 #4: with a unique job group set around the measured
+    # section, stray session activity in the default group cannot
+    # flake the zero-job assertions
+    return len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    )
+
+
+class _job_group:
+    """Context manager: run the measured section under a unique job
+    group id and expose the number of jobs it launched."""
+
+    def __init__(self, spark):
+        import uuid
+
+        self.spark = spark
+        self.gid = f"jobprobe-{uuid.uuid4().hex}"
+
+    def __enter__(self):
+        self.spark.sparkContext.setJobGroup(self.gid, "job probe")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.sparkContext.setJobGroup(None, None)
+        return False
+
+    @property
+    def jobs(self) -> int:
+        return _job_count(self.spark, self.gid)
 
 
 def test_uniform_schema_read_constructs_with_zero_jobs(spark, tmp_path):
@@ -34,9 +62,9 @@ def test_uniform_schema_read_constructs_with_zero_jobs(spark, tmp_path):
     # every live file carries a known write-schema id
     assert all(s is not None for s in snap["file_schema"].values())
     assert len(snap["schemas"]) == 1
-    before = _job_count(spark)
-    r = t.read()
-    assert _job_count(spark) == before, (
+    with _job_group(spark) as g:
+        r = t.read()
+    assert g.jobs == 0, (
         "uniform-schema snapshot read must not run a mergeSchema "
         "footer job at DataFrame construction"
     )
@@ -69,9 +97,9 @@ def test_rewrite_commits_record_staged_schema(spark, tmp_path):
         sid is not None for sid in snap["file_schema"].values()
     ), "every rewrite-staged file must carry its write schema"
     # and the read over the rewritten table still takes the fast path
-    before = _job_count(spark)
-    t.read()
-    assert _job_count(spark) == before
+    with _job_group(spark) as g:
+        t.read()
+    assert g.jobs == 0
 
 
 def test_restore_and_clone_readds_keep_known_schemas(spark, tmp_path):

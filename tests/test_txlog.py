@@ -1923,14 +1923,16 @@ def test_matview_delete_refresh_pins_large_slices(spark, tbl, tmp_path):
     assert est > live_bytes - live_bytes // 2  # more than adds alone
 
     pins: list = []
-    orig_merge = IncrementalAggView._merge
+    orig_apply = IncrementalAggView._apply
 
-    def spy_merge(self, deltas, cur, may_delete, pin=False):
+    # r13: the pin decision is observable at _apply (the merged
+    # union-aggregate replaced the _merge join path as the default)
+    def spy_apply(self, feed, cur, may_delete=True, pin=False):
         pins.append(pin)
-        return orig_merge(self, deltas, cur, may_delete, pin=pin)
+        return orig_apply(self, feed, cur, may_delete=may_delete, pin=pin)
 
     # small slice (default threshold): no pin
-    with um.patch.object(IncrementalAggView, "_merge", spy_merge):
+    with um.patch.object(IncrementalAggView, "_apply", spy_apply):
         mv.refresh()
     assert pins == [False]
     expect = {
@@ -1955,7 +1957,7 @@ def test_matview_delete_refresh_pins_large_slices(spark, tbl, tmp_path):
         tbl.delete_where("k = 'b'")  # bound hit -> rescan + pin
         baseline_cached = jsc.getPersistentRDDs().size()
         pins.clear()
-        with um.patch.object(IncrementalAggView, "_merge", spy_merge):
+        with um.patch.object(IncrementalAggView, "_apply", spy_apply):
             mv2.refresh()
     assert pins == [True]
     assert jsc.getPersistentRDDs().size() == baseline_cached
