@@ -125,7 +125,11 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     # The <k-token filter runs on the RAW token count, not size(sh):
     # a filter on the derived array column would be pushed below the
     # projection and re-evaluate the whole shingle expression per row
-    # in the scan; size(split(...)) pushes down as a cheap re-split.
+    # in the scan; size(split(...)) stays a cheap re-split. Verified
+    # r13 (ADVICE r12 #2): the predicate pushes THROUGH par_floor's
+    # round-robin exchange down to the scan (plan: Scan → Filter →
+    # Project → Exchange), so the floor repartitions only the
+    # surviving rows and the comment's plan shape still holds.
     from aiports_data_warehouse_etl_spark.sources.io import par_floor
 
     out = add_shingles(

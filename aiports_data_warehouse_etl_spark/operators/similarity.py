@@ -500,7 +500,14 @@ def pq_train_codebooks(
         Xj = X[:, j * ds : (j + 1) * ds]
         C = Xj[rng.choice(len(Xj), size=n_codes, replace=False)].copy()
         for _ in range(iters):
-            assign = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            # matmul-identity assignment (r13, _lloyd_assign's kernel:
+            # argmin_c ||x-c||² = argmin_c (||c||² - 2·xᵀc)) — the
+            # (n, n_codes, ds) broadcast cube was ~0.6 s of driver
+            # time PER QUERY RUN at the demo sample size; ties break
+            # to the lowest centroid index either way (np.argmin),
+            # and the swap is pinned output-identical on the fixture
+            # corpora (tests/test_r13_optimizations.py)
+            assign = _lloyd_assign(Xj, C)
             for c in range(n_codes):
                 pts = Xj[assign == c]
                 if len(pts):
@@ -556,8 +563,10 @@ def pq_topk(
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         codes = np.empty((len(V), m), dtype="int32")
         for j in range(m):
-            d2 = ((V[:, None, j * ds : (j + 1) * ds] - CB[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = d2.argmin(1)
+            # same matmul-identity kernel as the trainer (r13): at
+            # 100 TB the encode pass IS the corpus's per-row compute —
+            # one matmul per subspace, no (batch, n_codes, ds) cube
+            codes[:, j] = _lloyd_assign(V[:, j * ds : (j + 1) * ds], CB[j])
         return pd.Series(list(codes))
 
     q = base if max_query_id is None else base.filter(F.col("id") < max_query_id)

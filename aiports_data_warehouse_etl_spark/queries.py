@@ -9356,6 +9356,19 @@ def text_keyphrase_rake(spark, sf_dir):
     # 2.7M-row / 302 MB broadcast build. The hint pins a partitioned
     # hash join on (doc_id, run_id) at any SF; only the
     # vocabulary-sized word_stats below is an explicit broadcast.
+    # pw feeds BOTH word_stats (the broadcast build below) and the
+    # phrase-scoring probe, so the tokenize → window → phrase-join
+    # pipeline plans twice (r13 audit: 20 Exchanges, 0 ReusedExchange,
+    # 0 BatchEvalPython — this extractor has no Python boundary).
+    # Persisting pw was built and MEASURED in r13: it cut 17 → 12
+    # jobs but tripled task count (a cached subplan keeps the raw
+    # 32-partition shuffles — AQE does not re-coalesce InMemoryRelation
+    # output by default, and flipping
+    # canChangeCachedPlanOutputPartitioning session-wide would
+    # re-coalesce the dedup family's pinned cached layouts), wall a
+    # wash inside the box noise. Left unpinned: at 100 TB the choice
+    # (recompute twice vs disk-materialize once) belongs to a
+    # deployment profile, not this bench-pinned default.
     pw = words.join(phrases.hint("shuffle_hash"), ["doc_id", "run_id"])
     word_stats = pw.groupBy("term").agg(
         F.count(F.lit(1)).alias("freq"),

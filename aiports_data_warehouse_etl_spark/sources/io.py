@@ -51,6 +51,14 @@ def par_floor(df: DataFrame) -> DataFrame:
     (ABBA-measured per site); stages whose cost is per-TASK init
     (model load, codebook build) get slower from N× init and keep
     the scan layout. SPARK_GRAFT_NO_PAR_FLOOR=1 disables (A/B knob).
+
+    Caller constraint (ADVICE r12 #1): pass a SCAN-ADJACENT input
+    (a raw/cached table scan plus narrow projections/filters). The
+    partition probe below goes through ``df.rdd``, which forces
+    physical planning — with AQE, an input containing an upstream
+    EXCHANGE would materialize that whole shuffle stage as jobs at
+    plan-build time. Every current call site is scan-adjacent; keep
+    it that way or derive the count from the un-executed plan first.
     """
     import os
 

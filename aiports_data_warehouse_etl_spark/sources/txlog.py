@@ -1763,6 +1763,32 @@ class TxLogTable:
 
     _REL_EXTRACT = r"(data/[^/]+/[^/]+)$"
 
+    @contextlib.contextmanager
+    def _driver_side_listing(self, n_paths: int):
+        """Raise the parallel-partition-discovery threshold around an
+        explicit-path parquet construction (r13, guide §5 — the
+        driver should not launch jobs for work it can do locally).
+
+        The txlog reader always passes EXPLICIT leaf-file paths the
+        log already knows exist (no directory discovery); above 32
+        paths Spark's default nevertheless launches a distributed
+        listing JOB just to stat them — measured 3.2 s vs 0.27 s
+        driver-side at 1,000 files. Bounded: beyond
+        ``SPARK_GRAFT_DRIVER_LIST_MAX`` (default 16384) paths the
+        distributed listing is kept (sequential driver stats on a
+        high-latency object store would lose at that scale)."""
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        cap = int(os.environ.get("SPARK_GRAFT_DRIVER_LIST_MAX", "16384"))
+        if n_paths <= 32 or n_paths > cap:
+            yield
+            return
+        old = self.spark.conf.get(key, "32")
+        self.spark.conf.set(key, str(n_paths))
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, old)
+
     def _read_with_dvs(
         self,
         rel_files: list[str],
@@ -1857,9 +1883,10 @@ class TxLogTable:
                 )
             else:
                 reader = self.spark.read.option("mergeSchema", "true")
-            f = reader.parquet(
-                *[os.path.join(self.path, rel) for rel in groups[ep]]
-            )
+            with self._driver_side_listing(len(groups[ep])):
+                f = reader.parquet(
+                    *[os.path.join(self.path, rel) for rel in groups[ep]]
+                )
             if need_lineage:
                 # capture on THE SCAN, before any rename/union
                 f = f.select(
@@ -1898,12 +1925,14 @@ class TxLogTable:
             # DV files have one fixed schema by construction (the
             # delete_where_dv / update_mor staging writes exactly
             # these two columns) — say so, skip the footer read
-            dv = (
-                self.spark.read.schema(
+            with self._driver_side_listing(len(relevant)):
+                dv_scan = self.spark.read.schema(
                     "file_rel string, row_index bigint"
                 ).parquet(
                     *[os.path.join(self.path, r) for r in relevant]
                 )
+            dv = (
+                dv_scan
                 .select(
                     F.col("file_rel").alias("__file_rel"),
                     F.col("row_index").alias("__row_index"),

@@ -346,12 +346,18 @@ def main() -> None:
     # marked `contended` and EXCLUDED from the family totals (summed
     # under family_<fam>_contended_sec instead), so no rollup carries
     # a number an idle re-probe would halve.
+    # r13 (VERDICT r12 #3): the gate now covers rows ≥ 0.3 s — the
+    # sub-second §2 contract rows were exempt (threshold 1.0) and
+    # carried 2-3× window noise into PERF with throttled_n = 0. The
+    # methodology is unchanged (keep the min; extra attempts only in
+    # measured-quiet windows); per-row spin_ratio lands in BENCH_FULL
+    # so a regression reading can be discounted against its window.
     contended: set[str] = set()
     gate = sorted(
         (
             n
             for n in timings
-            if timings[n] >= 1.0
+            if timings[n] >= 0.3
             and (
                 ext_frac.get(n, 0.0) > EXT_FRAC_GATE
                 or spin_ratio.get(n, 1.0) > SPIN_GATE

@@ -266,3 +266,84 @@ def test_checkpoint_interval_unchanged_by_memo(spark, tmp_path):
     cp = os.path.join(t.path, "_txlog", f"{3:020d}.checkpoint.json")
     assert os.path.exists(cp)
     assert t.read().count() == 20
+
+
+# -- 6. PQ trainer/encode matmul-identity kernel ------------------------
+
+
+def test_pq_matmul_kernel_bit_identical(spark, sf_small):
+    """The r13 assign kernel (matmul identity, shared with
+    _lloyd_assign) must train bit-identical codebooks and emit
+    identical codes to the r12 broadcast-cube arithmetic on the
+    fixture corpus — sim_pq_topk is deterministic end-to-end and its
+    result must not move."""
+    import numpy as np
+
+    from aiports_data_warehouse_etl_spark.operators import similarity as S
+    from aiports_data_warehouse_etl_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_small, "embeddings", cache=False)
+    base = S._as_double(emb, "embedding", "vec_id")
+    X = np.stack(base.select("v").limit(4096).toPandas()["v"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    m, n_codes, seed, iters = 8, 64, 42, 8
+    ds = X.shape[1] // m
+    new = S.pq_train_codebooks(X, m, n_codes, seed, iters)
+
+    rng = np.random.RandomState(seed)
+    n_eff = min(n_codes, len(X))
+    old = np.empty((m, n_eff, ds))
+    for j in range(m):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        C = Xj[rng.choice(len(Xj), size=n_eff, replace=False)].copy()
+        for _ in range(iters):
+            assign = (
+                ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+            for c in range(n_eff):
+                pts = Xj[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        old[j] = C
+    assert np.array_equal(new, old)
+    # encode kernel: identity argmin == cube argmin with these books
+    for j in range(m):
+        cube = (
+            ((X[:, None, j * ds : (j + 1) * ds] - new[j][None, :, :]) ** 2)
+            .sum(-1)
+            .argmin(1)
+        )
+        ident = S._lloyd_assign(X[:, j * ds : (j + 1) * ds], new[j])
+        assert np.array_equal(cube, ident)
+
+
+# -- 7. driver-side listing for explicit-path reads ---------------------
+
+
+def test_many_file_read_constructs_with_zero_jobs(spark, tmp_path):
+    """Above 32 explicit paths Spark's default launches a distributed
+    LISTING job at plan construction; the txlog reader stats its
+    known leaf files driver-side instead (r13) — read() construction
+    must stay zero-job even on a many-file snapshot."""
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(400).withColumn("v", F.col("id") * 1.0).repartition(40)
+    )
+    snap = t._snapshot()
+    assert len(snap["files"]) == 40
+    import uuid as _uuid
+
+    gid = f"r13-list-{_uuid.uuid4().hex}"
+    spark.sparkContext.setJobGroup(gid, "probe")
+    r = t.read()
+    spark.sparkContext.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(gid)
+    assert len(jobs) == 0, "many-file read construction launched a job"
+    assert r.count() == 400
+    # the threshold override must be restored afterwards
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        )
+        == "32"
+    )
